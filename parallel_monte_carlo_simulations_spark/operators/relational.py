@@ -1,0 +1,472 @@
+"""Headline relational queries: scan -> filter -> join -> agg -> sort.
+
+TPC-H-shaped queries adapted to the driver's star schema (FIXTURES.md §A).
+All are pure DataFrame-API plans so Catalyst handles pushdown, pruning and
+join selection; small dimensions are explicitly ``broadcast()``-hinted so
+the star joins stay map-side at any scale factor.
+
+Scale notes (100 TB): every query here shuffles only for its final
+aggregation (partial aggregation is automatic), joins against dims are
+broadcast, and filters/projections reach the parquet scan (verified via
+``.explain`` — see tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+# --------------------------------------------------------------------------
+# q01: pricing summary — full aggregate sweep over the fact table.
+# Reference has no relational ops (SURVEY.md §2.A covers only the MC
+# pipeline at reference parallel_simulations.py:100-107); this is the
+# §2.B "aggregations" row.
+# --------------------------------------------------------------------------
+
+_Q01_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4)                                  AS avg_price,
+  ROUND(AVG(l_discount), 4)                                       AS avg_disc,
+  COUNT(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=_Q01_ORACLE,
+    description="TPC-H Q1-style pricing summary: filtered scan + hash aggregate",
+    tags=("aggregate", "filter", "scan"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03: shipping priority — selective join + agg + top-k.
+# --------------------------------------------------------------------------
+
+_Q03_ORACLE = """
+SELECT
+  l_orderkey,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "q03_shipping_priority",
+    oracle=_Q03_ORACLE,
+    description="selective 3-way join + aggregate + deterministic top-k",
+    tags=("join", "aggregate", "topk"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        # customer is the small side after the segment filter: broadcast.
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q05: revenue by nation — the flagship 5-way star join (entry() runs this).
+# --------------------------------------------------------------------------
+
+_Q05_ORACLE = """
+SELECT
+  n_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register(
+    "q05_revenue_by_nation",
+    oracle=_Q05_ORACLE,
+    description="flagship: 5-way star join (fact ⋈ 4 dims) + agg + sort",
+    tags=("join", "aggregate", "star", "flagship"),
+)
+def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Dim chain region->nation->customer collapses to one broadcast map;
+    # the only shuffle left is the final groupBy(n_name) — 25 groups.
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06: forecast revenue — pure pushed-down filter + single scalar agg.
+# --------------------------------------------------------------------------
+
+_Q06_ORACLE = """
+SELECT
+  ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+  COUNT(*)                                    AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle=_Q06_ORACLE,
+    description="pushed-down conjunctive filter + global aggregate",
+    tags=("filter", "aggregate", "pushdown"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q10: returned items — join + agg + top-k customers by lost revenue.
+# --------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT
+  c_custkey,
+  c_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "q10_returned_items",
+    oracle=_Q10_ORACLE,
+    description="returned-item revenue: 4-way join + agg + top-20",
+    tags=("join", "aggregate", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection/filter micro-query: proves scan-level pushdown + pruning.
+# --------------------------------------------------------------------------
+
+_QFP_ORACLE = """
+SELECT
+  o_orderkey,
+  o_totalprice,
+  o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+"""
+
+
+@register(
+    "q_filter_project",
+    oracle=_QFP_ORACLE,
+    description="projection + predicate pushdown to the parquet scan",
+    tags=("filter", "project", "pushdown"),
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# HAVING-style post-aggregation filter.
+# --------------------------------------------------------------------------
+
+_QHAVING_ORACLE = """
+SELECT
+  o_custkey,
+  COUNT(*)                      AS n_orders,
+  ROUND(SUM(o_totalprice), 2)   AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+"""
+
+
+@register(
+    "q_group_having",
+    oracle=_QHAVING_ORACLE,
+    description="aggregate + HAVING filter on aggregate value",
+    tags=("aggregate", "having"),
+)
+def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# --------------------------------------------------------------------------
+# CASE expression + conditional aggregation.
+# --------------------------------------------------------------------------
+
+_QCASE_ORACLE = """
+SELECT
+  CASE
+    WHEN o_totalprice < 50000  THEN 'small'
+    WHEN o_totalprice < 200000 THEN 'medium'
+    ELSE 'large'
+  END                                                          AS price_band,
+  COUNT(*)                                                     AS n_orders,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+  ROUND(AVG(o_totalprice), 2)                                  AS avg_price
+FROM orders
+GROUP BY price_band
+"""
+
+
+@register(
+    "q_case_conditional_agg",
+    oracle=_QCASE_ORACLE,
+    description="CASE WHEN banding + conditional aggregation",
+    tags=("case", "aggregate"),
+)
+def q_case_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.withColumn("price_band", band)
+        .groupBy("price_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_finished"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Orders per month: date bucketing + sort (time-series reporting shape).
+# --------------------------------------------------------------------------
+
+_QMONTH_ORACLE = """
+SELECT
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+  COUNT(*)                                       AS n_orders,
+  ROUND(SUM(o_totalprice), 2)                    AS total_price
+FROM orders
+GROUP BY order_month
+ORDER BY order_month
+"""
+
+
+@register(
+    "q_orders_per_month",
+    oracle=_QMONTH_ORACLE,
+    description="date_trunc month bucketing + aggregate + sort",
+    tags=("date", "aggregate", "sort"),
+)
+def q_orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("order_month")
+    )
+
+
+# --------------------------------------------------------------------------
+# Global sort + limit (top-k without grouping).
+# --------------------------------------------------------------------------
+
+_QTOP_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@register(
+    "q_top_orders",
+    oracle=_QTOP_ORACLE,
+    description="global top-k: TakeOrderedAndProject, no full sort",
+    tags=("sort", "topk"),
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates: stddev/var/corr/covar + min/max.
+# --------------------------------------------------------------------------
+
+_QSTATS_ORACLE = """
+SELECT
+  l_returnflag,
+  ROUND(stddev_samp(l_quantity), 4)              AS sd_qty,
+  ROUND(var_samp(l_quantity), 4)                 AS var_qty,
+  ROUND(corr(l_quantity, l_extendedprice), 4)    AS corr_qty_price,
+  ROUND(covar_samp(l_quantity, l_discount), 6)   AS covar_qty_disc,
+  ROUND(MIN(l_extendedprice), 2)                 AS min_price,
+  ROUND(MAX(l_extendedprice), 2)                 AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q_stat_aggregates",
+    oracle=_QSTATS_ORACLE,
+    description="statistical aggregates: stddev, variance, corr, covar",
+    tags=("aggregate", "stats"),
+)
+def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )

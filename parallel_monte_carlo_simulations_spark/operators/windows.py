@@ -1,0 +1,284 @@
+"""Window functions: rank/top-k per group, running aggregates, lag/lead,
+ntile, moving frames.
+
+All window orderings carry a unique tiebreaker column so results are
+deterministic across engines (row_number over a non-unique ordering is
+otherwise free to differ between Spark and DuckDB).
+
+Scale note: each query is one shuffle (the window partition key). Top-k
+per group via row_number + filter lets AQE prune early; no driver-side
+collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+# --------------------------------------------------------------------------
+# row_number: top-3 orders per customer.
+# --------------------------------------------------------------------------
+
+_QRANK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT
+    o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) AS INTEGER) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+@register(
+    "q_window_topk_per_group",
+    oracle=_QRANK_ORACLE,
+    description="row_number window + filter = per-group top-k",
+    tags=("window", "topk"),
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# rank / dense_rank semantics difference on real ties (same acctbal).
+# --------------------------------------------------------------------------
+
+_QRANKS_ORACLE = """
+SELECT
+  c_custkey,
+  c_nationkey,
+  c_acctbal,
+  CAST(rank()       OVER w AS INTEGER) AS rnk,
+  CAST(dense_rank() OVER w AS INTEGER) AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY ROUND(c_acctbal, 0) DESC, c_custkey)
+"""
+
+
+@register(
+    "q_window_rank_dense",
+    oracle=_QRANKS_ORACLE,
+    description="rank vs dense_rank over per-nation account balances",
+    tags=("window", "rank"),
+)
+def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.round("c_acctbal", 0).desc(), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Running (cumulative) sum per customer over order date.
+# --------------------------------------------------------------------------
+
+_QRUN_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ), 2) AS running_spend
+FROM orders
+"""
+
+
+@register(
+    "q_window_running_sum",
+    oracle=_QRUN_ORACLE,
+    description="cumulative sum window (unbounded preceding frame)",
+    tags=("window", "running"),
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lag/lead: days between consecutive orders of a customer.
+# --------------------------------------------------------------------------
+
+_QLAG_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS INTEGER)  AS days_since_prev,
+  lead(o_orderkey) OVER w                                                 AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register(
+    "q_window_lag_lead",
+    oracle=_QLAG_ORACLE,
+    description="lag/lead: inter-order gaps and next-order lookahead",
+    tags=("window", "lag"),
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ntile: quartile bucketing of customers by balance.
+# --------------------------------------------------------------------------
+
+_QNTILE_ORACLE = """
+SELECT
+  quartile,
+  COUNT(*)                    AS n_customers,
+  ROUND(MIN(c_acctbal), 2)    AS min_bal,
+  ROUND(MAX(c_acctbal), 2)    AS max_bal
+FROM (
+  SELECT
+    c_acctbal,
+    CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+  FROM customer
+)
+GROUP BY quartile
+"""
+
+
+@register(
+    "q_window_ntile",
+    oracle=_QNTILE_ORACLE,
+    description="ntile quartiles + per-bucket aggregate",
+    tags=("window", "ntile"),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Moving frame: 3-row trailing average of daily revenue.
+# --------------------------------------------------------------------------
+
+_QMOV_ORACLE = """
+WITH daily AS (
+  SELECT
+    strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS order_day,
+    SUM(o_totalprice)                            AS day_total
+  FROM orders
+  GROUP BY order_day
+)
+SELECT
+  order_day,
+  ROUND(day_total, 2) AS day_total,
+  ROUND(AVG(day_total) OVER (
+    ORDER BY order_day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+  ), 2) AS trailing3_avg
+FROM daily
+"""
+
+
+@register(
+    "q_window_moving_avg",
+    oracle=_QMOV_ORACLE,
+    description="bounded ROWS frame: 3-day trailing average",
+    tags=("window", "frame"),
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("order_day")
+    ).agg(F.sum("o_totalprice").alias("day_total"))
+    w = Window.orderBy("order_day").rowsBetween(-2, Window.currentRow)
+    return daily.select(
+        "order_day",
+        F.round("day_total", 2).alias("day_total"),
+        F.round(F.avg("day_total").over(w), 2).alias("trailing3_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# first/last value over a frame: cheapest & priciest item per order.
+# --------------------------------------------------------------------------
+
+_QFL_ORACLE = """
+SELECT DISTINCT
+  l_orderkey,
+  first_value(l_partkey) OVER w AS cheapest_part,
+  last_value(l_partkey)  OVER w AS priciest_part
+FROM lineitem
+WINDOW w AS (
+  PARTITION BY l_orderkey ORDER BY l_extendedprice, l_linenumber
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+@register(
+    "q_window_first_last",
+    oracle=_QFL_ORACLE,
+    description="first_value/last_value over full-partition frame",
+    tags=("window", "first_last"),
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_extendedprice", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return l.select(
+        "l_orderkey",
+        F.first("l_partkey").over(w).alias("cheapest_part"),
+        F.last("l_partkey").over(w).alias("priciest_part"),
+    ).distinct()

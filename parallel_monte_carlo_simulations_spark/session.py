@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference's "battery" stores an RNG family + Beam PipelineOptions as
+class attributes (reference ``parallel_simulations.py:18-31``); our
+equivalent engine state is a configured ``SparkSession``. Defaults here
+are tuned for correctness first (UTC timestamps, Arrow enabled) and
+scale second (AQE on, skew-join handling on, sensible shuffle sizing).
+
+On a real cluster the same builder works — only ``master`` and the
+memory/executor settings change, which callers pass through
+``extra_conf`` or spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf applied to every session we build. All of these also make sense on
+#: a 1000-executor cluster: AQE re-plans shuffles at runtime (coalesces
+#: small partitions, splits skewed ones, converts SMJ->broadcast when a
+#: side turns out small), Arrow keeps the Python<->JVM boundary columnar.
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 128 MiB scan splits: the parquet-side parallelism knob that carries
+    # to 100 TB (≈ 800k tasks at 128 MiB — fine for a large cluster).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Deterministic timestamp semantics regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # Dimension tables (region/nation/customer/supplier/part at most SFs)
+    # should broadcast; 64 MiB threshold keeps star-join dims map-side.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "parallel-mc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    for the test environment; on a cluster, pass None and configure via
+    spark-submit.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

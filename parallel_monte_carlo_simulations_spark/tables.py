@@ -1,0 +1,59 @@
+"""Parquet table access for the driver-generated TPC-H-ish star schema.
+
+Tables per TESTDATA.md / FIXTURES.md §A. All reads go through
+``table()`` so predicate pushdown / column pruning reach the parquet
+scan (verify with ``df.explain("formatted")`` — PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always be on the broadcast side of a
+#: join, at any scale factor (region=5 rows, nation=25 rows always; the
+#: others grow sub-linearly vs. the fact tables).
+BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
+    reader rejects; read nanos as long and convert to micros with exact
+    integer division (a double division would lose precision above 2^53
+    nanos ≈ 1970+104 days). DuckDB truncates NS→US the same way, so the
+    two engines agree to the microsecond."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so spark.sql() queries work."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
