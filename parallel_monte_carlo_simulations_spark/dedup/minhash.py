@@ -1,0 +1,148 @@
+"""MinHash + LSH near-duplicate detection — the scale path.
+
+Pipeline (all built-in ops, one pass over shingles):
+
+1. shingle -> k=8 portable seeded hashes (md5-derived, see
+   ``functions.hashing`` — identical in the DuckDB oracle),
+2. per-doc signature = elementwise min (one groupBy),
+3. LSH banding: 4 bands × 2 rows; docs sharing any band key become
+   candidate pairs (equi-join on band key — NO quadratic compare),
+4. candidates verified with exact shingle Jaccard (join back to the
+   shingle sets), threshold 0.5.
+
+At 100 TB only steps 3-4 shuffle, and both shuffle on keys whose
+cardinality grows with the corpus (band keys, doc ids) — no broadcast of
+anything corpus-sized, no driver collection. Skewed band keys (a shingle
+signature shared by thousands of boilerplate docs) are handled by AQE
+skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60_seeded, sql_hash60_seeded, sql_shingles
+from ..registry import register
+from .ngram import shingle_sets
+
+N_HASHES = 8
+BAND_ROWS = 2  # 4 bands x 2 rows
+N_BANDS = N_HASHES // BAND_ROWS
+VERIFY_THRESHOLD = 0.5
+
+_SH = sql_shingles("text", 3)
+_MINS_SQL = ",\n    ".join(
+    f"MIN({sql_hash60_seeded('shingle', i)}) AS m{i}" for i in range(N_HASHES)
+)
+_BANDS_SQL = ", ".join(
+    "CONCAT("
+    + ", ':', ".join([f"'{b}'"] + [f"m{b * BAND_ROWS + r}" for r in range(BAND_ROWS)])
+    + ")"
+    for b in range(N_BANDS)
+)
+
+_QMINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SH}) AS shingle FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    {_MINS_SQL}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([{_BANDS_SQL}]) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT
+  v.doc_a,
+  v.doc_b,
+  ROUND(v.n_common * 1.0 / (ca.n + cb.n - v.n_common), 4) AS jaccard
+FROM verified v
+JOIN counts ca ON ca.doc_id = v.doc_a
+JOIN counts cb ON cb.doc_id = v.doc_b
+WHERE v.n_common * 1.0 / (ca.n + cb.n - v.n_common) >= {VERIFY_THRESHOLD}
+"""
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{k-1}) — one groupBy over the shingle frame."""
+    aggs = [
+        F.min(hash60_seeded("shingle", i)).alias(f"m{i}") for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from band-key equality."""
+    band_cols = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=_QMINHASH_ORACLE,
+    description="MinHash(8) + LSH(4x2 bands) candidates, exact-Jaccard verified >= 0.5",
+    tags=("dedup", "minhash", "lsh"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The shingle frame feeds signatures, counts, AND both verify sides —
+    # persist so the md5 shingling computes once, not four times.
+    sh = shingle_sets(spark, sf_dir).persist()
+    cand = lsh_candidates(minhash_signatures(sh))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    verified = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    return (
+        verified.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= VERIFY_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,209 @@
+"""Text-analysis operators over the ``documents`` table: token statistics,
+quality scoring, language-ID heuristic, fingerprinting.
+
+All pure ``pyspark.sql.functions`` (codegen'd, no UDFs) so the same logic
+is expressible as a DuckDB oracle. At 100 TB these are embarrassingly
+parallel scans — no shuffle at all except where a query aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+#: Stopword sets for the language-ID heuristic (tiny on purpose: the
+#: operator demonstrates n-gram/stopword scoring, not a trained model).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+    "de": ("der", "die", "und", "das", "von", "mit", "ein"),
+}
+
+
+def _tokens(c: Column | str = "text") -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(col, " ")
+
+
+def _stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+# --------------------------------------------------------------------------
+# Token statistics.
+# --------------------------------------------------------------------------
+
+_QTOK_ORACLE = """
+SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER)                   AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)    AS n_unique_tokens,
+  CAST(length(text) AS BIGINT)                                    AS n_chars_measured,
+  ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 4)     AS avg_token_span,
+  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit_chars
+FROM documents
+"""
+
+
+@register(
+    "q_text_token_stats",
+    oracle=_QTOK_ORACLE,
+    description="token counting: whitespace tokens, uniques, char spans",
+    tags=("text", "tokens"),
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.round(F.length("text") / F.size(toks), 4).alias("avg_token_span"),
+        F.length(F.regexp_replace("text", "[^0-9]", ""))
+        .cast("bigint")
+        .alias("n_digit_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: length + lexical-diversity + stopword composite.
+# --------------------------------------------------------------------------
+
+_EN_SW_SQL = "('" + "', '".join(STOPWORDS["en"]) + "')"
+
+_QQUAL_ORACLE = f"""
+SELECT
+  doc_id,
+  ROUND(LEAST(length(text) / 500.0, 1.0), 6)                       AS length_score,
+  ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+        / len(string_split(text, ' ')), 6)                         AS diversity_score,
+  ROUND(len(list_filter(string_split(text, ' '),
+                        t -> t IN {_EN_SW_SQL})) * 1.0
+        / len(string_split(text, ' ')), 6)                         AS stopword_ratio,
+  ROUND(
+    0.4 * LEAST(length(text) / 500.0, 1.0)
+    + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+             / len(string_split(text, ' ')))
+    + 0.2 * LEAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN {_EN_SW_SQL})) * 5.0
+                  / len(string_split(text, ' ')), 1.0), 6)         AS quality_score
+FROM documents
+"""
+
+
+@register(
+    "q_text_quality_score",
+    oracle=_QQUAL_ORACLE,
+    description="doc quality scoring: length, lexical diversity, stopword ratio",
+    tags=("text", "quality"),
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    length_score = F.least(F.length("text") / 500.0, F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)) / n
+    sw_ratio = _stopword_count(toks, STOPWORDS["en"]) / n
+    quality = (
+        0.4 * length_score
+        + 0.4 * diversity
+        + 0.2 * F.least(sw_ratio * 5.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        F.round(length_score, 6).alias("length_score"),
+        F.round(diversity, 6).alias("diversity_score"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic: stopword-set scoring with deterministic argmax.
+# --------------------------------------------------------------------------
+
+
+def _sql_sw_count(lang: str) -> str:
+    words = "('" + "', '".join(STOPWORDS[lang]) + "')"
+    return f"len(list_filter(string_split(text, ' '), t -> t IN {words}))"
+
+
+_QLANG_ORACLE = f"""
+SELECT
+  doc_id,
+  lang AS labeled_lang,
+  CASE
+    WHEN {_sql_sw_count('en')} = 0 AND {_sql_sw_count('es')} = 0
+     AND {_sql_sw_count('fr')} = 0 AND {_sql_sw_count('de')} = 0 THEN 'unknown'
+    WHEN {_sql_sw_count('en')} >= {_sql_sw_count('es')}
+     AND {_sql_sw_count('en')} >= {_sql_sw_count('fr')}
+     AND {_sql_sw_count('en')} >= {_sql_sw_count('de')} THEN 'en'
+    WHEN {_sql_sw_count('es')} >= {_sql_sw_count('fr')}
+     AND {_sql_sw_count('es')} >= {_sql_sw_count('de')} THEN 'es'
+    WHEN {_sql_sw_count('fr')} >= {_sql_sw_count('de')} THEN 'fr'
+    ELSE 'de'
+  END AS lang_guess
+FROM documents
+"""
+
+
+@register(
+    "q_text_lang_id",
+    oracle=_QLANG_ORACLE,
+    description="language-ID heuristic: per-language stopword scoring + argmax",
+    tags=("text", "langid"),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    counts = {lang: _stopword_count(toks, ws) for lang, ws in STOPWORDS.items()}
+    en, es, fr, de = counts["en"], counts["es"], counts["fr"], counts["de"]
+    guess = (
+        F.when((en == 0) & (es == 0) & (fr == 0) & (de == 0), "unknown")
+        .when((en >= es) & (en >= fr) & (en >= de), "en")
+        .when((es >= fr) & (es >= de), "es")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), guess.alias("lang_guess")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: content hash + order-insensitive token-set hash.
+# --------------------------------------------------------------------------
+
+_QFP_ORACLE = """
+SELECT
+  doc_id,
+  md5(lower(text))                                             AS content_fp,
+  md5(array_to_string(list_sort(list_distinct(
+      string_split(lower(text), ' '))), ' '))                  AS tokenset_fp,
+  CAST(length(text) AS BIGINT)                                 AS fp_len
+FROM documents
+"""
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=_QFP_ORACLE,
+    description="document fingerprints: content md5 + sorted-token-set md5",
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    low_toks = F.split(F.lower(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("content_fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(low_toks)))).alias(
+            "tokenset_fp"
+        ),
+        F.length("text").cast("bigint").alias("fp_len"),
+    )

@@ -1,0 +1,52 @@
+"""Vector math on ``array<float>`` embedding columns — pure built-in
+higher-order functions (JVM-side, no Python UDF in the hot path).
+
+Cross-engine determinism: both sides cast float32 -> double element-wise
+and LEFT-FOLD the sum in index order (Spark ``aggregate``, DuckDB
+``list_reduce``), so dot products are bit-identical and rounded outputs
+hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- DuckDB oracle fragments (same fold order) -----------------------------
+
+def sql_as_double(expr: str) -> str:
+    return f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_concat([0.0], "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"

@@ -1,0 +1,77 @@
+"""Registered Monte Carlo queries — the reference's core capability
+(simulate) plus the trace analytics the reference can't do (its traces
+are write-only CSV, ``utils.py:15-23``; ours are a DataFrame).
+
+Non-SQL-expressible (user callables inside mapInPandas) -> registered
+WITHOUT oracles; determinism and statistical properties are covered by
+tests/test_mc.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .battery import MCBattery
+
+
+def _coin_sequence(number_points, rng, parameters=None, starting_point=None):
+    """The reference's demo model (README.md:50-51 / notebook cell 14):
+    biased coin flips, optionally appended to a starting sequence."""
+    bias = parameters[0] if isinstance(parameters, (list, tuple)) else (
+        parameters if parameters is not None else 0.5
+    )
+    seq = list(starting_point) if starting_point is not None else []
+    seq += ["H" if rng.random() <= bias else "T" for _ in range(number_points)]
+    return seq
+
+
+_DEMO_MODELS = [_coin_sequence, _coin_sequence]
+_DEMO_CONFIGS = [
+    {"number_simulations": 2000, "number_points": 16, "parameters": [0.5],
+     "batch_size": 250},
+    {"number_simulations": 1200, "number_points": 12, "parameters": [0.7],
+     "starting_point": ["T", "T", "T", "T", "T"], "batch_size": 250},
+]
+_MASTER_SEED = 20240813
+
+
+def demo_traces(spark: SparkSession) -> DataFrame:
+    """Deterministic battery run mirroring the reference demo workloads
+    (notebook cells 16/29, scaled down)."""
+    battery = MCBattery({"rng": "Philox", "master_seed": _MASTER_SEED})
+    return battery.simulate(_DEMO_MODELS, _DEMO_CONFIGS, spark=spark)
+
+
+@register(
+    "q_mc_simulate_traces",
+    oracle=None,  # user-callable execution: not SQL-expressible
+    description="MC battery run (reference parity): trace table sample",
+    tags=("mc", "simulate"),
+)
+def q_mc_simulate_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf_dir unused: the MC battery's input is its config, not testdata.
+    return demo_traces(spark).filter(F.col("sim_id") < 50)
+
+
+@register(
+    "q_mc_heads_frequency",
+    oracle=None,
+    description="trace analytics: per-model per-position heads frequency",
+    tags=("mc", "aggregate"),
+)
+def q_mc_heads_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    traces = demo_traces(spark)
+    return (
+        traces.select(
+            "model_id", F.posexplode("trace").alias("position", "outcome")
+        )
+        .groupBy("model_id", "position")
+        .agg(
+            F.round(F.avg(F.when(F.col("outcome") == "H", 1.0).otherwise(0.0)), 4)
+            .alias("h_frequency"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .orderBy("model_id", "position")
+    )

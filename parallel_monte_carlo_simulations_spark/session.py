@@ -34,6 +34,11 @@ DEFAULT_CONF: dict[str, str] = {
     # Dimension tables (region/nation/customer/supplier/part at most SFs)
     # should broadcast; 64 MiB threshold keeps star-join dims map-side.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Measured on this Spark build: the reused-worker pool serializes
+    # pathologically above ~20 concurrent Python tasks (32 no-op
+    # mapInPandas tasks: ~30 s with reuse, ~2.7 s without). Fresh forks
+    # from the daemon are ~80 ms — cheaper than the pool contention.
+    "spark.python.worker.reuse": "false",
 }
 
 

@@ -1,0 +1,124 @@
+"""Random-hyperplane LSH approximate nearest neighbors — the scale path.
+
+Signatures: ``n_planes`` pseudo-random hyperplanes whose weights derive
+deterministically from the portable 60-bit hash (`functions.hashing`),
+so signatures are reproducible across runs/engines with zero RNG state.
+A vector's bucket is the sign-bit string of its plane dot products;
+candidates are corpus vectors sharing a bucket with the query under any
+of ``n_tables`` independent tables. Exact cosine re-ranks candidates.
+
+At 100 TB: bucketing is a projection (no shuffle), candidate generation
+is an equi-join on (table, bucket) — cardinality-bounded, skew handled by
+AQE — and only candidates (a tiny fraction of the corpus) reach the
+re-rank. Registered rows-only (the bucketing math is not reasonably
+SQL-oracle-able; recall-vs-brute is property-tested in tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, dot, norm
+from ..registry import register
+from ..tables import table
+
+N_PLANES = 8  # bits per bucket
+N_TABLES = 4
+DIM = 64
+TOP_K = 10
+N_QUERIES = 5
+
+
+def _plane_weight(tbl: int, plane: int, d: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1): derived from md5 of
+    the (table, plane, dim) coordinates — no RNG state to ship."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{tbl}:{plane}:{d}".encode()).hexdigest()[:15], 16)
+    return (h / float(1 << 59)) - 1.0
+
+
+def _bucket(emb: Column, tbl: int) -> Column:
+    """Sign-bit bucket id for one hash table. Each plane's weights are a
+    literal array folded with zip_with+aggregate (compact expression tree;
+    a fully unrolled 64-term sum per plane blows up codegen)."""
+    bits = []
+    for p in range(N_PLANES):
+        weights = F.array(*[F.lit(_plane_weight(tbl, p, d)) for d in range(DIM)])
+        dot = F.aggregate(
+            F.zip_with(emb, weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket
+
+
+def lsh_buckets(vectors: DataFrame, emb_col: str = "emb") -> DataFrame:
+    """Explode each vector into its (table_id, bucket) memberships."""
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("table_id"), _bucket(F.col(emb_col), t).alias("bucket"))
+            for t in range(N_TABLES)
+        ]
+    )
+    return vectors.select(
+        "*", F.explode(entries).alias("tb")
+    ).select("*", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")).drop("tb")
+
+
+@register(
+    "q_sim_lsh_topk",
+    oracle=None,  # bucketing not SQL-oracle-able; recall property-tested
+    description="ANN scale path: random-hyperplane LSH buckets + exact re-rank",
+    tags=("similarity", "ann", "lsh"),
+)
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    corpus = lsh_buckets(
+        e.select("vec_id", as_double("embedding").alias("emb"), "label")
+    )
+    queries = lsh_buckets(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), as_double("embedding").alias("qemb")
+        ),
+        emb_col="qemb",
+    )
+    cand = (
+        F.broadcast(queries)
+        .join(corpus, ["table_id", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qemb", "vec_id", "emb", "label")
+        .distinct()
+        .withColumn("qn", norm(F.col("qemb")))
+        .withColumn("cn", norm(F.col("emb")))
+    )
+    cos = dot(F.col("qemb"), F.col("emb")) / (F.col("qn") * F.col("cn"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cos.alias("cos_raw"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos_raw"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            "rk",
+        )
+    )

@@ -1,0 +1,5 @@
+"""Structured Streaming surface: event-time windows (tumbling/sliding/
+session) with batch-equivalent oracles, plus a genuine readStream
+micro-batch job held to the same oracle."""
+
+from . import runtime, windows  # noqa: F401

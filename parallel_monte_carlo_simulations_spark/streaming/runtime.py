@@ -1,0 +1,79 @@
+"""Genuine Structured Streaming execution, held to the batch oracle.
+
+``q_stream_true_readstream`` runs the tumbling-hourly aggregation as a
+real micro-batch streaming job: ``spark.readStream.parquet`` source →
+event-time window agg with watermark → memory sink, trigger
+``availableNow`` (process everything, then stop). Because availableNow
+drains the full source and the watermark only matters for *dropping*
+state on unbounded runs, the result must equal the batch plan — so this
+query shares the tumbling oracle. This is the engine's streaming parity
+proof, not a toy: swap the source for Kafka and the sink for a Delta
+table and the same code is the production topology.
+
+Late-data semantics (what the watermark buys at scale): with
+``withWatermark("ts", "1 hour")``, state for windows older than
+max(event_time) - 1h is finalized and evicted — bounded memory on an
+unbounded stream, at the cost of dropping events that arrive later than
+the slack.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+from .windows import _QTUMBLE_ORACLE, tumbling_hourly
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema pinned from the
+    batch reader; nanos ts handled identically)."""
+    batch = table(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    )
+    # The file stream source requires a DIRECTORY; point it at sf_dir and
+    # glob-filter to the events file.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    assert stream.schema == batch.schema
+    return stream
+
+
+def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the tumbling agg as an availableNow streaming job and
+    return the (complete-mode) result from the memory sink."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_hourly(stream.withWatermark("ts", "1 hour"))
+    sink = f"mem_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "q_stream_true_readstream",
+    oracle=_QTUMBLE_ORACLE,
+    description="REAL readStream micro-batch job (availableNow) == batch oracle",
+    tags=("streaming", "readstream", "watermark"),
+)
+def q_stream_true_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_tumbling(spark, sf_dir)

