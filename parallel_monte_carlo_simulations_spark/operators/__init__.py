@@ -16,4 +16,15 @@ judge can map SURVEY.md §2's inventory line-by-line:
   array, JSON, conditional.
 """
 
-from . import grouping, joins, relational, scalar, setops, windows  # noqa: F401
+from . import (  # noqa: F401
+    complex_types,
+    grouping,
+    joins,
+    pandas_api,
+    relational,
+    scalar,
+    setops,
+    skew,
+    subqueries,
+    windows,
+)

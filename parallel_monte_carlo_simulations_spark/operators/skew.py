@@ -1,0 +1,60 @@
+"""Skew-handling: salted two-stage aggregation.
+
+The generic cure for hot grouping keys: append a random-ish salt to the
+key, partially aggregate (salted shuffle spreads the hot key over N
+reducers), then aggregate again without the salt. The salt here is
+deterministic (``key_col % N`` of a row id) so the oracle can verify the
+result equals a plain GROUP BY — which is the whole point: salting must
+never change the answer, only the shuffle layout.
+
+(For joins, prefer AQE's skew-join splitting — enabled in session
+defaults; salting is for aggregations and for engines/paths AQE can't
+reach.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+N_SALTS = 8
+
+_QSALT_ORACLE = """
+SELECT event_type,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def salted_agg(df: DataFrame, key: str, salt_src: str) -> DataFrame:
+    """Two-stage salted aggregate over a (possibly) hot key column."""
+    salted = df.withColumn("_salt", (F.col(salt_src) % N_SALTS).cast("int"))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("value").alias("_sum"),
+        F.max("value").alias("_max"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_n").alias("n_events"),
+        F.round(F.sum("_sum"), 2).alias("total_value"),
+        F.round(F.max("_max"), 2).alias("max_value"),
+    )
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle=_QSALT_ORACLE,
+    description="salted two-stage aggregation == plain GROUP BY (skew cure)",
+    tags=("skew", "salting", "aggregate"),
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event_type has 5 values over the whole table — exactly the hot-key
+    # shape that melts a single reducer at 100 TB.
+    e = table(spark, sf_dir, "events")
+    return salted_agg(e, "event_type", "event_id")

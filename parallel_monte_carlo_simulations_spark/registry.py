@@ -60,7 +60,15 @@ def load_all_queries() -> dict[str, QuerySpec]:
     the full registry."""
     # Imports are inside the function so `import parallel_monte_carlo_simulations_spark`
     # stays light; the driver calls queries() which lands here once.
-    from . import dedup, functions, multimodal, operators, similarity, streaming  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        functions,
+        multimodal,
+        operators,
+        similarity,
+        sources,
+        streaming,
+    )
     from .mc import queries as mc_queries  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,141 @@
+"""Source/sink coverage: CSV, JSON, partitioned parquet.
+
+Each query WRITES a slice of the test data through the format under test
+and READS it back into the final result, so the oracle (which reads the
+original parquet) only matches if the roundtrip is lossless. This is the
+§2.B scans/sinks row made verifiable.
+
+Sinks write under /tmp (driver-local); at scale the same writer calls
+target object storage — the API surface is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..tables import table
+
+
+def _tmpdir(tag: str) -> str:
+    d = tempfile.mkdtemp(prefix=f"pmcs_{tag}_")
+    os.rmdir(d)  # Spark writers want to create the dir themselves
+    return d
+
+
+# --------------------------------------------------------------------------
+# CSV roundtrip: nation through csv (header, explicit schema on read).
+# --------------------------------------------------------------------------
+
+_QCSV_ORACLE = """
+SELECT r_name, COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register(
+    "q_source_csv_roundtrip",
+    oracle=_QCSV_ORACLE,
+    description="CSV sink+source roundtrip feeding a join (lossless check)",
+    tags=("source", "sink", "csv"),
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    path = _tmpdir("csv")
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    n_back = spark.read.schema(schema).option("header", "true").csv(path)
+    r = table(spark, sf_dir, "region")
+    return (
+        n_back.join(F.broadcast(r), n_back.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON-lines roundtrip: orders slice through json.
+# --------------------------------------------------------------------------
+
+_QJSONRT_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderkey % 10 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "q_source_json_roundtrip",
+    oracle=_QJSONRT_ORACLE,
+    description="JSON-lines sink+source roundtrip + aggregate",
+    tags=("source", "sink", "json"),
+)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = _tmpdir("json")
+    o.write.mode("overwrite").json(path)
+    o_back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).json(path)
+    return o_back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Partitioned parquet sink: hive-style partition pruning on read-back.
+# --------------------------------------------------------------------------
+
+_QPART_ORACLE = """
+SELECT l_linestatus,
+       COUNT(*)                   AS n_items,
+       ROUND(SUM(l_quantity), 2)  AS sum_qty
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+"""
+
+
+@register(
+    "q_sink_partitioned_parquet",
+    oracle=_QPART_ORACLE,
+    description="partitionBy parquet sink; read-back hits only the pruned partition",
+    tags=("source", "sink", "parquet", "partition_pruning"),
+)
+def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    path = _tmpdir("part")
+    l.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    # The l_returnflag='R' filter prunes to one hive partition at scan
+    # time (PartitionFilters in .explain) — no data from other flags read.
+    return (
+        back.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator: ``applyInPandasWithState``.
+
+Per-user running aggregates maintained in explicit group state across
+micro-batches — the Structured Streaming API for operators the built-in
+windows can't express (custom sessionization, CEP, online counters).
+
+Run under ``availableNow`` + update mode, the final emitted state per
+user must equal a plain batch groupBy over the same events — which is
+exactly what the DuckDB oracle checks. At scale the state store shards by
+the grouping key across executors (RocksDB-backed in production), so
+state size is bounded per key, not per stream.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import register
+from .runtime import read_events_stream
+
+_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _update_user_state(key, pdfs, state: GroupState):
+    """Accumulate (count, value-sum) per user across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+_QSTATE_ORACLE = """
+SELECT user_id,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "q_stream_stateful_counts",
+    oracle=_QSTATE_ORACLE,
+    description="applyInPandasWithState running per-user aggregates == batch groupBy",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir).select("user_id", "value")
+    stateful = stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"mem_state_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stateful.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # update mode can emit a user once per micro-batch that touched it;
+    # the final state is the emission with the largest (cumulative,
+    # strictly increasing) n_events — max_by picks its value column.
+    out = spark.table(sink)
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
+    )
