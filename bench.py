@@ -87,6 +87,8 @@ def main() -> None:
         t0 = time.time()
         _noop_write(specs[name].fn(spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
+        # isolate measurements: drop persisted frames the query created
+        spark.catalog.clearCache()
 
     times["mc_demo_workload1"] = round(bench_mc(spark), 3)
 

@@ -20,9 +20,12 @@ from . import (  # noqa: F401
     complex_types,
     grouping,
     joins,
+    misc,
     pandas_api,
     relational,
+    reshape,
     scalar,
+    scalar2,
     setops,
     skew,
     subqueries,
