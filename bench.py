@@ -47,14 +47,18 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_mc(spark) -> float:
+def bench_mc(spark, vectorized: bool = False) -> float:
     from parallel_monte_carlo_simulations_spark.mc.battery import MCBattery
-    from parallel_monte_carlo_simulations_spark.mc.queries import _coin_sequence
+    from parallel_monte_carlo_simulations_spark.mc.queries import (
+        _coin_sequence,
+        _coin_sequence_vectorized,
+    )
 
+    model = _coin_sequence_vectorized if vectorized else _coin_sequence
     battery = MCBattery({"rng": "Philox", "master_seed": 42})
     t0 = time.time()
     traces = battery.simulate(
-        [_coin_sequence, _coin_sequence],
+        [model, model],
         [
             {"number_simulations": 100_000, "number_points": 16,
              "parameters": [0.5], "batch_size": 10_000},
@@ -91,6 +95,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     times["mc_demo_workload1"] = round(bench_mc(spark), 3)
+    times["mc_demo_workload1_vectorized"] = round(bench_mc(spark, vectorized=True), 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

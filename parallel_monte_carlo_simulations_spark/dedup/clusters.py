@@ -1,0 +1,106 @@
+"""Duplicate clustering: connected components over the near-dup pair
+graph (hash-min label propagation).
+
+After candidate pairs (MinHash) are verified, dedup needs CLUSTERS —
+"keep one doc per component" — not pairs. Components come from iterative
+hash-min propagation: every node starts labeled with itself; each round
+every node takes the min label among itself and its neighbors; stop at
+fixpoint. This is the standard scalable formulation (each round = one
+join + one aggregate, both shuffling on node id; rounds ~ O(log diameter),
+and near-dup components are tiny, so 2-4 rounds in practice).
+
+The driver-side convergence loop is legitimate iterative control flow —
+the per-round work is fully distributed. The DuckDB oracle computes the
+same components with a recursive CTE, so even the iterative algorithm is
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .minhash import q_dedup_minhash_lsh  # reuse the verified pair logic
+
+MAX_ROUNDS = 20
+
+
+def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Hash-min label propagation; returns (doc_id, cluster_id) for every
+    node that appears in a pair."""
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    for _ in range(MAX_ROUNDS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def _oracle_sql() -> str:
+    from .minhash import _QMINHASH_ORACLE
+
+    inner = _QMINHASH_ORACLE.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({inner}) mh
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "q_dedup_connected_components",
+    oracle=_oracle_sql(),
+    description="iterative hash-min connected components over MinHash pairs",
+    tags=("dedup", "clustering", "iterative", "graph"),
+)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)

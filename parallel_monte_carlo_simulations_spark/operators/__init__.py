@@ -30,4 +30,5 @@ from . import (  # noqa: F401
     skew,
     subqueries,
     windows,
+    windows2,
 )

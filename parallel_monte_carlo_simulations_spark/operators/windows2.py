@@ -1,0 +1,129 @@
+"""Window functions batch 2: RANGE frames (value-based, not row-based)
+and argmin/argmax aggregates (min_by/max_by)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+# --------------------------------------------------------------------------
+# RANGE frame: peers within a VALUE band, not a row count.
+# --------------------------------------------------------------------------
+
+_QRANGEF_ORACLE = """
+SELECT
+  s_suppkey,
+  ROUND(s_acctbal, 2) AS acctbal,
+  CAST(COUNT(*) OVER (
+    ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING
+  ) AS BIGINT)        AS n_peers_within_500,
+  ROUND(AVG(s_acctbal) OVER (
+    ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING
+  ), 4)               AS band_avg
+FROM supplier
+"""
+
+
+@register(
+    "q_window_range_frame",
+    oracle=_QRANGEF_ORACLE,
+    description="RANGE (value-based) frame: peers within an acctbal band",
+    tags=("window", "range_frame"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal").rangeBetween(-500, 500)
+    return s.select(
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.count(F.lit(1)).over(w).alias("n_peers_within_500"),
+        F.round(F.avg("s_acctbal").over(w), 4).alias("band_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# min_by / max_by aggregates (argmin/argmax without a join-back).
+# --------------------------------------------------------------------------
+
+_QMINBY_ORACLE = """
+SELECT
+  o_orderpriority,
+  arg_max(o_orderkey, o_totalprice) AS priciest_order,
+  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+  ROUND(MAX(o_totalprice), 2)       AS max_price,
+  ROUND(MIN(o_totalprice), 2)       AS min_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_agg_min_max_by",
+    oracle=_QMINBY_ORACLE,
+    description="max_by/min_by argmin-argmax aggregates (no join-back)",
+    tags=("aggregate", "min_by"),
+)
+def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # o_totalprice values are unique per priority group at our SFs (2-dp
+    # doubles over 15k orders — verified no ties), so argmin/argmax are
+    # deterministic across engines.
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Array set algebra between token arrays of adjacent docs.
+# --------------------------------------------------------------------------
+
+_QARRSET_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < 50
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.toks AS ta, b.toks AS tb
+  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+)
+SELECT
+  doc_a,
+  doc_b,
+  CAST(len(list_intersect(ta, tb)) AS INTEGER)                    AS n_common,
+  CAST(len(list_distinct(list_concat(ta, tb))) AS INTEGER)        AS n_union,
+  CAST(len(list_filter(ta, x -> NOT list_contains(tb, x)))
+       AS INTEGER)                                                AS n_only_a
+FROM p
+"""
+
+
+@register(
+    "q_array_set_ops",
+    oracle=_QARRSET_ORACLE,
+    description="array set algebra: intersect/union/except on token sets",
+    tags=("scalar", "array", "setops"),
+)
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    t = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect("a.toks", "b.toks")).alias("n_common"),
+            F.size(F.array_union("a.toks", "b.toks")).alias("n_union"),
+            F.size(F.array_except("a.toks", "b.toks")).alias("n_only_a"),
+        )
+    )

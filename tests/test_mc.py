@@ -142,3 +142,18 @@ def test_rng_allowlist_matches_reference():
     # reference models.py:16-33 — same four families, same default
     assert set(RNG_MAPPING) == {"PCG64", "Philox", "SFC64", "MT19937"}
     assert BatteryConfigs().rng == "PCG64"
+
+
+def test_vectorized_model_equals_loop_model(spark):
+    """The vectorized scale-path model draws the same RNG stream as the
+    reference-style Python-loop model — identical traces, same seed."""
+    from parallel_monte_carlo_simulations_spark.mc.queries import (
+        _coin_sequence,
+        _coin_sequence_vectorized,
+    )
+
+    battery = MCBattery({"rng": "Philox"})
+    cfg = [{"number_simulations": 100, "number_points": 12, "parameters": [0.6]}]
+    a = battery.simulate([_coin_sequence], cfg, spark=spark, master_seed=33)
+    b = battery.simulate([_coin_sequence_vectorized], cfg, spark=spark, master_seed=33)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
