@@ -24,11 +24,13 @@ from . import (  # noqa: F401
     pandas_api,
     relational,
     reshape,
+    safety,
     scalar,
     scalar2,
     setops,
     skew,
     subqueries,
+    tpch2,
     windows,
     windows2,
 )

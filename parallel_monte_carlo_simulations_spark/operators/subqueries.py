@@ -27,7 +27,7 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 _QSCALAR_ORACLE = """
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
 FROM orders
-WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
 """
 
 
@@ -43,7 +43,7 @@ def q_sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
         """
     )
 
@@ -55,8 +55,8 @@ def q_sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QNOTIN_ORACLE = """
 SELECT n_nationkey, n_name
 FROM nation
-WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
-  AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+WHERE n_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+  AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 6000)
 """
 
 
@@ -72,8 +72,8 @@ def q_sub_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n_nationkey, n_name
         FROM nation
-        WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
-          AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+        WHERE n_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+          AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 6000)
         """
     )
 
@@ -214,9 +214,9 @@ SELECT
   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
-WHERE (p_brand = 'BRAND_1' AND p_size <= 10 AND l_quantity >= 10)
-   OR (p_brand = 'BRAND_2' AND p_size <= 20 AND l_quantity >= 20)
-   OR (p_brand = 'BRAND_3' AND p_size <= 30 AND l_quantity >= 5)
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 5)
 """
 
 
@@ -230,9 +230,9 @@ def q_sub_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     cond = (
-        ((F.col("p_brand") == "BRAND_1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
-        | ((F.col("p_brand") == "BRAND_2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20))
-        | ((F.col("p_brand") == "BRAND_3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 5))
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 5))
     )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
