@@ -83,8 +83,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all_queries()
 
-    # Warm the JVM/codegen once so per-query numbers reflect steady state.
+    # Warm the JVM/codegen and the Python-worker daemon once so per-query
+    # numbers reflect steady state (first mapInPandas otherwise pays the
+    # numpy/pandas import in every forked worker).
     specs["q_filter_project"].fn(spark, SF_DIR).count()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -48,10 +48,30 @@ WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
 
 def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — the shared input of the exact
-    and MinHash dedup paths."""
+    and MinHash dedup paths.
+
+    Formulated as posexplode + window lead, which is O(tokens) per doc;
+    the array-lambda formulation (slice per shingle) is O(tokens^2) per
+    doc and measurably slower on long documents. The window's shuffle is
+    by doc_id — the same partitioning every downstream groupBy needs."""
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    shingle = F.concat_ws(
+        " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    )
     return (
-        d.select("doc_id", F.explode(shingles("text", 3)).alias("shingle"))
+        toks.select(
+            "doc_id",
+            shingle.alias("shingle"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())  # docs with <3 tokens: no shingles
+        .select("doc_id", "shingle")
         .distinct()
     )
 

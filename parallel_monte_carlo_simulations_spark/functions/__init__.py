@@ -2,6 +2,11 @@
 queries. Importing registers the queries."""
 
 from . import text  # noqa: F401
+
+# NOTE: .pipeline is imported by registry.load_all_queries AFTER the dedup
+# package (it composes dedup.minhash; importing it here would be circular:
+# dedup.minhash -> functions.hashing -> functions.__init__ -> pipeline ->
+# dedup.minhash).
 from .hashing import hash60, hash60_seeded, shingles
 from .vectors import cosine, dot, norm
 

@@ -45,15 +45,13 @@ def sql_hash60_seeded(expr: str, seed: int) -> str:
     return sql_hash60(f"concat('{seed}:', {expr})")
 
 
-def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Spark column: array of word n-gram shingles (space-joined).
-
-    Matches :func:`sql_shingles` exactly: tokens are a literal
-    ``split(text, ' ')``; shingle i joins tokens [i, i+n). Documents with
-    fewer than n tokens yield an empty array.
-    """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(c, " ")
+def shingles_from_tokens(toks_col: Column | str, n: int = 3) -> Column:
+    """Spark column: word n-gram shingles from an ALREADY-MATERIALIZED
+    token array column. Always shingle from a materialized column —
+    inlining ``split(text)`` here re-evaluates the split once per shingle
+    element inside the lambda (no CSE across lambda bodies; measured ~2x
+    on the dedup path)."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     # sequence(1, size-n+1) would run DESCENDING when size < n (Spark
     # sequence(1, 0) == [1, 0]) — guard with a when().
     idx = F.when(
@@ -61,6 +59,18 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
     ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Spark column: array of word n-gram shingles (space-joined).
+
+    Matches :func:`sql_shingles` exactly: tokens are a literal
+    ``split(text, ' ')``; shingle i joins tokens [i, i+n). Documents with
+    fewer than n tokens yield an empty array. Prefer materializing the
+    token array and calling :func:`shingles_from_tokens` in hot paths.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return shingles_from_tokens(F.split(c, " "), n)
 
 
 def sql_shingles(text_expr: str, n: int = 3) -> str:

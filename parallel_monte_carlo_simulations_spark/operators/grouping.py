@@ -143,6 +143,6 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )

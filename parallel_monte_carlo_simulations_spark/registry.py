@@ -69,6 +69,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         sources,
         streaming,
     )
+    from .functions import pipeline  # noqa: F401  (after dedup: composes it)
     from .mc import queries as mc_queries  # noqa: F401
 
     return REGISTRY

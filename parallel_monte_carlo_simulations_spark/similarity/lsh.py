@@ -23,8 +23,8 @@ from ..functions.vectors import as_double, dot, norm
 from ..registry import register
 from ..tables import table
 
-N_PLANES = 8  # bits per bucket
-N_TABLES = 4
+N_PLANES = 4  # bits per bucket
+N_TABLES = 8
 DIM = 64
 TOP_K = 10
 N_QUERIES = 5

@@ -1,0 +1,69 @@
+"""Property tests for the approximate/estimator operators (the rows-only
+queries whose quality can't be oracle-hash-checked)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_monte_carlo_simulations_spark.registry import load_all_queries
+
+SF = "/root/testdata/sf0.01"
+SPECS = load_all_queries()
+
+
+def test_lsh_recall_vs_brute(spark):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["q_sim_brute_topk"].fn(spark, SF).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["q_sim_lsh_topk"].fn(spark, SF).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    # 4 tables x 8 hyperplanes on random 64-d data: empirically ~0.75-0.8
+    assert recall >= 0.5, f"LSH recall {recall:.2f} degraded"
+
+
+def test_approx_count_distinct_error(spark):
+    row = SPECS["q_approx_count_distinct"].fn(spark, SF).collect()[0]
+    rel_err = abs(row.approx_customers - row.exact_customers) / row.exact_customers
+    assert rel_err < 0.05, f"HLL++ error {rel_err:.3f} exceeds 5%"
+
+
+def test_approx_percentile_bounds(spark):
+    row = SPECS["q_approx_percentile"].fn(spark, SF).collect()[0]
+    # GK sketch with accuracy=1000: within ~0.1% rank error; sanity-bound
+    # the value error loosely against the exact p50
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.02
+    assert row.approx_p99 > row.approx_p50
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["q_dedup_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["q_dedup_minhash_lsh"].fn(spark, SF).collect()
+    }
+    # MinHash verifies candidates with exact Jaccard at a LOWER threshold
+    # (0.5 vs 0.6), so every exact pair must be recalled
+    assert exact <= mh, f"missed pairs: {exact - mh}"
+
+
+def test_multimodal_decode_stub_raises():
+    from parallel_monte_carlo_simulations_spark.multimodal.media import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_sample_seeded_reproducible(spark):
+    q = SPECS["q_sample_seeded"].fn
+    a = sorted(r.o_orderkey for r in q(spark, SF).collect())
+    b = sorted(r.o_orderkey for r in q(spark, SF).collect())
+    assert a == b
+    # fraction plausible: 10% +- 2% absolute of 15k orders
+    assert 0.08 <= len(a) / 15000 <= 0.12
