@@ -110,6 +110,10 @@ class MCBattery:
             [c if isinstance(c, dict) else c.model_dump() for c in simulation_configs]
         )
         spark = spark or SparkSession.builder.getOrCreate()
+        # Battery-level engine knobs (the reference's pipeline_options
+        # analogue, models.py:14): applied as runtime SQL confs.
+        for key, value in self.configs.spark_conf.items():
+            spark.conf.set(key, value)
 
         seed = (
             master_seed

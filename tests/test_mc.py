@@ -157,3 +157,20 @@ def test_vectorized_model_equals_loop_model(spark):
     a = battery.simulate([_coin_sequence], cfg, spark=spark, master_seed=33)
     b = battery.simulate([_coin_sequence_vectorized], cfg, spark=spark, master_seed=33)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_spark_conf_applied(spark):
+    battery = MCBattery(
+        {"rng": "PCG64", "spark_conf": {"spark.sql.shuffle.partitions": "13"}}
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        battery.simulate(
+            [coin],
+            [{"number_simulations": 5, "number_points": 2, "parameters": [0.5]}],
+            spark=spark,
+            master_seed=1,
+        ).count()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "13"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -1,0 +1,32 @@
+"""Spot-check representative queries at sf0.001 (the entry() scale) —
+insurance that nothing is vacuously correct only at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_monte_carlo_simulations_spark.registry import load_all_queries
+
+from ._compare import compare
+
+SF_DIR = "/root/testdata/sf0.001"
+SPECS = load_all_queries()
+
+REPRESENTATIVE = [
+    "q01_pricing_summary",
+    "q05_revenue_by_nation",
+    "q_join_asof",
+    "q_window_topk_per_group",
+    "q_dedup_minhash_lsh",
+    "q_text_quality_score",
+    "q_stream_session_10m",
+    "q_pipeline_llm_curation",
+]
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_small_sf_oracle(spark, name):
+    spec = SPECS[name]
+    report = compare(spec.fn(spark, SF_DIR), spec.oracle, SF_DIR)
+    assert report["ok"], f"{name}: {report}"
+    assert report["spark_rows"] > 0, f"{name} vacuous at sf0.001"
