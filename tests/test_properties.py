@@ -67,3 +67,17 @@ def test_sample_seeded_reproducible(spark):
     assert a == b
     # fraction plausible: 10% +- 2% absolute of 15k orders
     assert 0.08 <= len(a) / 15000 <= 0.12
+
+
+def test_ml_minhash_agrees_with_exact(spark):
+    """pyspark.ml MinHashLSH (token-set Jaccard) should recover the
+    planted near-dup pairs the exact trigram verifier finds."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["q_dedup_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    ml = {
+        (r.doc_a, r.doc_b) for r in SPECS["q_dedup_ml_minhash"].fn(spark, SF).collect()
+    }
+    recall = len(exact & ml) / len(exact)
+    assert recall >= 0.9, f"ml MinHash recall {recall:.2f} vs exact pairs"
