@@ -39,6 +39,7 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_sim_brute_topk",
     "q_text_quality_score",
+    "q_pipeline_llm_curation",
 ]
 
 

@@ -31,6 +31,8 @@ from . import (  # noqa: F401
     skew,
     subqueries,
     tpch2,
+    tpch3,
+    variant,
     windows,
     windows2,
 )
