@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     safety,
     scalar,
     scalar2,
+    scalar3,
     setops,
     skew,
     subqueries,
