@@ -77,3 +77,27 @@ def test_whole_stage_codegen_on_flagship(spark):
     # '*(N)' marks operators fused into WholeStageCodegen stage N
     assert "*(" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan
+
+
+def test_q04_semi_join_with_range_conjunct(spark):
+    plan = _plan(spark, "q04_priority_checking")
+    assert "LeftSemi" in plan
+    # the orderdate window must reach the orders scan
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q09_dims_broadcast_fact_not(spark):
+    plan = _plan(spark, "q09_product_profit")
+    # part/supplier/nation broadcast; lineitem⋈orders is the only shuffle join
+    assert plan.count("BroadcastHashJoin") >= 3
+    # p_name LIKE filter pushed to the part scan
+    assert "StringContains(p_name,g)" in plan
+
+
+def test_q16_distinct_before_join(spark):
+    plan = _plan(spark, "q16_parts_suppliers")
+    # the key-pair distinct must run before the part join: the first
+    # HashAggregate (bottom-up) consumes the lineitem scan directly.
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
