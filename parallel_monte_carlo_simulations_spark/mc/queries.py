@@ -136,3 +136,56 @@ def q_mc_heads_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model_id", "position")
     )
+
+
+def _gbm_paths(number_points, rng, parameters=None, starting_point=None):
+    """Geometric Brownian motion (vectorized): S_{t+1} = S_t * exp(
+    (mu - sigma^2/2) dt + sigma sqrt(dt) Z). parameters = [mu, sigma, dt]."""
+    import numpy as np
+
+    mu, sigma, dt = (parameters or [0.05, 0.2, 1.0 / 252])[:3]
+    s0 = float(starting_point) if starting_point is not None else 100.0
+    z = rng.normal(0.0, 1.0, size=number_points)
+    log_steps = (mu - 0.5 * sigma**2) * dt + sigma * np.sqrt(dt) * z
+    return list(s0 * np.exp(np.cumsum(log_steps)))
+
+
+@register(
+    "q_mc_gbm_option_price",
+    oracle=None,  # simulation-fed; validated against Black-Scholes in tests
+    description="GBM paths -> discounted European call payoff (MC pricing)",
+    tags=("mc", "gbm", "finance", "aggregate"),
+)
+def q_mc_gbm_option_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte Carlo option pricing on the trace table: simulate GBM under
+    the risk-neutral measure (mu = r), take each path's terminal price,
+    average the discounted payoff. The estimate is checked against the
+    Black-Scholes closed form in tests/test_mc.py (binomial-CI-style
+    bound), which the reference cannot do at all — its traces are
+    write-only CSV (utils.py:15-23).
+    """
+    r, sigma, steps, dt, strike = 0.03, 0.25, 64, 1.0 / 64, 105.0
+    battery = MCBattery({"rng": "Philox", "master_seed": 31337})
+    traces = battery.simulate(
+        [_gbm_paths],
+        [{"number_simulations": 20_000, "number_points": steps,
+          "parameters": [r, sigma, dt], "starting_point": 100.0,
+          "batch_size": 2_500}],
+        spark=spark,
+        trace_dtype="double",
+    )
+    # terminal price = last trace element; payoff aggregated JVM-side.
+    terminal = traces.select(
+        F.element_at("trace", -1).alias("s_t")
+    )
+    payoff = F.greatest(F.col("s_t") - F.lit(strike), F.lit(0.0))
+    import math
+
+    disc = math.exp(-r * steps * dt)
+    return terminal.agg(
+        F.round(F.avg(payoff) * disc, 4).alias("mc_price"),
+        F.round(F.stddev(payoff) * disc / F.sqrt(F.count("*")), 4).alias(
+            "std_error"
+        ),
+        F.count("*").cast("bigint").alias("n_paths"),
+    )

@@ -174,3 +174,21 @@ def test_spark_conf_applied(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "13"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_gbm_option_price_matches_black_scholes(spark):
+    """MC estimate of a European call must land within ~4 standard errors
+    of the Black-Scholes closed form (risk-neutral GBM, same params as
+    the registered query)."""
+    from parallel_monte_carlo_simulations_spark.mc.queries import (
+        q_mc_gbm_option_price,
+    )
+
+    row = q_mc_gbm_option_price(spark, "").collect()[0]
+    r, sigma, t, s0, k = 0.03, 0.25, 1.0, 100.0, 105.0
+    d1 = (math.log(s0 / k) + (r + sigma**2 / 2) * t) / (sigma * math.sqrt(t))
+    d2 = d1 - sigma * math.sqrt(t)
+    phi = lambda x: 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+    bs = s0 * phi(d1) - k * math.exp(-r * t) * phi(d2)
+    assert row.n_paths == 20_000
+    assert abs(row.mc_price - bs) < 4 * row.std_error + 1e-9, (row.mc_price, bs)
