@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     setops,
     skew,
     subqueries,
+    timeseries,
     tpch2,
     tpch3,
     variant,

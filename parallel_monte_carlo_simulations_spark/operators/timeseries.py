@@ -1,0 +1,211 @@
+"""Time-series & product analytics over the events table: hourly
+gap-fill with forward fill, funnel stage analysis, cohort retention.
+
+These are the batch analytics a streaming events pipeline lands in; all
+are pure DataFrame ops. Scale notes: the gap-fill grid is
+|event_types| x |hours| — tiny relative to the events themselves, and
+the forward-fill window partitions by event_type so each partition's
+state is one running value. Funnel/cohort shuffle on user_id only after
+a per-user aggregate has collapsed the fact table.
+
+The reference has no time/event surface at all (§2.A — its only data
+are simulation traces); this file belongs to the §2.B capability sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+# --------------------------------------------------------------------------
+# Hourly resample + forward fill: regularize an irregular event stream
+# onto a complete hour grid, filling silent hours from the last value.
+# --------------------------------------------------------------------------
+
+_QGAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, ROUND(SUM(value), 2) AS v
+  FROM events GROUP BY event_type, hr
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, u.hr
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds, LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr) u
+)
+SELECT g.event_type, g.hr,
+       last_value(h.v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+       h.v IS NULL AS was_gap
+FROM grid g
+LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hr = g.hr
+"""
+
+
+@register(
+    "q_gapfill_forward_fill",
+    oracle=_QGAPFILL_ORACLE,
+    description="hourly resample onto a sequence() grid + forward fill (last ignoreNulls)",
+    tags=("timeseries", "gapfill", "window", "sequence"),
+)
+def q_gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = e.select("event_type").distinct()
+    # the grid is dims-only (types x hours): broadcast-sized by design
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    joined = grid.join(hourly, ["event_type", "hr"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hr",
+        F.last("v", ignorenulls=True).over(w).alias("value_ff"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel: users progressing view -> click (after view) -> purchase
+# (after click). Strictly ordered timestamps, first occurrence each.
+# --------------------------------------------------------------------------
+
+_QFUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'stage1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'stage2_click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'stage3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+"""
+
+
+@register(
+    "q_funnel_stages",
+    oracle=_QFUNNEL_ORACLE,
+    description="ordered funnel view->click->purchase: users per stage",
+    tags=("timeseries", "funnel", "join", "aggregate"),
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(v, "click", "t2", "t1")
+    p = first_after(c, "purchase", "t3", "t2")
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count("*").alias("n_users")
+        )
+
+    return (
+        stage(v, "stage1_view")
+        .unionByName(stage(c, "stage2_click"))
+        .unionByName(stage(p, "stage3_purchase"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week; how many are
+# still active k weeks later.
+# --------------------------------------------------------------------------
+
+_QCOHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(FLOOR(datediff('day', TIMESTAMP '2024-01-01', MIN(ts)) / 7.0)
+              AS INTEGER) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(datediff('day', TIMESTAMP '2024-01-01', ts) / 7.0)
+              AS INTEGER) AS week
+  FROM events
+)
+SELECT f.cohort_week,
+       a.week - f.cohort_week AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+@register(
+    "q_cohort_retention",
+    oracle=_QCOHORT_ORACLE,
+    description="weekly cohort retention matrix (cohort_week x week_offset)",
+    tags=("timeseries", "cohort", "retention", "aggregate"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")) / 7.0
+    ).cast("int")
+    firsts = (
+        e.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("first_ts"), F.lit("2024-01-01").cast("timestamp"))
+                / 7.0
+            )
+            .cast("int")
+            .alias("cohort_week"),
+        )
+    )
+    activity = e.select("user_id", week.alias("week")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )

@@ -139,3 +139,42 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ORC roundtrip: columnar alternative to parquet (native Spark source,
+# same pushdown/pruning machinery; the oracle reads the parquet truth).
+# --------------------------------------------------------------------------
+
+_QORCRT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*)                         AS n_items,
+       ROUND(SUM(l_extendedprice), 2)   AS sum_price
+FROM lineitem
+WHERE l_quantity > 30
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q_source_orc_roundtrip",
+    oracle=_QORCRT_ORACLE,
+    description="ORC sink+source roundtrip with predicate pushdown on read-back",
+    tags=("source", "sink", "orc"),
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    path = _tmpdir("orc")
+    l.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    # quantity predicate is pushed into the ORC reader (row-group skip)
+    return (
+        back.filter(F.col("l_quantity") > 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
