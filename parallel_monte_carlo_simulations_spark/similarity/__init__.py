@@ -1,4 +1,5 @@
-"""Similarity search: exact brute-force cosine top-k baseline + LSH
-approximate path. Importing registers the queries."""
+"""Similarity search: exact brute-force cosine top-k baseline + two
+approximate scale paths (random-hyperplane LSH, KMeans IVF).
+Importing registers the queries."""
 
-from . import brute, lsh  # noqa: F401
+from . import brute, ivf, lsh  # noqa: F401

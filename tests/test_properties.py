@@ -81,3 +81,18 @@ def test_ml_minhash_agrees_with_exact(spark):
     }
     recall = len(exact & ml) / len(exact)
     assert recall >= 0.9, f"ml MinHash recall {recall:.2f} vs exact pairs"
+
+
+def test_ivf_recall_vs_brute(spark):
+    """IVF with nprobe=4/16 clusters must recover at least half of the
+    true top-10 neighbors (deterministic: fixed KMeans seed)."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["q_sim_brute_topk"].fn(spark, SF).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["q_sim_ivf_topk"].fn(spark, SF).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} degraded"
