@@ -129,3 +129,49 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.sample(fraction=0.1, seed=42).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=None,  # engine-specific RNG; fraction plausibility tested
+    description="stratified sampleBy: per-stratum fractions, seeded",
+    tags=("sample", "stratified"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates — the curation move that rebalances a
+    corpus (e.g. downsample boilerplate-heavy sources, keep rare ones).
+    sampleBy pushes the per-key Bernoulli filter into the scan: no
+    shuffle, no materialized intermediate at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    fractions = {"1-URGENT": 0.5, "2-HIGH": 0.25, "3-MEDIUM": 0.1,
+                 "4-NOT SPECIFIED": 0.05, "5-LOW": 0.02}
+    return o.stat.sampleBy("o_orderpriority", fractions, seed=42).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+# --------------------------------------------------------------------------
+# HLL sketches as mergeable state: per-group sketch -> union -> estimate.
+# The production pattern for incremental distinct counts (store sketch
+# bytes per partition/day, merge on read) — a capability plain
+# approx_count_distinct (one-shot) doesn't give you.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_hll_sketch_merge",
+    oracle=None,  # estimator-specific values; exactness checked in test
+    description="HLL sketch per status, union-merged to a global estimate",
+    tags=("distinct", "approx", "sketch", "hll"),
+)
+def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    merged = per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_customers"),
+        F.sum("n_orders").alias("n_orders_total"),
+    )
+    return merged

@@ -58,3 +58,53 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape that melts a single reducer at 100 TB.
     e = table(spark, sf_dir, "events")
     return salted_agg(e, "event_type", "event_id")
+
+
+_QSALTJOIN_ORACLE = """
+SELECT e.event_type,
+       n.n_name,
+       COUNT(*)              AS n_events,
+       ROUND(SUM(e.value), 2) AS total_value
+FROM events e
+JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY e.event_type, n.n_name
+"""
+
+
+@register(
+    "q_skew_salted_join",
+    oracle=_QSALTJOIN_ORACLE,
+    description="salt-replicated join == plain join (hot-key join cure)",
+    tags=("skew", "salting", "join"),
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew-join salting: the fact side gets a deterministic salt
+    (pure function of a row key — retry-safe, unlike rand()), the dim
+    side is replicated N_SALTS times via explode, and the join key
+    becomes (key, salt). Each hot key's rows now spread over N_SALTS
+    reducers. AQE skew-join does this automatically for detected skew;
+    the manual form covers the cases AQE can't see (e.g. a skewed key
+    that only becomes hot after upstream filters). The oracle is the
+    UNsalted join — proof the rewrite is semantics-preserving.
+    """
+    e = table(spark, sf_dir, "events")
+    n = table(spark, sf_dir, "nation")
+    fact = e.select(
+        (F.col("user_id") % 25).alias("nk"),
+        "event_type",
+        "value",
+        (F.col("event_id") % N_SALTS).cast("int").alias("_salt"),
+    )
+    dim = n.select(
+        F.col("n_nationkey").alias("nk"),
+        "n_name",
+        F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)])).alias("_salt"),
+    )
+    return (
+        fact.join(dim, ["nk", "_salt"])
+        .groupBy("event_type", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

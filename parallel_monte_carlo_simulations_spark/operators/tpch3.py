@@ -385,3 +385,58 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: potential part promotion — nested IN with an aggregate
+# threshold (suppliers who shipped a promo part well above the part's
+# average per-supplier volume). partsupp proxied by lineitem pairs.
+# --------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH spq AS (
+  SELECT l_suppkey, l_partkey, ROUND(SUM(l_quantity), 2) AS qty
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+pavg AS (
+  SELECT l_partkey AS pk, AVG(qty) AS avg_qty FROM spq GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT spq.l_suppkey
+  FROM spq
+  JOIN pavg ON spq.l_partkey = pavg.pk
+  JOIN part ON spq.l_partkey = p_partkey
+  WHERE p_name LIKE '%red%' AND spq.qty > 1.5 * pavg.avg_qty
+)
+"""
+
+
+@register(
+    "q20_part_promotion",
+    oracle=_Q20_ORACLE,
+    description="TPC-H Q20 shape: nested IN with per-part aggregate threshold",
+    tags=("subquery", "semi", "aggregate", "tpch"),
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    spq = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+    pavg = spq.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("qty").alias("avg_qty")
+    )
+    promo = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    heavy = (
+        spq.join(pavg, spq.l_partkey == pavg.pk)
+        .join(F.broadcast(promo), spq.l_partkey == F.col("p_partkey"))
+        .filter(F.col("qty") > 1.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    return s.join(
+        heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")

@@ -96,3 +96,14 @@ def test_ivf_recall_vs_brute(spark):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, f"IVF recall {recall:.2f} degraded"
+
+
+def test_hll_sketch_merge_accuracy(spark):
+    """Merged HLL estimate within 5% of the exact distinct count."""
+    est = SPECS["q_hll_sketch_merge"].fn(spark, SF).collect()[0]
+    from parallel_monte_carlo_simulations_spark.tables import table
+
+    exact = (
+        table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert abs(est.distinct_customers - exact) / exact < 0.05
