@@ -131,3 +131,110 @@ def q_pandas_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").agg(
         int_median("l_quantity").alias("median_qty")
     )
+
+
+_QCOGROUP_ORACLE = """
+WITH ev AS (
+  SELECT user_id AS key, COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS event_value
+  FROM events GROUP BY user_id
+),
+od AS (
+  SELECT o_custkey AS key, COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS order_value
+  FROM orders WHERE o_custkey <= 150 GROUP BY o_custkey
+)
+SELECT COALESCE(ev.key, od.key) AS key,
+       CAST(COALESCE(ev.n_events, 0) AS BIGINT) AS n_events,
+       COALESCE(ev.event_value, 0.0)  AS event_value,
+       CAST(COALESCE(od.n_orders, 0) AS BIGINT) AS n_orders,
+       COALESCE(od.order_value, 0.0)  AS order_value
+FROM ev FULL OUTER JOIN od ON ev.key = od.key
+"""
+
+
+@register(
+    "q_cogroup_apply_in_pandas",
+    oracle=_QCOGROUP_ORACLE,
+    description="cogrouped applyInPandas: per-key merge of two grouped frames",
+    tags=("udf", "cogroup", "applyInPandas"),
+)
+def q_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby().cogroup().applyInPandas — the API for custom per-key
+    merges of two datasets (as-of merges, interval alignment, custom
+    reconciliation) when no built-in join expresses the logic. Both
+    sides shuffle once on the key; each task sees the key's two pandas
+    frames. The oracle is a full-outer aggregate join — proof this
+    custom operator reduces to relational semantics on this input."""
+    e = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), "value"
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 150).select(
+        F.col("o_custkey").alias("key"), "o_totalprice"
+    )
+
+    def merge(evs: pd.DataFrame, ods: pd.DataFrame) -> pd.DataFrame:
+        key = evs["key"].iloc[0] if len(evs) else ods["key"].iloc[0]
+        return pd.DataFrame(
+            {
+                "key": [int(key)],
+                "n_events": [len(evs)],
+                "event_value": [round(float(evs["value"].sum()), 2) if len(evs) else 0.0],
+                "n_orders": [len(ods)],
+                "order_value": [round(float(ods["o_totalprice"].sum()), 2) if len(ods) else 0.0],
+            }
+        )
+
+    return (
+        e.groupby("key")
+        .cogroup(o.groupby("key"))
+        .applyInPandas(
+            merge,
+            schema="key long, n_events long, event_value double, "
+            "n_orders long, order_value double",
+        )
+    )
+
+
+_QMAPARROW_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents WHERE doc_id < 100
+"""
+
+
+@register(
+    "q_map_in_arrow",
+    oracle=_QMAPARROW_ORACLE,
+    description="mapInArrow: zero-copy RecordBatch transform (token counts)",
+    tags=("udf", "arrow", "mapInArrow"),
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow is the lowest-overhead Python hook: raw pyarrow
+    RecordBatches, no pandas conversion on either side — the right
+    surface for byte-shuffling transforms (tokenizers, codecs) where
+    pandas object-dtype overhead dominates. Compute stays columnar."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+
+    def count_tokens(batches):
+        for batch in batches:
+            text = batch.column("text")
+            toks = pc.split_pattern(text, " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                names=["doc_id", "n_tokens", "n_chars_actual"],
+            )
+
+    return d.mapInArrow(
+        count_tokens, schema="doc_id long, n_tokens long, n_chars_actual long"
+    )
