@@ -40,6 +40,8 @@ HEADLINE = [
     "q_sim_brute_topk",
     "q_text_quality_score",
     "q_pipeline_llm_curation",
+    "q09_product_profit",
+    "q_gapfill_forward_fill",
 ]
 
 

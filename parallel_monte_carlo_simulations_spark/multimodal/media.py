@@ -109,3 +109,117 @@ FROM documents
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_frame(spark, sf_dir).select("doc_id", "payload", "media_type")
     return media.mapInPandas(extract_fake_features, schema=_FEATURE_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize path — stubbed (no PIL in this container)."""
+    raise NotImplementedError(
+        "image resize requires pillow; the registered query computes the "
+        "resize PLAN (target dims) — the Spark-side contract a real "
+        "resizer plugs into"
+    )
+
+
+_QRESIZE_ORACLE = """
+SELECT doc_id, fake_width, fake_height, target_w, target_h
+FROM (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+         CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height,
+         CAST(CASE WHEN octet_length(encode(text)) % 640 >= octet_length(encode(text)) % 480
+              THEN 256
+              ELSE GREATEST(1, CAST(ROUND(256.0 * (octet_length(encode(text)) % 640)
+                                    / NULLIF(octet_length(encode(text)) % 480, 0)) AS INTEGER))
+              END AS INTEGER) AS target_w,
+         CAST(CASE WHEN octet_length(encode(text)) % 640 >= octet_length(encode(text)) % 480
+              THEN GREATEST(1, CAST(ROUND(256.0 * (octet_length(encode(text)) % 480)
+                                    / NULLIF(octet_length(encode(text)) % 640, 0)) AS INTEGER))
+              ELSE 256
+              END AS INTEGER) AS target_h
+  FROM documents
+  WHERE doc_id % 3 = 0
+)
+WHERE fake_width > 0 AND fake_height > 0
+"""
+
+
+@register(
+    "q_multimodal_resize_plan",
+    oracle=_QRESIZE_ORACLE,
+    description="aspect-preserving resize plan (max side 256) for image rows",
+    tags=("multimodal", "resize", "image"),
+)
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of an image-resize stage: select image rows,
+    compute aspect-preserving target dimensions JVM-side, and hand
+    (payload, target_w, target_h) to the (stubbed) codec UDF. The dim
+    arithmetic is the oracle-checked contract; `resize_image` is the
+    clearly-marked NotImplementedError plug point."""
+    media = media_frame(spark, sf_dir).select("doc_id", "payload", "media_type")
+    f = media.mapInPandas(extract_fake_features, schema=_FEATURE_SCHEMA)
+    imgs = f.filter(
+        (F.col("media_type") == "image/jpeg")
+        & (F.col("fake_width") > 0)
+        & (F.col("fake_height") > 0)
+    )
+    landscape = F.col("fake_width") >= F.col("fake_height")
+    tw = F.when(landscape, F.lit(256)).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.round(256.0 * F.col("fake_width") / F.col("fake_height")).cast("int"),
+        )
+    )
+    th = F.when(~landscape, F.lit(256)).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.round(256.0 * F.col("fake_height") / F.col("fake_width")).cast("int"),
+        )
+    )
+    return imgs.select(
+        "doc_id",
+        "fake_width",
+        "fake_height",
+        tw.alias("target_w"),
+        th.alias("target_h"),
+    )
+
+
+_QFRAMES_ORACLE = """
+SELECT doc_id, CAST(frame_s AS INTEGER) AS frame_s,
+       CAST(frame_s * 30 AS BIGINT) AS frame_idx
+FROM (
+  SELECT doc_id, octet_length(encode(text)) % 120 AS duration_s
+  FROM documents WHERE doc_id % 3 = 2
+) v,
+LATERAL (SELECT unnest(range(0, duration_s, 5)) AS frame_s) u
+"""
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle=_QFRAMES_ORACLE,
+    description="video frame-sampling schedule: 1 frame per 5s via sequence+explode",
+    tags=("multimodal", "video", "frame_sample", "sequence"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of video frame extraction: derive each
+    video's (stub) duration, fan out one row per sampled timestamp
+    (every 5 s, 30 fps index arithmetic) with sequence+explode — all
+    JVM-side. A real pipeline hands (payload, frame_idx) to the codec
+    UDF; here that plug point is `decode_image`-style stubbed."""
+    media = media_frame(spark, sf_dir)
+    vids = media.filter(F.col("media_type") == "video/mp4").select(
+        "doc_id",
+        (F.length(F.col("payload")) % 120).alias("duration_s"),
+    )
+    sched = vids.filter(F.col("duration_s") > 0).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_s") - 1, F.lit(5))
+        ).alias("frame_s"),
+    )
+    return sched.select(
+        "doc_id",
+        F.col("frame_s").cast("int").alias("frame_s"),
+        (F.col("frame_s") * 30).cast("bigint").alias("frame_idx"),
+    )
