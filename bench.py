@@ -108,7 +108,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     out = {
-        "metric": "headline-suite seconds (12 relational/LLM queries + reference demo MC workload)",
+        "metric": f"headline-suite seconds ({len(HEADLINE)} relational/LLM queries + reference demo MC workload)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
