@@ -209,3 +209,68 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization: lag + gap flag + running sum = session ids.
+# The batch twin of streaming session_window (q_stream_session_10m) —
+# same 10-minute gap rule, expressed as windows over history.
+# --------------------------------------------------------------------------
+
+_QSESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 600000000 OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "q_sessionize_batch",
+    oracle=_QSESSIONIZE_ORACLE,
+    description="batch sessionization: 10-min-gap sessions via lag + running sum",
+    tags=("timeseries", "session", "window"),
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # event_id tie-break makes lag deterministic under equal timestamps;
+    # microsecond epoch on both engines — second-floor truncation would
+    # classify near-600s gaps differently than the oracle.
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(wo)
+    gap = prev.isNull() | (us - prev > 600_000_000)
+    flagged = e.select(
+        "user_id", "ts", gap.cast("int").alias("new_session")
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(ws).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+        .alias("duration_us"),
+    )
