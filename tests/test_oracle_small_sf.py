@@ -21,6 +21,12 @@ REPRESENTATIVE = [
     "q_text_quality_score",
     "q_stream_session_10m",
     "q_pipeline_llm_curation",
+    "q09_product_profit",
+    "q13_customer_distribution",
+    "q_sessionize_batch",
+    "q_funnel_stages",
+    "q_doc_chunking",
+    "q_cogroup_apply_in_pandas",
 ]
 
 
