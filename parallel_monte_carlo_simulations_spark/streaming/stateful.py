@@ -9,6 +9,12 @@ user must equal a plain batch groupBy over the same events — which is
 exactly what the DuckDB oracle checks. At scale the state store shards by
 the grouping key across executors (RocksDB-backed in production), so
 state size is bounded per key, not per stream.
+
+Spark 4's successor API (``transformWithStateInPandas``, typed state
+variables + timers) was evaluated and is unusable in this container:
+its state-server protocol needs ``google.protobuf``, which is not
+installed (driver worker crashes with ImportError). The v1 API below
+covers the custom-stateful surface.
 """
 
 from __future__ import annotations
