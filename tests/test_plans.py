@@ -101,3 +101,29 @@ def test_q16_distinct_before_join(spark):
     # HashAggregate (bottom-up) consumes the lineitem scan directly.
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_gapfill_grid_is_broadcast(spark):
+    plan = _plan(spark, "q_gapfill_forward_fill")
+    # the (types x hours) grid side joins the hourly aggregate without
+    # shuffling the grid build; bounds reach the grid via broadcast
+    assert "BroadcastExchange" in plan
+
+
+def test_salted_join_spreads_key(spark):
+    plan = _plan(spark, "q_skew_salted_join")
+    # join key must be the composite (nk, _salt), not bare nk
+    assert "_salt" in plan
+
+
+def test_chunking_stays_in_scan_stage(spark):
+    plan = _plan(spark, "q_doc_chunking")
+    # no Exchange at all: chunking is a pure narrow map over the scan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_redaction_no_shuffle_no_python(spark):
+    plan = _plan(spark, "q_pii_redaction")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
