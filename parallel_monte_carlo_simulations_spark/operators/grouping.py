@@ -146,3 +146,32 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+
+
+_QGROUPID_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register(
+    "q_grouping_id",
+    oracle=_QGROUPID_ORACLE,
+    description="GROUPING() indicator columns distinguish rollup subtotal levels",
+    tags=("grouping", "rollup", "grouping_id"),
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() disambiguates 'real NULL key' from 'subtotal row' —
+    without it, rollup output is unusable on nullable group keys."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus").agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n_items"),
+        )
+    )

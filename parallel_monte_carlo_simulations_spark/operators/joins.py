@@ -338,3 +338,44 @@ def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.p_brand").alias("p_brand"), F.col("a.p_type").alias("p_type"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+_QNULLSAFE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, NULLIF(o_custkey % 50, 0) AS bucket, o_totalprice
+  FROM orders WHERE o_orderkey < 2000
+),
+c AS (
+  SELECT NULLIF(c_custkey % 50, 0) AS bucket, COUNT(*) AS n_cust
+  FROM customer GROUP BY bucket
+)
+SELECT o.o_orderkey, o.bucket, c.n_cust
+FROM o JOIN c ON o.bucket IS NOT DISTINCT FROM c.bucket
+"""
+
+
+@register(
+    "q_join_null_safe",
+    oracle=_QNULLSAFE_ORACLE,
+    description="null-safe equality join (<=> / IS NOT DISTINCT FROM)",
+    tags=("join", "null_safe"),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eqNullSafe treats NULL keys as equal — a real join key domain
+    (bucket 0 nulled on both sides) would silently drop those rows under
+    plain equality. Still hash-joinable: Catalyst keeps <=> as an equi
+    key, so no fallback to BNLJ at scale."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.nullif(F.col("o_custkey") % 50, F.lit(0)).alias("bucket"),
+        "o_totalprice",
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_custkey") % 50, F.lit(0)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    return o.join(c, o.bucket.eqNullSafe(c.bucket)).select(
+        "o_orderkey", o.bucket.alias("bucket"), "n_cust"
+    )
