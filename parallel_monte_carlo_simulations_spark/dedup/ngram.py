@@ -46,7 +46,7 @@ WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
-def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_sets(spark: SparkSession, sf_dir: str, width: int = 3) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — the shared input of the exact
     and MinHash dedup paths.
 
@@ -61,16 +61,16 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    shingle = F.concat_ws(
-        " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-    )
+    leads = ["tok"] + [F.lead("tok", i).over(w) for i in range(1, width)]
+    shingle = F.concat_ws(" ", *leads)
+    last = F.lead("tok", width - 1).over(w)
     return (
         toks.select(
             "doc_id",
             shingle.alias("shingle"),
-            F.lead("tok", 2).over(w).alias("_t2"),
+            last.alias("_tl"),
         )
-        .filter(F.col("_t2").isNotNull())  # docs with <3 tokens: no shingles
+        .filter(F.col("_tl").isNotNull())  # docs with <width tokens: none
         .select("doc_id", "shingle")
         .distinct()
     )
@@ -114,3 +114,47 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist: the frame feeds the self-join twice plus per-doc counts.
     return jaccard_pairs(shingle_sets(spark, sf_dir).persist(), JACCARD_THRESHOLD)
+
+
+_SH8 = sql_shingles("text", 8)
+
+_QSPANS_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SH8}) AS span FROM documents
+),
+dup AS (
+  SELECT span,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM sh
+  GROUP BY span
+  HAVING COUNT(*) > 1
+)
+SELECT s.doc_id, d.span, d.n_docs
+FROM sh s JOIN dup d ON s.span = d.span
+"""
+
+
+@register(
+    "q_dedup_substring_spans",
+    oracle=_QSPANS_ORACLE,
+    description="cross-document duplicated 8-token spans (exact substring dedup)",
+    tags=("dedup", "substring", "spans", "curation"),
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication (the Lee et al. 2022
+    'Deduplicating Training Data' operation, simplified to fixed-width
+    8-token spans): any span appearing in more than one document is
+    boilerplate/contamination to cut. One groupBy on the span — at
+    100 TB hash the span to a 64-bit key first so the shuffle carries
+    8 bytes, not strings (here the string key keeps the oracle exact).
+    Doc-level near-dup (`q_dedup_minhash_lsh`) won't catch a license
+    header shared by 10k otherwise-distinct docs; this does."""
+    sh = shingle_sets(spark, sf_dir, width=8).select(
+        "doc_id", F.col("shingle").alias("span")
+    )
+    dup = (
+        sh.groupBy("span")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    return sh.join(dup, "span").select("doc_id", "span", "n_docs")
