@@ -158,3 +158,52 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
     )
     return sh.join(dup, "span").select("doc_id", "span", "n_docs")
+
+
+_QLEV_ORACLE = """
+WITH heads AS (
+  SELECT doc_id, lang, substr(text, 1, 40) AS head
+  FROM documents WHERE doc_id < 120
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
+FROM heads a JOIN heads b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 10
+"""
+
+
+@register(
+    "q_dedup_levenshtein",
+    oracle=_QLEV_ORACLE,
+    description="edit-distance fuzzy matching on doc heads, lang-blocked self-join",
+    tags=("dedup", "levenshtein", "fuzzy"),
+)
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match — the character-level complement to the
+    token-level Jaccard family (catches typo-level mutations trigrams
+    miss). The self-join is blocked on `lang` (any bounded blocking key
+    works: lang, length bucket, LSH bucket) so the pairwise levenshtein
+    — O(len^2) per pair, JVM-side — never runs on the full cross
+    product. At 100 TB the blocking key MUST come from a candidate
+    generator (MinHash bands); this registers the verify kernel."""
+    heads = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "lang", F.substring("text", 1, 40).alias("head"))
+    )
+    a, b = heads.alias("a"), heads.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 10)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
