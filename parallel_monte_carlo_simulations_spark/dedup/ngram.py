@@ -169,7 +169,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
 FROM heads a JOIN heads b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE levenshtein(a.head, b.head) <= 10
+WHERE levenshtein(a.head, b.head) <= 22
 """
 
 
@@ -200,7 +200,12 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(dist <= 10)
+        # Threshold 22/40 chars chosen against the synthetic corpus so the
+        # gate exercises real matches at every SF it runs (sf0.001: 11
+        # pairs incl. two exact duplicates; sf0.01: 14 pairs) — a 0-vs-0
+        # comparison would never test the cross-engine levenshtein
+        # semantics.
+        .filter(dist <= 22)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

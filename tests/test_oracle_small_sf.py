@@ -27,6 +27,9 @@ REPRESENTATIVE = [
     "q_funnel_stages",
     "q_doc_chunking",
     "q_cogroup_apply_in_pandas",
+    "q_dedup_levenshtein",
+    "q02_min_cost_supplier",
+    "q18_large_volume_customer",
 ]
 
 
