@@ -47,21 +47,20 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # The convergence flag rides along in the label-update pass: the
+        # max(chg) aggregate below materializes the persisted new_labels
+        # AND answers "did anything move" in the SAME Spark job — no
+        # separate old-vs-new join per round.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+                F.when(F.col("nlbl") < F.col("lbl"), 1).otherwise(0).alias("chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.agg(F.max("chg")).first()[0] or 0
         labels.unpersist()
         labels = new_labels
         if changed == 0:

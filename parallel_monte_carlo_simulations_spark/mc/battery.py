@@ -107,7 +107,14 @@ class MCBattery:
             raise ValueError(f"trace_dtype must be one of {sorted(_TRACE_SCHEMA)}")
 
         cfgs = validate_simulation_configs(
-            [c if isinstance(c, dict) else c.model_dump() for c in simulation_configs]
+            [
+                c
+                if isinstance(c, dict)
+                # pydantic v2 spells dump `model_dump`; the v1 fallback
+                # (see mc/models.py) only has `.dict()`.
+                else (c.model_dump() if hasattr(c, "model_dump") else c.dict())
+                for c in simulation_configs
+            ]
         )
         spark = spark or SparkSession.builder.getOrCreate()
         # Battery-level engine knobs (the reference's pipeline_options

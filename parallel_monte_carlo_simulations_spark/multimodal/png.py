@@ -27,6 +27,10 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3}  # color type -> samples per pixel (our subset)
 
+#: Decode ceiling (pixels) — 64 MPix ≈ 192 MB RGB, far above any test
+#: payload but small enough that a malicious header can't OOM an executor.
+_MAX_PIXELS = 64 * 1024 * 1024
+
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (
@@ -150,9 +154,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated chunk header")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        if pos + 12 + length > len(payload):
             raise ValueError(f"truncated {tag!r} chunk")
+        data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]
         )
@@ -184,10 +188,19 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing IHDR")
     if not seen_end:
         raise ValueError("missing IEND")
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    # Bound the inflate by the size the header promises: a crafted payload
+    # (zlib bomb, or huge declared dims) must not allocate unbounded
+    # executor memory before a post-hoc length check.
+    if width * height > _MAX_PIXELS:
+        raise ValueError(f"declared {width}x{height} exceeds pixel ceiling")
+    expected = (stride + 1) * height
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if d.unconsumed_tail or d.decompress(b"", 1):
+        raise ValueError(f"inflated stream exceeds expected {expected} bytes")
+    if len(raw) != expected:
         raise ValueError(
-            f"inflated stream is {len(raw)} bytes, expected {(stride + 1) * height}"
+            f"inflated stream is {len(raw)} bytes, expected {expected}"
         )
     out = bytearray()
     prev = bytes(stride)

@@ -112,40 +112,71 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Seeded sampling — engine-specific RNG, so rows-only: the driver checks
-# it runs; tests assert the sampled fraction is plausible and that the
-# same seed reproduces the same sample.
+# Seeded sampling — hash-bucket Bernoulli: the sample membership of a row
+# is md5(key || ':' || seed) mod 1000 < rate, so the EXACT inventory is
+# reproducible across engines, retries, partitionings, and cluster sizes
+# (native .sample() re-draws per task attempt and is engine-private RNG —
+# unusable both as a correctness oracle and as a stable 100 TB sample).
+# The filter is a pure row-local expression: pushed to the scan, no
+# shuffle, no state.
 # --------------------------------------------------------------------------
+
+
+def _hash_bucket(key_col: str, seed: int):
+    """md5-derived bucket in [0, 1000) — byte-identical in Spark & DuckDB."""
+    h = F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 1000
+
+
+_QSAMPLE_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE ('0x' || substr(md5(o_orderkey::VARCHAR || ':42'), 1, 8))::BIGINT % 1000 < 100
+"""
 
 
 @register(
     "q_sample_seeded",
-    oracle=None,
-    description="Bernoulli sample(0.1, seed=42): reproducible subset",
+    oracle=_QSAMPLE_ORACLE,
+    description="seeded 10% Bernoulli sample via deterministic hash bucket",
     tags=("sample",),
 )
 def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    return o.sample(fraction=0.1, seed=42).select(
+    return o.filter(_hash_bucket("o_orderkey", 42) < 100).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
 
 
+_QSTRAT_ORACLE = """
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE ('0x' || substr(md5(o_orderkey::VARCHAR || ':42'), 1, 8))::BIGINT % 1000 <
+  CASE o_orderpriority
+    WHEN '1-URGENT' THEN 500 WHEN '2-HIGH' THEN 250 WHEN '3-MEDIUM' THEN 100
+    WHEN '4-NOT SPECIFIED' THEN 50 ELSE 20 END
+"""
+
+
 @register(
     "q_sample_stratified",
-    oracle=None,  # engine-specific RNG; fraction plausibility tested
-    description="stratified sampleBy: per-stratum fractions, seeded",
+    oracle=_QSTRAT_ORACLE,
+    description="stratified per-priority sampling rates via hash bucket",
     tags=("sample", "stratified"),
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum sampling rates — the curation move that rebalances a
     corpus (e.g. downsample boilerplate-heavy sources, keep rare ones).
-    sampleBy pushes the per-key Bernoulli filter into the scan: no
-    shuffle, no materialized intermediate at 100 TB."""
+    The per-key threshold is a broadcast-free CASE on the stratum column;
+    the whole operator stays a scan-level filter at 100 TB."""
     o = table(spark, sf_dir, "orders")
-    fractions = {"1-URGENT": 0.5, "2-HIGH": 0.25, "3-MEDIUM": 0.1,
-                 "4-NOT SPECIFIED": 0.05, "5-LOW": 0.02}
-    return o.stat.sampleBy("o_orderpriority", fractions, seed=42).select(
+    rates = {"1-URGENT": 500, "2-HIGH": 250, "3-MEDIUM": 100,
+             "4-NOT SPECIFIED": 50, "5-LOW": 20}
+    threshold = F.when(F.col("o_orderpriority") == "1-URGENT", rates["1-URGENT"])
+    for k in ("2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"):
+        threshold = threshold.when(F.col("o_orderpriority") == k, rates[k])
+    threshold = threshold.otherwise(rates["5-LOW"])
+    return o.filter(_hash_bucket("o_orderkey", 42) < threshold).select(
         "o_orderkey", "o_orderpriority"
     )
 

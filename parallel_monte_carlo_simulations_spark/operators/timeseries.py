@@ -220,6 +220,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QSESSIONIZE_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts,
+         event_id,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > 600000000 OR
@@ -229,7 +230,7 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM flagged
@@ -259,11 +260,14 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag(us).over(wo)
     gap = prev.isNull() | (us - prev > 600_000_000)
     flagged = e.select(
-        "user_id", "ts", gap.cast("int").alias("new_session")
+        "user_id", "ts", "event_id", gap.cast("int").alias("new_session")
     )
+    # The running sum uses the SAME (ts, event_id) tie-break as the lag
+    # window above: ordering one window by ts alone would make the
+    # session assignment nondeterministic under duplicate timestamps.
     ws = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = flagged.select(

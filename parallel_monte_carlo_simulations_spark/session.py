@@ -39,7 +39,25 @@ DEFAULT_CONF: dict[str, str] = {
     # mapInPandas tasks: ~30 s with reuse, ~2.7 s without). Fresh forks
     # from the daemon are ~80 ms — cheaper than the pool contention.
     "spark.python.worker.reuse": "false",
+    # events.parquet carries TIMESTAMP(NANOS), which the Spark parquet
+    # reader rejects unless nanos are surfaced as longs (converted to
+    # micros by tables._events with exact integer division).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Idempotently enable nanos-as-long parquet reads.
+
+    Session conf mutation is owned HERE, not by query paths: sessions from
+    :func:`get_spark` already carry the conf (DEFAULT_CONF above), and this
+    helper is the single fallback for externally built sessions (the round
+    driver constructs its own plain SparkSession), setting the conf only
+    when it is absent so running a query never silently flips the state of
+    a session that already chose a value.
+    """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def get_spark(

@@ -11,7 +11,10 @@ target object storage — the API surface is identical.
 
 from __future__ import annotations
 
+import atexit
+import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,11 +24,19 @@ from pyspark.sql import types as T
 from ..registry import register
 from ..tables import table
 
+#: One mkdtemp parent per process, removed at exit: sink paths are unique
+#: never-created subdirs of it (Spark creates them), so there is no
+#: mkdtemp-then-rmdir race and repeated runs don't accumulate /tmp copies.
+_TMP_ROOT: str | None = None
+_TMP_SEQ = itertools.count()
+
 
 def _tmpdir(tag: str) -> str:
-    d = tempfile.mkdtemp(prefix=f"pmcs_{tag}_")
-    os.rmdir(d)  # Spark writers want to create the dir themselves
-    return d
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="pmcs_sinks_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return os.path.join(_TMP_ROOT, f"{tag}_{next(_TMP_SEQ)}")
 
 
 # --------------------------------------------------------------------------

@@ -33,8 +33,7 @@ from .windows import _QTUMBLE_ORACLE, tumbling_hourly
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema pinned from the
     batch reader; nanos ts handled identically)."""
-    batch = table(spark, sf_dir, "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = table(spark, sf_dir, "events")  # also ensures nanosAsLong
     raw_schema = (
         spark.read.parquet(f"{sf_dir}/events.parquet").schema
     )

@@ -46,7 +46,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division (a double division would lose precision above 2^53
     nanos ≈ 1970+104 days). DuckDB truncates NS→US the same way, so the
     two engines agree to the microsecond."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from .session import ensure_nanos_as_long
+
+    ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     from pyspark.sql import functions as F
 

@@ -1,0 +1,110 @@
+"""Regression tests for the round-2 advisory fixes: PNG decoder input
+hardening, sessionize tie-break determinism, and the pydantic-v1 config
+fallback path."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from parallel_monte_carlo_simulations_spark.multimodal.png import (
+    PNG_SIGNATURE,
+    _chunk,
+    decode_png,
+    synth_png,
+)
+
+
+def test_png_truncated_crc_raises_valueerror():
+    # A payload cut mid-CRC must raise the documented ValueError, not a
+    # bare struct.error from the unpack.
+    payload = synth_png(3)
+    for cut in (1, 2, 3, 4, 11):
+        with pytest.raises(ValueError):
+            decode_png(payload[:-cut])
+
+
+def test_png_declared_dims_bounded():
+    # A crafted header declaring huge dims must be rejected before the
+    # inflate allocates anything.
+    ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 0, 0, 0, 0)
+    bomb = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\0" * 100))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="pixel ceiling"):
+        decode_png(bomb)
+
+
+def test_png_inflate_capped_at_declared_size():
+    # An IDAT stream inflating past the header's promise must error, not
+    # materialize the excess (zlib-bomb guard).
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    over = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\0" * 10000))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds expected"):
+        decode_png(over)
+
+
+def test_sessionize_deterministic_under_duplicate_timestamps(spark):
+    # Two events sharing (user_id, ts) at a session boundary: both the lag
+    # and the running-sum window must tie-break on event_id, so repeated
+    # runs (and any partitioning) give the same session split.
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from parallel_monte_carlo_simulations_spark.operators.timeseries import (
+        q_sessionize_batch,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0, 1, "view"),
+        ("u1", t0, 2, "view"),  # duplicate ts, distinct event_id
+        ("u1", t0 + datetime.timedelta(minutes=11), 3, "view"),
+        ("u1", t0 + datetime.timedelta(minutes=11), 4, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long, kind string")
+    df.createOrReplaceTempView("_sess_input")
+
+    import parallel_monte_carlo_simulations_spark.operators.timeseries as ts_mod
+
+    orig = ts_mod.table
+    try:
+        ts_mod.table = lambda s, d, n: df if n == "events" else orig(s, d, n)
+        out1 = sorted(map(str, q_sessionize_batch(spark, "unused").collect()))
+        out2 = sorted(map(str, q_sessionize_batch(spark, "unused").collect()))
+    finally:
+        ts_mod.table = orig
+    assert out1 == out2
+    # 10-minute gap rule: two sessions of two events each.
+    import re
+
+    n_events = sorted(int(re.search(r"n_events=(\d+)", r).group(1)) for r in out1)
+    assert n_events == [2, 2]
+
+
+def test_simulation_config_object_with_dict_only_api(spark):
+    # simulate() must accept config objects exposing only .dict() (the
+    # pydantic-v1 surface), not just .model_dump().
+    from parallel_monte_carlo_simulations_spark import MCBattery
+
+    class V1Config:
+        def dict(self):
+            return {"number_simulations": 4, "number_points": 3}
+
+    def coin(number_points, rng):
+        return ["H" if rng.random() < 0.5 else "T" for _ in range(number_points)]
+
+    battery = MCBattery({"rng": "PCG64", "master_seed": 5})
+    df = battery.simulate([coin], [V1Config()], spark=spark)
+    assert df.count() == 4

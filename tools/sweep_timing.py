@@ -45,8 +45,10 @@ def main() -> None:
             t1 = time.time()
             if spec.oracle:
                 con = duckdb_connection(SF_DIR)
-                con.execute(spec.oracle).fetchall()
-                con.close()
+                try:
+                    con.execute(spec.oracle).fetchall()
+                finally:
+                    con.close()
             t_duck = time.time() - t1
             times[name] = {
                 "spark": round(t_spark, 2),
