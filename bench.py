@@ -42,6 +42,7 @@ HEADLINE = [
     "q_pipeline_llm_curation",
     "q09_product_profit",
     "q_gapfill_forward_fill",
+    "q_skew_salted_agg",
 ]
 
 
@@ -74,6 +75,64 @@ def bench_mc(spark, vectorized: bool = False) -> float:
     return time.time() - t0
 
 
+def bench_skew(spark) -> dict[str, float]:
+    """Quantify the salting win on a deliberately skewed join.
+
+    95% of a 20M-row generated fact lands on ONE join key; the dim side
+    is forced off the broadcast path and AQE's skew splitting is disabled
+    for both runs, emulating the cases AQE can't see (operators/skew.py).
+    The salted rewrite (deterministic ``id % 64`` fact salt, dim exploded
+    64x) is the identical join with the hot key spread over 64 reducers —
+    same result, different shuffle layout. Both variants are measured
+    under the same confs; session confs are restored afterwards.
+    """
+    from pyspark.sql import functions as F
+
+    n_rows, n_dim, n_salts = 20_000_000, 1_000, 64
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled")
+    saved = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    out: dict[str, float] = {}
+    try:
+        dim = spark.range(n_dim).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+        )
+
+        def fact(with_salt: bool):
+            cols = [
+                F.when(F.col("id") % 20 != 0, F.lit(0))
+                .otherwise(F.col("id") % n_dim)
+                .alias("k"),
+                (F.col("id") % 97).alias("v"),
+            ]
+            if with_salt:
+                cols.append((F.col("id") % n_salts).cast("int").alias("_salt"))
+            return spark.range(n_rows).select(*cols)
+
+        t0 = time.time()
+        _noop_write(
+            fact(False).join(dim, "k").groupBy("k")
+            .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+        out["skew_join_unsalted"] = round(time.time() - t0, 3)
+
+        dim_s = dim.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+        t0 = time.time()
+        _noop_write(
+            fact(True).join(dim_s, ["k", "_salt"]).groupBy("k")
+            .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+        out["skew_join_salted"] = round(time.time() - t0, 3)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return out
+
+
 def main() -> None:
     from parallel_monte_carlo_simulations_spark.registry import load_all_queries
     from parallel_monte_carlo_simulations_spark.session import get_spark
@@ -104,6 +163,7 @@ def main() -> None:
 
     times["mc_demo_workload1"] = round(bench_mc(spark), 3)
     times["mc_demo_workload1_vectorized"] = round(bench_mc(spark, vectorized=True), 3)
+    times.update(bench_skew(spark))
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
