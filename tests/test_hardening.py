@@ -54,6 +54,84 @@ def test_png_inflate_capped_at_declared_size():
         decode_png(over)
 
 
+def test_jpeg_constant_blocks_roundtrip_exact():
+    # Constant 8x8 blocks have a single integer DCT coefficient, which
+    # the all-ones quantization preserves: decode must be bit-exact.
+    import numpy as np
+
+    from parallel_monte_carlo_simulations_spark.multimodal.jpeg import (
+        block_constant,
+        decode_jpeg,
+        synth_jpeg,
+        synth_jpeg_dims,
+    )
+
+    for doc in (0, 3, 9, 33, 300):
+        w, h, channels, px = decode_jpeg(synth_jpeg(doc))
+        assert (w, h) == synth_jpeg_dims(doc) and channels == 1
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                block = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (block == block_constant(doc, bx, by)).all()
+
+
+def test_jpeg_ac_path_matches_numpy_reference():
+    # A random image exercises the full AC machinery (runs, ZRL, EOB,
+    # magnitude categories, DC prediction). The decoded pixels must equal
+    # an independent numpy model of round(DCT) -> IDCT -> clamp — i.e.
+    # the Huffman bitstream is verified symbol-exact end to end.
+    import numpy as np
+
+    from parallel_monte_carlo_simulations_spark.multimodal.jpeg import (
+        _M,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    w, h, _c, px = decode_jpeg(encode_jpeg(img.tobytes(), 32, 24))
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(24, 32)
+    ref = np.zeros_like(img)
+    for by in range(3):
+        for bx in range(4):
+            b = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+            q = np.rint(_M @ (b - 128.0) @ _M.T)
+            r = _M.T @ q @ _M + 128.0
+            ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(r), 0, 255
+            )
+    assert (dec == ref).all()
+
+
+def test_jpeg_rejects_malformed_and_unsupported():
+    from parallel_monte_carlo_simulations_spark.multimodal.jpeg import (
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    payload = synth_jpeg(3)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"notajpeg")
+    # Cuts that remove entropy-coded data (not just the 2-byte EOI tail,
+    # which a complete scan legitimately never reads).
+    for cut in (8, 20, len(payload) // 2):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[:-cut])
+    # Progressive SOF2 is outside the supported subset — clear error, not
+    # garbage output.
+    sof0 = payload.find(b"\xff\xc0")
+    progressive = payload[:sof0] + b"\xff\xc2" + payload[sof0 + 2 :]
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(progressive)
+    # A header declaring absurd dims must be rejected before allocation.
+    dims = struct.pack(">HH", 50_000, 50_000)
+    bombed = payload[: sof0 + 5] + dims + payload[sof0 + 9 :]
+    with pytest.raises(ValueError, match="ceiling"):
+        decode_jpeg(bombed)
+
+
 def test_sessionize_deterministic_under_duplicate_timestamps(spark):
     # Two events sharing (user_id, ts) at a session boundary: both the lag
     # and the running-sum window must tie-break on event_id, so repeated

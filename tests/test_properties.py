@@ -56,7 +56,13 @@ def test_minhash_recall_vs_exact_jaccard(spark):
 def test_multimodal_decode_stub_raises():
     from parallel_monte_carlo_simulations_spark.multimodal.media import decode_image
 
+    # Formats without a native codec (e.g. WebP) stay a clearly-marked
+    # NotImplementedError plug point ...
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPfake")
+    # ... while JPEG now dispatches to the REAL decoder, which rejects a
+    # corrupt payload with the codec's documented ValueError.
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
 
 
