@@ -285,12 +285,19 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize path — stubbed (no PIL in this container)."""
-    raise NotImplementedError(
-        "image resize requires pillow; the registered query computes the "
-        "resize PLAN (target dims) — the Spark-side contract a real "
-        "resizer plugs into"
-    )
+    """REAL nearest-neighbor resize: decode the payload with the native
+    codecs (PNG/JPEG), sample source pixel ``(x*src_w)//width`` per
+    target pixel (pure integer arithmetic — reproducible anywhere,
+    including in SQL), return row-major resized bytes."""
+    import numpy as np
+
+    src_w, src_h, channels, pixels = decode_image(payload)
+    if width < 1 or height < 1:
+        raise ValueError("target dims must be positive")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(src_h, src_w, channels)
+    xs = (np.arange(width) * src_w) // width
+    ys = (np.arange(height) * src_h) // height
+    return arr[np.ix_(ys, xs)].tobytes()
 
 
 _QRESIZE_ORACLE = """
@@ -355,6 +362,85 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         tw.alias("target_w"),
         th.alias("target_h"),
     )
+
+
+_RESIZE_EXEC_SCHEMA = (
+    "doc_id long, target_w int, target_h int, n_values long, pixel_sum long"
+)
+
+
+def _resize_exec_batch(batches: Iterator) -> Iterator:
+    """Synthesize a PNG per doc, decode it, and REALLY resize it to an
+    aspect-preserving 32-max-side thumbnail (integer-arithmetic target
+    dims, nearest-neighbor sampling)."""
+    import pandas as pd
+
+    from .png import synth_png
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            payload = synth_png(int(doc_id))
+            w, h, channels, _pixels = decode_image(payload)
+            if w >= h:
+                tw, th = 32, max(1, (32 * h) // w)
+            else:
+                tw, th = max(1, (32 * w) // h), 32
+            resized = resize_image(payload, tw, th)
+            rows.append(
+                (int(doc_id), tw, th, tw * th * channels, sum(resized))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "target_w", "target_h", "n_values", "pixel_sum"],
+        )
+
+
+_QRESIZE_EXEC_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 7) + 3 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), dims AS (
+  SELECT doc_id, w, h,
+         CASE WHEN w >= h THEN 32 ELSE GREATEST(1, (32 * w) // h) END AS tw,
+         CASE WHEN w >= h THEN GREATEST(1, (32 * h) // w) ELSE 32 END AS th
+  FROM imgs
+)
+SELECT d.doc_id,
+       CAST(d.tw AS INTEGER)            AS target_w,
+       CAST(d.th AS INTEGER)            AS target_h,
+       CAST(d.tw * d.th * 3 AS BIGINT)  AS n_values,
+       CAST(SUM((d.doc_id*7 + ((x.x * d.w) // d.tw)*3
+                 + ((y.y * d.h) // d.th)*5 + c.c*11) % 256) AS BIGINT)
+                                         AS pixel_sum
+FROM dims d,
+     LATERAL (SELECT unnest(range(0, d.tw)) AS x) x,
+     LATERAL (SELECT unnest(range(0, d.th)) AS y) y,
+     LATERAL (SELECT unnest(range(0, 3))    AS c) c
+GROUP BY d.doc_id, d.tw, d.th
+"""
+
+
+@register(
+    "q_multimodal_resize_exec",
+    oracle=_QRESIZE_EXEC_ORACLE,
+    description=(
+        "REAL resize execution: decode synthetic PNGs and nearest-neighbor "
+        "downsample to 32-max-side thumbnails; oracle recomputes the "
+        "resized pixel sum from the closed form without decoding"
+    ),
+    tags=("multimodal", "resize", "image", "codec", "mapInPandas"),
+)
+def q_multimodal_resize_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTED half of the resize stage (the `_plan` query computes
+    target dims JVM-side; this one runs the actual sampler). Source
+    pixels come from the real PNG decode; the nearest-neighbor index map
+    ``src = (dst * src_dim) // dst_dim`` is integer arithmetic, so the
+    oracle reproduces the exact resized checksum in SQL. One Arrow
+    narrow map, zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    imgs = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return imgs.mapInPandas(_resize_exec_batch, schema=_RESIZE_EXEC_SCHEMA)
 
 
 _QFRAMES_ORACLE = """

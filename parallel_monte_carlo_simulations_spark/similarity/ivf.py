@@ -28,6 +28,13 @@ TOP_K = 10
 N_QUERIES = 5
 _SEED = 42
 
+#: Broadcast bound for the probe frame (r1 ask #8): each probe row
+#: carries a full query embedding (~dim x 8 B), so broadcasting is only
+#: safe while |queries| x NPROBE stays small. Above the bound the probe
+#: join falls back to a hash-partitioned shuffle join on cluster_id —
+#: the same plan shape IVF serving uses for large query batches.
+MAX_BROADCAST_PROBES = 10_000
+
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
@@ -88,9 +95,18 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qemb", "cluster_id")
     )
 
-    # search only the probed clusters: equi-join on cluster_id
-    cand = (
+    # search only the probed clusters: equi-join on cluster_id. The
+    # registered query has N_QUERIES x NPROBE = 20 probe rows -> broadcast;
+    # a large query batch would exceed MAX_BROADCAST_PROBES and take the
+    # shuffle path instead of OOMing every executor with the broadcast.
+    n_probes = N_QUERIES * NPROBE
+    probe_side = (
         F.broadcast(probes)
+        if n_probes <= MAX_BROADCAST_PROBES
+        else probes.repartition("cluster_id")
+    )
+    cand = (
+        probe_side
         .join(assigned, "cluster_id")
         .where(F.col("query_id") != F.col("vec_id"))
         .withColumn("qn", norm(F.col("qemb")))
