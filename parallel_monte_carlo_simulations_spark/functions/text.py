@@ -207,3 +207,81 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length("text").cast("bigint").alias("fp_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms: the classic corpus-statistics operator (term weighting
+# for retrieval / keyword extraction over a training corpus).
+# --------------------------------------------------------------------------
+
+_QTFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+toks3 AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks3 GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks3 GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)
+           AS rk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rk AS INTEGER) AS rk
+FROM scored WHERE rk <= 5
+"""
+
+
+@register(
+    "q_text_tfidf_topterms",
+    oracle=_QTFIDF_ORACLE,
+    description="TF-IDF: per-doc top-5 terms (smoothed idf, integer-keyed rank)",
+    tags=("text", "tfidf", "corpus", "window"),
+)
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term weighting: tf per (doc, term), smoothed idf
+    ``ln((N+1)/(df+1))``, top-5 terms per doc. The rank key is the pure
+    INTEGER triple (tf desc, df asc, term) — "most frequent, rarest
+    first" — so cross-engine ordering never depends on float ulps; the
+    float tfidf score is display output, rounded identically on both
+    engines. At 100 TB: two hash aggregates on (doc,term)/(term) and one
+    per-doc window — the df side is the only corpus-wide shuffle and
+    carries (term, count) pairs only."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                4,
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"), "tfidf",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

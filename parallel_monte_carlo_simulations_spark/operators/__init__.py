@@ -36,6 +36,7 @@ from . import (  # noqa: F401
     tpch3,
     tpch4,
     variant,
+    warehouse,
     windows,
     windows2,
 )
