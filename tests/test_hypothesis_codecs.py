@@ -1,0 +1,72 @@
+"""Hypothesis property tests for the native image codecs (no Spark per
+example — pure Python/numpy, hundreds of generated cases).
+
+PNG is lossless: encode->decode must reproduce arbitrary pixel content
+bit-exactly under every (dims, filter-choice) combination. Baseline JPEG
+is lossy, but its loss is exactly the quantization round-trip: the
+decoder's output on arbitrary content must equal the independent numpy
+model round(DCT) -> IDCT -> clamp of each block — which verifies the
+whole Huffman bitstream (DC prediction, magnitude categories, AC runs,
+ZRL/EOB, byte stuffing) symbol-exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parallel_monte_carlo_simulations_spark.multimodal.jpeg import (
+    _M,
+    decode_jpeg,
+    encode_jpeg,
+)
+from parallel_monte_carlo_simulations_spark.multimodal.png import (
+    decode_png,
+    encode_png,
+)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    color=st.sampled_from([0, 2]),
+    base_filter=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_roundtrip_lossless(w, h, color, base_filter, seed):
+    channels = 1 if color == 0 else 3
+    rng = np.random.default_rng(seed)
+    pixels = bytes(rng.integers(0, 256, size=w * h * channels, dtype=np.uint8))
+    payload = encode_png(
+        w, h, pixels, color_type=color,
+        filter_per_row=lambda y: (base_filter + y) % 5,
+    )
+    dw, dh, dc, out = decode_png(payload)
+    assert (dw, dh, dc) == (w, h, channels)
+    assert out == pixels
+
+
+@given(
+    bw=st.integers(min_value=1, max_value=3),
+    bh=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_roundtrip_matches_quantization_model(bw, bh, seed):
+    w, h = bw * 8, bh * 8
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    dw, dh, dc, px = decode_jpeg(encode_jpeg(img.tobytes(), w, h))
+    assert (dw, dh, dc) == (w, h, 1)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    ref = np.zeros_like(img)
+    for by in range(bh):
+        for bx in range(bw):
+            b = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+            q = np.rint(_M @ (b - 128.0) @ _M.T)
+            r = _M.T @ q @ _M + 128.0
+            ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(r), 0, 255
+            )
+    assert (dec == ref).all()

@@ -127,3 +127,40 @@ def test_pii_redaction_no_shuffle_no_python(spark):
     plan = _plan(spark, "q_pii_redaction")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Runtime row-level bloom pruning: a selective dim-side filter should
+    inject a bloom_filter_agg on the build side and a might_contain probe
+    into the fact scan — the mechanism that skips most of a 100 TB fact
+    table's rows before the shuffle. At sf0.01 the size heuristics never
+    fire, so the thresholds are lowered to emulate at-scale relation
+    sizes; the assertion is that the rewrite itself is available and
+    wired (broadcast is disabled to keep a shuffle join, which bloom
+    injection requires)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        p = spark.read.parquet("/root/testdata/sf0.01/part.parquet").filter(
+            F.col("p_size") == 15
+        )
+        q = (
+            l.join(p, l.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
