@@ -113,3 +113,20 @@ def test_hll_sketch_merge_accuracy(spark):
         table(spark, SF, "orders").select("o_custkey").distinct().count()
     )
     assert abs(est.distinct_customers - exact) / exact < 0.05
+
+
+def test_pq_recall_vs_brute(spark):
+    """PQ (16 subspaces x 16 codes, 2 Lloyd refinement steps, ADC +
+    exact re-rank of the top 50) must recover most of the true top-10
+    (measured ~0.9 on this corpus; 0.6 bound leaves slack for the
+    float-mean nondeterminism in distributed codebook training)."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["q_sim_brute_topk"].fn(spark, SF).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["q_sim_pq_topk"].fn(spark, SF).collect()
+    }
+    recall = len(brute & pq) / len(brute)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} vs brute top-10"
