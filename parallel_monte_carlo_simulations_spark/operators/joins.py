@@ -379,3 +379,36 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o.bucket.eqNullSafe(c.bucket)).select(
         "o_orderkey", o.bucket.alias("bucket"), "n_cust"
     )
+
+
+_QRIGHT_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT)          AS n_rows
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "q_join_right_outer",
+    oracle=_QRIGHT_ORACLE,
+    description="right outer join: customers kept, orderless rows surface as NULLs",
+    tags=("join", "right", "outer"),
+)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer = left outer with sides swapped, but registered in its
+    own right because the NULL-extension semantics differ per side and
+    the COUNT(col)-vs-COUNT(*) distinction over the null-extended rows is
+    the classic correctness trap. Shuffle join on custkey; at scale both
+    sides are fact-sized so neither is broadcast."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"), "right_outer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )

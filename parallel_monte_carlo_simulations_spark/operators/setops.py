@@ -86,3 +86,54 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # subtract == EXCEPT DISTINCT (exceptAll would keep multiset residues)
     return building.subtract(big)
+
+
+_QEXCEPT_ALL_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+"""
+
+
+@register(
+    "q_except_all",
+    oracle=_QEXCEPT_ALL_ORACLE,
+    description="EXCEPT ALL: multiset difference preserving residual multiplicity",
+    tags=("setops", "except", "multiset"),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics: a customer with 3 urgent orders and 1 expensive one
+    keeps 2 residual rows — the multiplicity arithmetic DISTINCT-based
+    except() erases. Same shuffle shape as except (hash on the row)."""
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    big = o.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.exceptAll(big)
+
+
+_QINTERSECT_ALL_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+"""
+
+
+@register(
+    "q_intersect_all",
+    oracle=_QINTERSECT_ALL_ORACLE,
+    description="INTERSECT ALL: multiset intersection (min multiplicity)",
+    tags=("setops", "intersect", "multiset"),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    big = o.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersectAll(big)
