@@ -29,8 +29,6 @@ tests/test_properties.py like the LSH and IVF paths.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -74,17 +72,23 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 def _melt(df: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
     """One row per (id, subspace): ``subvec`` is the m-th SUB_DIM slice.
-    At scale this M-fold fanout is the standard PQ layout; a production
-    encode would fuse assignment into one Arrow LUT pass instead."""
-    pieces = [
-        df.select(
-            *id_cols,
-            F.lit(m).alias("m"),
-            F.slice(F.col(vec_col), m * SUB_DIM + 1, SUB_DIM).alias("subvec"),
-        )
-        for m in range(M_SUB)
-    ]
-    return reduce(lambda a, b: a.unionByName(b), pieces)
+    Single explode of an inline struct array — NOT an M-way union, whose
+    M scan branches would be copied into every downstream reference and
+    blow up the plan across Lloyd iterations. At scale this M-fold
+    fanout is the standard PQ layout; a production encode would fuse
+    assignment into one Arrow LUT pass instead."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col(vec_col), m * SUB_DIM + 1, SUB_DIM).alias("subvec"),
+            )
+            for m in range(M_SUB)
+        ]
+    )
+    return df.select(*id_cols, F.explode(subs).alias("_s")).select(
+        *id_cols, F.col("_s.m").alias("m"), F.col("_s.subvec").alias("subvec")
+    )
 
 
 def _assign(melted: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
@@ -113,8 +117,10 @@ def pq_codebooks(corpus: DataFrame) -> DataFrame:
         .filter(F.col("rk") <= K_CODES)
         .select((F.col("rk") - 1).alias("code"), F.col("emb"))
     )
-    codebooks = _melt(anchors, "emb", ["code"]).select("m", "code", F.col("subvec").alias("anchor_sub"))
-    melted = _melt(corpus, "emb", ["vec_id"])
+    codebooks = _melt(anchors, "emb", ["code"]).select(
+        "m", "code", F.col("subvec").alias("anchor_sub")
+    )
+    melted = _melt(corpus, "emb", ["vec_id"]).persist()
     for _ in range(LLOYD_ITERS):
         assigned = _assign(melted, codebooks, "vec_id")
         codebooks = assigned.groupBy("m", "code").agg(
@@ -122,6 +128,13 @@ def pq_codebooks(corpus: DataFrame) -> DataFrame:
                 "anchor_sub"
             )
         )
+        # Materialize each iteration's codebook (M_SUB*K_CODES tiny rows)
+        # and CUT the lineage: without this, iteration i+1's plan embeds
+        # i's whole training subtree, and the final query replays the
+        # entire cascade once per downstream reference — measured as a
+        # driver-heap OOM at sf0.1 before truncation.
+        codebooks = codebooks.localCheckpoint(eager=True)
+    melted.unpersist()
     return codebooks
 
 

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Scale study: time representative headline queries at every generated
+SF (0.001 / 0.01 / 0.1 — 100x data range) on the same session, printing
+per-query seconds and the 0.01->0.1 scaling ratio.
+
+A shuffle- or driver-bound operator shows super-linear growth across the
+100x range; scan-bound operators grow sub-linearly (fixed overheads
+amortize). Results are recorded in SCALING.md per round.
+
+    python tools/scale_study.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+QUERIES = [
+    "q01_pricing_summary",
+    "q09_product_profit",
+    "q18_large_volume_customer",
+    "q_dedup_minhash_lsh",
+    "q_pipeline_llm_curation",
+    "q_text_tfidf_topterms",
+    "q_sim_pq_topk",
+    "q_merge_upsert",
+]
+
+
+def main() -> None:
+    from parallel_monte_carlo_simulations_spark.registry import load_all_queries
+    from parallel_monte_carlo_simulations_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-study", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all_queries()
+
+    # warm JVM + python workers
+    specs["q_filter_project"].fn(spark, SFS[1]).count()
+    spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
+
+    out: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        out[name] = {}
+        for sf_dir in SFS:
+            t0 = time.time()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name][sf_dir.rsplit("sf", 1)[1]] = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
+        a, b = out[name]["0.01"], out[name]["0.1"]
+        out[name]["ratio_10x"] = round(b / a, 2) if a else None
+        print(name, out[name], flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
