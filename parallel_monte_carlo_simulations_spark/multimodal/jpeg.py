@@ -1,16 +1,18 @@
-"""Baseline JPEG (ITU T.81) grayscale codec — stdlib + numpy only.
+"""Baseline JPEG (ITU T.81) codec — stdlib + numpy only.
 
 A real, self-contained implementation of the baseline sequential DCT
-process for single-component (grayscale) 8-bit images: marker segment
-parsing (SOI/DQT/SOF0/DHT/SOS/EOI, APPn/COM skipped), canonical Huffman
-tables decoded from DHT, entropy-coded scan with byte unstuffing, DC
-prediction with signed magnitude categories, AC run-length (EOB/ZRL)
-coding, dequantization, inverse zigzag, and a float IDCT — plus the
-matching encoder used to synthesize deterministic test payloads.
+process for 8-bit grayscale AND 3-component 4:4:4 YCbCr images: marker
+segment parsing (SOI/DQT/SOF0/DHT/SOS/EOI, APPn/COM skipped), canonical
+Huffman tables decoded from DHT, entropy-coded scan with byte
+unstuffing, interleaved MCUs with per-component DC predictors, AC
+run-length (EOB/ZRL) coding, dequantization, inverse zigzag, a float
+IDCT, and BT.601 YCbCr->RGB conversion — plus the matching encoder used
+to synthesize deterministic test payloads.
 
-Scope (enforced, clear errors outside it): baseline DCT, 8-bit,
-one component, no restart markers, no progressive/arithmetic coding.
-That subset is decoded for REAL — there is no library call anywhere.
+Scope (enforced, clear errors outside it): baseline DCT, 8-bit, 1 or 3
+components without subsampling, no restart markers, no progressive or
+arithmetic coding. That subset is decoded for REAL — there is no
+library call anywhere.
 
 The embedded Huffman tables are canonical fixed-length code sets (12
 DC symbols at 4 bits, 256 AC symbols at 8-9 bits): valid JPEG prefix
@@ -153,64 +155,104 @@ def _category(v: int) -> int:
 # --------------------------------------------------------------------------
 
 
+def _encode_block(
+    w: _BitWriter,
+    block: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """FDCT + quantize (all-ones table) + entropy-code one 8x8 block;
+    returns the block's DC for the component's predictor."""
+    coef = _M @ (block.astype(np.float64) - 128.0) @ _M.T
+    q = np.rint(coef).astype(np.int64)
+    zz = [int(q[r, c]) for r, c in ZIGZAG]
+
+    diff = zz[0] - prev_dc
+    size = _category(diff)
+    w.write(*dc_codes[size])
+    if size:
+        w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+    run = 0
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        size = _category(v)
+        w.write(*ac_codes[(run << 4) | size])
+        w.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        w.write(*ac_codes[0x00])  # EOB
+    return zz[0]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _headers(width: int, height: int, ncomp: int) -> bytes:
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(DQT, b"\x00" + bytes([1] * 64))
+    comp_specs = b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
+    out += _seg(SOF0, struct.pack(">BHHB", 8, height, width, ncomp) + comp_specs)
+    out += _seg(DHT, bytes([0x00] + _DC_BITS) + bytes(_DC_SYMS))
+    out += _seg(DHT, bytes([0x10] + _AC_BITS) + bytes(_AC_SYMS))
+    scan_specs = b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
+    out += _seg(SOS, bytes([ncomp]) + scan_specs + bytes([0, 63, 0]))
+    return bytes(out)
+
+
+def _encode_planes(planes: list[np.ndarray], width: int, height: int) -> bytes:
+    """Shared encoder core: interleaved MCUs (one 8x8 block per plane,
+    4:4:4), per-plane DC predictors, all-ones quantization."""
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg: dimensions must be multiples of 8")
+    for p in planes:
+        if p.shape != (height, width):
+            raise ValueError("encode_jpeg: plane shape does not match dims")
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMS)
+    w = _BitWriter()
+    prev_dc = [0] * len(planes)
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for ci, plane in enumerate(planes):
+                prev_dc[ci] = _encode_block(
+                    w,
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    prev_dc[ci],
+                    dc_codes,
+                    ac_codes,
+                )
+    return _headers(width, height, len(planes)) + w.flush() + b"\xff\xd9"
+
+
 def encode_jpeg(pixels: bytes, width: int, height: int) -> bytes:
     """Encode 8-bit grayscale row-major ``pixels`` as a baseline JPEG.
 
     Dimensions must be multiples of 8 (the synthetic-payload case; real
     encoders pad partial blocks). Quantization is the all-ones table, so
     integer-valued DCT blocks round-trip exactly."""
-    if width % 8 or height % 8:
-        raise ValueError("encode_jpeg: dimensions must be multiples of 8")
     if len(pixels) != width * height:
         raise ValueError("encode_jpeg: pixel buffer does not match dims")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    return _encode_planes([arr], width, height)
 
-    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMS)
-    w = _BitWriter()
-    prev_dc = 0
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            block = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
-            coef = _M @ (block - 128.0) @ _M.T
-            q = np.rint(coef).astype(np.int64)  # all-ones quant table
-            zz = [int(q[r, c]) for r, c in ZIGZAG]
 
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            size = _category(diff)
-            w.write(*dc_codes[size])
-            if size:
-                w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-
-            run = 0
-            for v in zz[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    w.write(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                size = _category(v)
-                w.write(*ac_codes[(run << 4) | size])
-                w.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if run:
-                w.write(*ac_codes[0x00])  # EOB
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    quant_zz = bytes([1] * 64)
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(DQT, b"\x00" + quant_zz)
-    out += seg(SOF0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
-    out += seg(DHT, bytes([0x00] + _DC_BITS) + bytes(_DC_SYMS))
-    out += seg(DHT, bytes([0x10] + _AC_BITS) + bytes(_AC_SYMS))
-    out += seg(SOS, bytes([1, 1, 0x00, 0, 63, 0]))
-    out += w.flush()
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+def encode_jpeg_ycbcr(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, width: int, height: int
+) -> bytes:
+    """Encode three ALREADY-YCbCr 8-bit planes as a 3-component 4:4:4
+    baseline JPEG (interleaved MCUs, shared quant/Huffman tables). The
+    planes are taken as-is — no RGB conversion on encode — so integer
+    constant blocks survive the all-ones quantization exactly and the
+    decoder's YCbCr->RGB output has a closed form."""
+    return _encode_planes([y, cb, cr], width, height)
 
 
 # --------------------------------------------------------------------------
@@ -219,16 +261,18 @@ def encode_jpeg(pixels: bytes, width: int, height: int) -> bytes:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline grayscale JPEG; returns ``(width, height,
-    channels=1, pixels)``. Raises ``ValueError`` on corruption or on
-    features outside the supported subset."""
+    """Decode a baseline JPEG — grayscale or 3-component 4:4:4 YCbCr —
+    returning ``(width, height, channels, pixels)`` with color output as
+    interleaved RGB. Raises ``ValueError`` on corruption or on features
+    outside the supported subset (subsampling, progressive, 16-bit)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = -1
-    comp_dc = comp_ac = comp_q = 0
+    comp_q: dict[int, int] = {}
+    scan_comps: list[tuple[int, int, int]] = []
     scan_data: bytes | None = None
 
     while pos < len(payload):
@@ -263,11 +307,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise ValueError("only single-component (grayscale) supported")
-            if body[7] != 0x11:
-                raise ValueError("subsampling unsupported for grayscale")
-            comp_q = body[8]
+            if ncomp not in (1, 3):
+                raise ValueError("only 1 (gray) or 3 (YCbCr) components supported")
+            comp_q = {}
+            for ci in range(ncomp):
+                cid, sampling, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError("only 4:4:4 (no subsampling) supported")
+                comp_q[cid] = qid
             if width * height > _MAX_PIXELS:
                 raise ValueError("declared dims exceed pixel ceiling")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
@@ -290,9 +337,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 huff[(cls, tid)] = table
                 off += 17 + n
         elif marker == SOS:
-            if body[0] != 1:
-                raise ValueError("scan must cover exactly 1 component")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            if ns not in (1, 3):
+                raise ValueError("scan must cover 1 or 3 components")
+            scan_comps = []
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                tbls = body[2 + 2 * ci]
+                scan_comps.append((cid, tbls >> 4, tbls & 0xF))
             scan_data = payload[pos:]
             break
         # APPn / COM / others: skipped
@@ -301,13 +353,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing SOS")
     if width < 0:
         raise ValueError("missing SOF0")
-    if comp_q not in quant:
-        raise ValueError("missing quantization table")
-    if (0, comp_dc) not in huff or (1, comp_ac) not in huff:
-        raise ValueError("missing Huffman table")
+    if len(scan_comps) != len(comp_q):
+        raise ValueError("scan component count differs from frame")
+    for cid, dc_id, ac_id in scan_comps:
+        if cid not in comp_q:
+            raise ValueError(f"scan references unknown component {cid}")
+        if comp_q[cid] not in quant:
+            raise ValueError("missing quantization table")
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("missing Huffman table")
 
-    dc_tbl, ac_tbl = huff[(0, comp_dc)], huff[(1, comp_ac)]
-    qtbl = quant[comp_q]
     r = _BitReader(scan_data)
 
     def read_symbol(table: dict[tuple[int, int], int]) -> int:
@@ -318,41 +373,69 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 return table[(length, code)]
         raise ValueError("invalid Huffman code in scan")
 
+    def read_block(dc_tbl, ac_tbl, qtbl, prev_dc: int) -> tuple[np.ndarray, int]:
+        zz = [0] * 64
+        size = read_symbol(dc_tbl)
+        if size > 11:
+            raise ValueError("invalid DC category")
+        diff = _extend(r.receive(size), size) if size else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = read_symbol(ac_tbl)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            zz[k] = _extend(r.receive(size), size)
+            k += 1
+        coef = np.zeros((8, 8), dtype=np.float64)
+        for i, (row, col) in enumerate(ZIGZAG):
+            coef[row, col] = zz[i] * qtbl[row, col]
+        block = _M.T @ coef @ _M + 128.0
+        return np.clip(np.rint(block), 0, 255).astype(np.uint8), prev_dc
+
+    ncomp = len(scan_comps)
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-    prev_dc = 0
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    # Interleaved MCUs (4:4:4): one block per component per MCU, each
+    # component with its own DC predictor and table set.
     for by in range(bh):
         for bx in range(bw):
-            zz = [0] * 64
-            size = read_symbol(dc_tbl)
-            if size > 11:
-                raise ValueError("invalid DC category")
-            diff = _extend(r.receive(size), size) if size else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = read_symbol(ac_tbl)
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _extend(r.receive(size), size)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            for i, (row, col) in enumerate(ZIGZAG):
-                coef[row, col] = zz[i] * qtbl[row, col]
-            block = _M.T @ coef @ _M + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype(np.uint8)
+            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+                block, prev_dc[ci] = read_block(
+                    huff[(0, dc_id)], huff[(1, ac_id)], quant[comp_q[cid]],
+                    prev_dc[ci],
+                )
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
 
-    return width, height, 1, out[:height, :width].tobytes()
+    if ncomp == 1:
+        return width, height, 1, planes[0][:height, :width].tobytes()
+
+    # YCbCr (BT.601 full-range) -> RGB. Rounding is floor(x + 0.5): the
+    # JPEG spec does not mandate a rounding mode here, and floor+0.5 is
+    # reproducible verbatim in SQL, which keeps the decoded output
+    # closed-form checkable (np.rint's half-to-even is not).
+    y = planes[0][:height, :width].astype(np.float64)
+    cb = planes[1][:height, :width].astype(np.float64) - 128.0
+    cr = planes[2][:height, :width].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    rgb = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()
 
 
 # --------------------------------------------------------------------------
@@ -382,3 +465,26 @@ def synth_jpeg(doc_id: int) -> bytes:
                 doc_id, bx, by
             )
     return encode_jpeg(arr.tobytes(), width, height)
+
+
+def block_ycbcr(doc_id: int, bx: int, by: int) -> tuple[int, int, int]:
+    """Per-block constant YCbCr triple for the color synthetic payloads."""
+    return (
+        (doc_id * 13 + bx * 7 + by * 3) % 256,
+        (doc_id * 5 + bx * 11) % 256,
+        (doc_id * 3 + by * 17) % 256,
+    )
+
+
+def synth_jpeg_color(doc_id: int) -> bytes:
+    """Deterministic 3-component 4:4:4 JPEG: constant YCbCr blocks that
+    survive all-ones quantization exactly, so the decoder's RGB output
+    (floor(x+0.5) conversion) has a closed form the oracle can verify."""
+    width, height = synth_jpeg_dims(doc_id)
+    planes = [np.zeros((height, width), dtype=np.uint8) for _ in range(3)]
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            y, cb, cr = block_ycbcr(doc_id, bx, by)
+            for plane, v in zip(planes, (y, cb, cr)):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    return encode_jpeg_ycbcr(*planes, width, height)

@@ -364,6 +364,94 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_jpeg_color_batch(batches: Iterator) -> Iterator:
+    import pandas as pd
+
+    from .jpeg import synth_jpeg_color
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda d: synth_jpeg_color(int(d))),
+            }
+        )
+
+
+_QJPEG_COLOR_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id,
+         2 + doc_id % 4        AS wb,
+         2 + (doc_id % 9) // 3 AS hb
+  FROM documents WHERE doc_id % 3 = 1
+),
+blocks AS (
+  SELECT i.doc_id, i.wb, i.hb,
+         (i.doc_id*13 + bx.bx*7 + by.by*3) % 256         AS y,
+         ((i.doc_id*5 + bx.bx*11) % 256) - 128.0         AS cb,
+         ((i.doc_id*3 + by.by*17) % 256) - 128.0         AS cr
+  FROM imgs i,
+       LATERAL (SELECT unnest(range(0, i.wb)) AS bx) bx,
+       LATERAL (SELECT unnest(range(0, i.hb)) AS by) by
+),
+px AS (
+  SELECT doc_id, wb, hb,
+    LEAST(255, GREATEST(0, FLOOR(y + 1.402*cr + 0.5)))                     AS r,
+    LEAST(255, GREATEST(0, FLOOR(y - 0.344136*cb - 0.714136*cr + 0.5)))    AS g,
+    LEAST(255, GREATEST(0, FLOOR(y + 1.772*cb + 0.5)))                     AS b
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(8 * wb AS INTEGER)             AS width,
+       CAST(8 * hb AS INTEGER)             AS height,
+       CAST(64 * wb * hb * 3 AS BIGINT)    AS n_values,
+       CAST(SUM(64 * (r + g + b)) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, wb, hb
+"""
+
+
+@register(
+    "q_multimodal_jpeg_color",
+    oracle=_QJPEG_COLOR_ORACLE,
+    description=(
+        "REAL color JPEG decode: 3-component 4:4:4 YCbCr payloads decoded "
+        "through interleaved-MCU Huffman scan + IDCT + YCbCr->RGB; oracle "
+        "recomputes the RGB checksum from the closed form"
+    ),
+    tags=("multimodal", "binary", "jpeg", "color", "codec", "mapInPandas"),
+)
+def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color twin of q_multimodal_jpeg_decode: three interleaved
+    components, per-component DC predictors, and the BT.601 YCbCr->RGB
+    conversion with floor(x+0.5) rounding — chosen precisely because the
+    oracle can replay it verbatim in SQL, so the hash match proves the
+    full color pipeline, not just the luma plane."""
+    d = table(spark, sf_dir, "documents")
+    imgs = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    payloads = imgs.mapInPandas(
+        _synth_jpeg_color_batch, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _decode_color_batch,
+        schema="doc_id long, width int, height int, n_values long, pixel_sum long",
+    )
+
+
+def _decode_color_batch(batches: Iterator) -> Iterator:
+    """REAL decode emitting the channel-aware value count (w*h*channels)
+    so the oracle checks the full RGB buffer, not just the pixel grid."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, channels, pixels = decode_image(bytes(payload))
+            rows.append((int(doc_id), w, h, w * h * channels, sum(pixels)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "n_values", "pixel_sum"]
+        )
+
+
 _RESIZE_EXEC_SCHEMA = (
     "doc_id long, target_w int, target_h int, n_values long, pixel_sum long"
 )

@@ -70,3 +70,45 @@ def test_jpeg_roundtrip_matches_quantization_model(bw, bh, seed):
                 np.rint(r), 0, 255
             )
     assert (dec == ref).all()
+
+
+@given(
+    bw=st.integers(min_value=1, max_value=3),
+    bh=st.integers(min_value=1, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_color_roundtrip_matches_model(bw, bh, seed):
+    """Random YCbCr planes through the 3-component bitstream must equal
+    the numpy model: per-plane round(DCT)->IDCT->clamp, then BT.601
+    conversion with floor(x+0.5) rounding."""
+    from parallel_monte_carlo_simulations_spark.multimodal.jpeg import (
+        encode_jpeg_ycbcr,
+    )
+
+    w, h = bw * 8, bh * 8
+    rng = np.random.default_rng(seed)
+    planes = [rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(3)]
+    dw, dh, dc, px = decode_jpeg(encode_jpeg_ycbcr(*planes, w, h))
+    assert (dw, dh, dc) == (w, h, 3)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+
+    ref_planes = []
+    for plane in planes:
+        out = np.zeros((h, w), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                b = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+                q = np.rint(_M @ (b - 128.0) @ _M.T)
+                r = _M.T @ q @ _M + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(r), 0, 255
+                )
+        ref_planes.append(out)
+    y, cb, cr = ref_planes[0], ref_planes[1] - 128.0, ref_planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    ref = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    assert (dec == ref).all()
