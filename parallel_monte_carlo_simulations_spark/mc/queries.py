@@ -189,3 +189,110 @@ def q_mc_gbm_option_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").cast("bigint").alias("n_paths"),
     )
+
+
+# --------------------------------------------------------------------------
+# Variance reduction — the MC-practice layer above raw simulation. Both
+# estimators target the same European call as q_mc_gbm_option_price, so
+# tests can assert the std-error reduction directly.
+# --------------------------------------------------------------------------
+
+_GBM_R, _GBM_SIGMA, _GBM_STEPS, _GBM_DT, _GBM_STRIKE = 0.03, 0.25, 64, 1.0 / 64, 105.0
+
+
+def _gbm_terminal_antithetic(number_points, rng, parameters=None, starting_point=None):
+    """Antithetic GBM: drive one path with Z and its mirror with -Z; the
+    trace is the [S_T(+Z), S_T(-Z)] pair. Pairing inside the model keeps
+    the +/- draws on the SAME rng stream, so the estimator stays
+    reproducible under the battery's per-sim seeding."""
+    import numpy as np
+
+    mu, sigma, dt = (parameters or [0.05, 0.2, 1.0 / 252])[:3]
+    s0 = float(starting_point) if starting_point is not None else 100.0
+    z = rng.normal(0.0, 1.0, size=number_points)
+    drift = (mu - 0.5 * sigma**2) * dt
+    up = s0 * float(np.exp(np.sum(drift + sigma * np.sqrt(dt) * z)))
+    dn = s0 * float(np.exp(np.sum(drift - sigma * np.sqrt(dt) * z)))
+    return [up, dn]
+
+
+@register(
+    "q_mc_gbm_antithetic",
+    oracle=None,  # simulation-fed; std-error reduction asserted in tests
+    description="antithetic-variates GBM pricing: mirrored-draw pairs halve variance",
+    tags=("mc", "gbm", "variance_reduction", "antithetic"),
+)
+def q_mc_gbm_antithetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Antithetic variates: each pair averages the payoff of a +Z and a
+    -Z path; monotone payoffs make the pair negatively correlated, so
+    the pair-mean estimator's variance drops well below 1/2 the plain
+    rate per path. Same 20k total paths (10k pairs) as the plain query —
+    tests assert std_error(antithetic) < std_error(plain)."""
+    battery = MCBattery({"rng": "Philox", "master_seed": 31337})
+    traces = battery.simulate(
+        [_gbm_terminal_antithetic],
+        [{"number_simulations": 10_000, "number_points": _GBM_STEPS,
+          "parameters": [_GBM_R, _GBM_SIGMA, _GBM_DT],
+          "starting_point": 100.0, "batch_size": 2_500}],
+        spark=spark,
+        trace_dtype="double",
+    )
+    import math
+
+    disc = math.exp(-_GBM_R * _GBM_STEPS * _GBM_DT)
+    pay = lambda c: F.greatest(c - F.lit(_GBM_STRIKE), F.lit(0.0))  # noqa: E731
+    pair_mean = (
+        pay(F.element_at("trace", 1)) + pay(F.element_at("trace", 2))
+    ) / 2.0
+    pairs = traces.select(pair_mean.alias("pair_payoff"))
+    return pairs.agg(
+        F.round(F.avg("pair_payoff") * disc, 4).alias("mc_price"),
+        F.round(F.stddev("pair_payoff") * disc / F.sqrt(F.count("*")), 4).alias(
+            "std_error"
+        ),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+
+
+@register(
+    "q_mc_gbm_control_variate",
+    oracle=None,  # simulation-fed; std-error reduction asserted in tests
+    description="control-variate GBM pricing: S_T control with analytic mean",
+    tags=("mc", "gbm", "variance_reduction", "control_variate"),
+)
+def q_mc_gbm_control_variate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control variates: the terminal price S_T has the analytic mean
+    S0*exp(rT) under the risk-neutral measure, so payoff - beta*(S_T -
+    E[S_T]) is unbiased for any beta; the variance-optimal beta =
+    Cov(payoff, S_T)/Var(S_T) is estimated with Spark's covar_samp /
+    var_samp aggregates in the same pass (two lightweight jobs total,
+    both full map-side partial aggregation — no per-path state on the
+    driver)."""
+    battery = MCBattery({"rng": "Philox", "master_seed": 31337})
+    traces = battery.simulate(
+        [_gbm_paths],
+        [{"number_simulations": 20_000, "number_points": _GBM_STEPS,
+          "parameters": [_GBM_R, _GBM_SIGMA, _GBM_DT],
+          "starting_point": 100.0, "batch_size": 2_500}],
+        spark=spark,
+        trace_dtype="double",
+    )
+    import math
+
+    t_total = _GBM_STEPS * _GBM_DT
+    disc = math.exp(-_GBM_R * t_total)
+    ev_st = 100.0 * math.exp(_GBM_R * t_total)
+    obs = traces.select(F.element_at("trace", -1).alias("s_t")).select(
+        "s_t", F.greatest(F.col("s_t") - F.lit(_GBM_STRIKE), F.lit(0.0)).alias("pay")
+    ).persist()
+    stats = obs.agg(
+        (F.covar_samp("pay", "s_t") / F.var_samp("s_t")).alias("beta")
+    ).first()
+    beta = float(stats["beta"])
+    adj = F.col("pay") - F.lit(beta) * (F.col("s_t") - F.lit(ev_st))
+    return obs.agg(
+        F.round(F.avg(adj) * disc, 4).alias("mc_price"),
+        F.round(F.stddev(adj) * disc / F.sqrt(F.count("*")), 4).alias("std_error"),
+        F.round(F.lit(beta), 4).alias("beta"),
+        F.count("*").cast("bigint").alias("n_paths"),
+    )

@@ -192,3 +192,31 @@ def test_gbm_option_price_matches_black_scholes(spark):
     bs = s0 * phi(d1) - k * math.exp(-r * t) * phi(d2)
     assert row.n_paths == 20_000
     assert abs(row.mc_price - bs) < 4 * row.std_error + 1e-9, (row.mc_price, bs)
+
+
+def test_variance_reduction_beats_plain_mc(spark):
+    """Antithetic pairing and the S_T control variate must (a) stay
+    within ~4 standard errors of Black-Scholes and (b) deliver a lower
+    standard error than the plain estimator at the same 20k path budget
+    (antithetic reduction for a monotone payoff is guaranteed in theory;
+    the margin here is far outside noise)."""
+    from parallel_monte_carlo_simulations_spark.mc.queries import (
+        q_mc_gbm_antithetic,
+        q_mc_gbm_control_variate,
+        q_mc_gbm_option_price,
+    )
+
+    plain = q_mc_gbm_option_price(spark, "").collect()[0]
+    anti = q_mc_gbm_antithetic(spark, "").collect()[0]
+    cv = q_mc_gbm_control_variate(spark, "").collect()[0]
+
+    r, sigma, t, s0, k = 0.03, 0.25, 1.0, 100.0, 105.0
+    d1 = (math.log(s0 / k) + (r + sigma**2 / 2) * t) / (sigma * math.sqrt(t))
+    d2 = d1 - sigma * math.sqrt(t)
+    phi = lambda x: 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))  # noqa: E731
+    bs = s0 * phi(d1) - k * math.exp(-r * t) * phi(d2)
+
+    for row in (anti, cv):
+        assert abs(row.mc_price - bs) < 4 * row.std_error + 1e-9, (row.mc_price, bs)
+    assert anti.std_error < plain.std_error, (anti.std_error, plain.std_error)
+    assert cv.std_error < plain.std_error, (cv.std_error, plain.std_error)
