@@ -43,6 +43,9 @@ HEADLINE = [
     "q09_product_profit",
     "q_gapfill_forward_fill",
     "q_skew_salted_agg",
+    "q_text_tfidf_topterms",
+    "q_merge_upsert",
+    "q_multimodal_jpeg_color",
 ]
 
 
