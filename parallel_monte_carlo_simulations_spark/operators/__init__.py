@@ -18,6 +18,7 @@ judge can map SURVEY.md §2's inventory line-by-line:
 
 from . import (  # noqa: F401
     complex_types,
+    graph,
     grouping,
     joins,
     misc,

@@ -30,6 +30,7 @@ REPRESENTATIVE = [
     "q_dedup_levenshtein",
     "q02_min_cost_supplier",
     "q18_large_volume_customer",
+    "q_graph_pagerank",
 ]
 
 

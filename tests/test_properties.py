@@ -130,3 +130,11 @@ def test_pq_recall_vs_brute(spark):
     }
     recall = len(brute & pq) / len(brute)
     assert recall >= 0.6, f"PQ recall {recall:.2f} vs brute top-10"
+
+
+def test_pagerank_mass_conserved(spark):
+    """Classic-form PageRank with no dangling nodes conserves total rank:
+    sum over nodes == node count (up to the output rounding)."""
+    rows = SPECS["q_graph_pagerank"].fn(spark, SF).collect()
+    total = sum(r.rank for r in rows)
+    assert abs(total - len(rows)) < 0.01 * len(rows), (total, len(rows))
