@@ -60,6 +60,24 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     raise NotImplementedError("wire Image.open(io.BytesIO(payload)) here")
 
 
+def decode_audio(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode an audio payload to ``(sample_rate, channels, samples)``.
+
+    RIFF/WAVE PCM16 is decoded for REAL via the self-contained codec in
+    ``wav.py`` (defensive chunk walk, fmt validation, even-byte chunk
+    padding). Compressed formats (MP3, AAC, FLAC, ...) need an audio
+    library this container ships without, so they remain a clearly-marked
+    ``NotImplementedError`` plug point."""
+    from .wav import WAV_RIFF, decode_wav
+
+    if payload[:4] == WAV_RIFF:
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "non-WAV decode requires an audio codec library; container ships "
+        "without one — RIFF/WAVE PCM decodes natively via multimodal.wav"
+    )
+
+
 def extract_fake_features(batches: Iterator) -> Iterator:
     """Deterministic stand-in for codec feature extraction: byte length,
     md5, and fake dimensions derived from the payload bytes. Exercises the
@@ -570,3 +588,172 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_s").cast("int").alias("frame_s"),
         (F.col("frame_s") * 30).cast("bigint").alias("frame_idx"),
     )
+
+
+_WAV_DECODE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_ms long, "
+    "sample_sum long, sq_sum long, zero_crossings long"
+)
+
+
+def _synth_wav_batch(batches: Iterator) -> Iterator:
+    """Stage 1: synthesize a real RIFF/WAVE payload per audio document."""
+    import pandas as pd
+
+    from .wav import synth_wav
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda d: synth_wav(int(d))),
+            }
+        )
+
+
+def _decode_wav_batch(batches: Iterator) -> Iterator:
+    """Stage 2: REAL decode of the binary column via ``decode_audio``."""
+    import pandas as pd
+
+    from .wav import zero_crossings
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, _channels, samples = decode_audio(bytes(payload))
+            rows.append(
+                (
+                    int(doc_id),
+                    rate,
+                    len(samples),
+                    len(samples) * 1000 // rate,
+                    sum(samples),
+                    sum(s * s for s in samples),
+                    zero_crossings(samples),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "sample_rate", "n_samples", "duration_ms",
+                "sample_sum", "sq_sum", "zero_crossings",
+            ],
+        )
+
+
+_QWAV_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         8000 * (1 + doc_id % 3)  AS rate,
+         200 + (doc_id % 23) * 16 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+samples AS (
+  SELECT d.doc_id, d.rate, d.n, i.i,
+         ((d.doc_id * 31 + i.i * 17) % 2001) - 1000 AS s
+  FROM docs d, LATERAL (SELECT unnest(range(0, d.n)) AS i) i
+),
+flagged AS (
+  SELECT doc_id, rate, n, s,
+         (s < 0) AS neg,
+         LAG(s < 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev_neg
+  FROM samples
+)
+SELECT doc_id,
+       CAST(rate AS INTEGER)               AS sample_rate,
+       CAST(n AS BIGINT)                   AS n_samples,
+       CAST(n * 1000 // rate AS BIGINT)    AS duration_ms,
+       CAST(SUM(s) AS BIGINT)              AS sample_sum,
+       CAST(SUM(s * s) AS BIGINT)          AS sq_sum,
+       CAST(SUM(CASE WHEN prev_neg IS NOT NULL AND prev_neg <> neg
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM flagged
+GROUP BY doc_id, rate, n
+"""
+
+
+@register(
+    "q_multimodal_wav_decode",
+    oracle=_QWAV_ORACLE,
+    description=(
+        "REAL audio decode: synthesize per-doc RIFF/WAVE PCM16 payloads "
+        "(odd-length chunk exercises RIFF padding), decode via the "
+        "stdlib-only chunk-walk codec, emit rate/duration/energy/ZCR; "
+        "oracle recomputes every feature from the closed form"
+    ),
+    tags=("multimodal", "binary", "audio", "wav", "codec", "mapInPandas"),
+)
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio leg of the real-codec surface (image legs: PNG, JPEG).
+    Two Arrow-batched narrow maps: synthesize a valid RIFF/WAVE container
+    per audio-typed document into a ``binary`` column, then decode it via
+    ``decode_audio`` → ``wav.decode_wav`` (bounds-checked chunk walk, fmt
+    validation, even-padding rule). ``sample_sum``/``sq_sum``/
+    ``zero_crossings`` prove the PCM samples round-tripped bit-exactly.
+    Zero shuffle; embarrassingly parallel at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    auds = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    payloads = auds.mapInPandas(_synth_wav_batch, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(_decode_wav_batch, schema=_WAV_DECODE_SCHEMA)
+
+
+_AUDIO_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sq_sum long"
+_FRAME_LEN = 128
+
+
+def _frame_energy_batch(batches: Iterator) -> Iterator:
+    """Synth + decode + frame: per-128-sample-frame energy (full frames)."""
+    import pandas as pd
+
+    from .wav import synth_wav
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            _rate, _ch, samples = decode_audio(synth_wav(int(doc_id)))
+            for f in range(len(samples) // _FRAME_LEN):
+                frame = samples[f * _FRAME_LEN : (f + 1) * _FRAME_LEN]
+                rows.append((int(doc_id), f, sum(s * s for s in frame)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_sq_sum"]
+        )
+
+
+_QAUDIO_FRAMES_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, 200 + (doc_id % 23) * 16 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+samples AS (
+  SELECT d.doc_id, i.i // {_FRAME_LEN} AS frame_idx,
+         ((d.doc_id * 31 + i.i * 17) % 2001) - 1000 AS s
+  FROM docs d,
+       LATERAL (SELECT unnest(range(0, (d.n // {_FRAME_LEN}) * {_FRAME_LEN})) AS i) i
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(SUM(s * s) AS BIGINT) AS frame_sq_sum
+FROM samples
+GROUP BY doc_id, frame_idx
+"""
+
+
+@register(
+    "q_multimodal_audio_frames",
+    oracle=_QAUDIO_FRAMES_ORACLE,
+    description=(
+        "audio feature frames: decode real WAV payloads and emit "
+        "per-128-sample-frame energy (the framing stage of any audio "
+        "featurizer); oracle recomputes frame energies from the closed form"
+    ),
+    tags=("multimodal", "audio", "frames", "codec", "mapInPandas"),
+)
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analog of video frame sampling, but EXECUTED end-to-end:
+    decode the PCM stream and window it into fixed-length frames — the
+    first stage of any spectral/MFCC featurizer. Fan-out happens inside
+    the Arrow batch (one row per frame), still a narrow map: no shuffle,
+    and frame rows never leave the executor that decoded the payload."""
+    d = table(spark, sf_dir, "documents")
+    auds = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    return auds.mapInPandas(_frame_energy_batch, schema=_AUDIO_FRAME_SCHEMA)

@@ -112,3 +112,45 @@ def test_jpeg_color_roundtrip_matches_model(bw, bh, seed):
     )
     ref = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
     assert (dec == ref).all()
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=400
+    ),
+    junk=st.one_of(st.none(), st.binary(min_size=0, max_size=9)),
+)
+@settings(max_examples=120, deadline=None)
+def test_wav_roundtrip_lossless(rate, samples, junk):
+    """WAV is a lossless container: arbitrary PCM16 content survives
+    encode->decode bit-exactly, with or without an (odd-length) extra
+    chunk exercising RIFF padding."""
+    from parallel_monte_carlo_simulations_spark.multimodal.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    drate, dch, out = decode_wav(encode_wav(rate, samples, junk=junk))
+    assert (drate, dch) == (rate, 1)
+    assert out == samples
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**6),
+    cut=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=80, deadline=None)
+def test_wav_truncation_raises_valueerror(doc_id, cut):
+    """Any truncation of a valid payload raises ValueError (never a raw
+    struct.error) — the bounds-check-before-unpack discipline."""
+    import pytest
+
+    from parallel_monte_carlo_simulations_spark.multimodal.wav import (
+        decode_wav,
+        synth_wav,
+    )
+
+    payload = synth_wav(doc_id)
+    with pytest.raises(ValueError):
+        decode_wav(payload[: len(payload) - cut])

@@ -31,6 +31,7 @@ REPRESENTATIVE = [
     "q02_min_cost_supplier",
     "q18_large_volume_customer",
     "q_graph_pagerank",
+    "q_multimodal_wav_decode",
 ]
 
 
