@@ -125,3 +125,117 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     edges_deg.unpersist()
     return ranks.select("node", F.round("rank", 4).alias("rank"))
+
+
+_TRI_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM pairs a JOIN pairs b ON a.p = b.p AND a.s < b.s
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst
+  FROM edges e
+  JOIN deg du ON e.u = du.node
+  JOIN deg dv ON e.v = dv.node
+),
+triangles AS (
+  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+  FROM oriented o1
+  JOIN oriented o2 ON o1.src = o2.src AND o1.dst < o2.dst
+  JOIN edges e ON e.u = LEAST(o1.dst, o2.dst) AND e.v = GREATEST(o1.dst, o2.dst)
+),
+members AS (
+  SELECT unnest([a, b, c]) AS node FROM triangles
+)
+SELECT CAST(node AS BIGINT) AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM members
+GROUP BY node
+ORDER BY triangles DESC, s_suppkey
+LIMIT 20
+"""
+
+
+@register(
+    "q_graph_triangles",
+    oracle=_TRI_ORACLE,
+    description=(
+        "degree-ordered triangle counting on the co-supplier graph: "
+        "top-20 suppliers by triangle participation"
+    ),
+    tags=("graph", "triangles", "join"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting via the standard degree-ordered orientation:
+    every undirected edge points from its (degree, id)-smaller endpoint
+    to the larger, so each triangle is discovered exactly once as a
+    wedge at its lowest-rank apex plus one closing-edge probe. The
+    orientation bounds per-node wedge fan-out by the node's LOWER-rank
+    degree — the property that keeps the wedge join sub-quadratic on
+    power-law graphs at 100 TB (cf. Suri & Vassilvitskii's MR-friendly
+    formulation). Degree table is dim-sized → broadcast; the wedge and
+    closing joins are the only shuffles.
+
+    Graph: suppliers co-supplying a part (observed in lineitem).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    with_deg = (
+        edges.join(F.broadcast(du), F.col("u") == F.col("du.node"))
+        .join(F.broadcast(dv), F.col("v") == F.col("dv.node"))
+    )
+    u_first = F.struct(F.col("du.deg"), F.col("u")) < F.struct(
+        F.col("dv.deg"), F.col("v")
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    triangles = wedges.join(
+        edges,
+        (F.least("b", "c") == F.col("u")) & (F.greatest("b", "c") == F.col("v")),
+    )
+    return (
+        triangles.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+        .select(
+            F.col("node").cast("long").alias("s_suppkey"),
+            F.col("triangles").cast("long").alias("triangles"),
+        )
+        .orderBy(F.desc("triangles"), "s_suppkey")
+        .limit(20)
+    )
