@@ -757,3 +757,83 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     auds = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
     return auds.mapInPandas(_frame_energy_batch, schema=_AUDIO_FRAME_SCHEMA)
+
+
+_GIF_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, delay_cs int, width int, height int, "
+    "pixel_sum long"
+)
+_GIF_STRIDE = 2
+
+
+def _gif_frames_batch(batches: Iterator) -> Iterator:
+    """Synth an animated GIF per video doc, decode ALL frames through the
+    LZW codec, keep every ``_GIF_STRIDE``-th frame."""
+    import pandas as pd
+
+    from .gif import decode_gif, synth_gif
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h, frames = decode_gif(synth_gif(d))
+            for f in range(0, len(frames), _GIF_STRIDE):
+                delay, indices = frames[f]
+                rows.append((d, f, delay, w, h, sum(indices)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "frame_idx", "delay_cs", "width", "height",
+                "pixel_sum",
+            ],
+        )
+
+
+_QGIF_ORACLE = f"""
+WITH vids AS (
+  SELECT doc_id,
+         4 + doc_id % 9 AS w,
+         3 + doc_id % 5 AS h,
+         2 + doc_id % 4 AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+sampled AS (
+  SELECT v.doc_id, v.w, v.h, f.f
+  FROM vids v, LATERAL (SELECT unnest(range(0, v.n, {_GIF_STRIDE})) AS f) f
+)
+SELECT s.doc_id,
+       CAST(s.f AS INTEGER)        AS frame_idx,
+       CAST(4 + s.f AS INTEGER)    AS delay_cs,
+       CAST(s.w AS INTEGER)        AS width,
+       CAST(s.h AS INTEGER)        AS height,
+       CAST(SUM((s.doc_id*7 + s.f*13 + x.x*3 + y.y*5) % 256) AS BIGINT)
+                                   AS pixel_sum
+FROM sampled s,
+     LATERAL (SELECT unnest(range(0, s.w)) AS x) x,
+     LATERAL (SELECT unnest(range(0, s.h)) AS y) y
+GROUP BY s.doc_id, s.f, s.w, s.h
+"""
+
+
+@register(
+    "q_multimodal_gif_frames",
+    oracle=_QGIF_ORACLE,
+    description=(
+        "REAL multi-frame decode: synthesize animated GIFs, decode every "
+        "frame through the self-contained LZW codec, sample every 2nd "
+        "frame with its GCE delay; oracle recomputes each sampled frame's "
+        "checksum from the closed form"
+    ),
+    tags=("multimodal", "video", "gif", "frame_sample", "codec", "mapInPandas"),
+)
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTED video leg: where ``q_multimodal_frame_sample`` plans a
+    sampling schedule JVM-side, this query actually decodes an animated
+    container per document — GIF chunk walk, Graphic Control Extension
+    delays, GIF-LZW with variable code width — and emits one row per
+    sampled frame. Frame fan-out happens inside the Arrow batch; still a
+    narrow map with zero shuffle, embarrassingly parallel at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    vids = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    return vids.mapInPandas(_gif_frames_batch, schema=_GIF_FRAME_SCHEMA)

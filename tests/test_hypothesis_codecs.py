@@ -154,3 +154,54 @@ def test_wav_truncation_raises_valueerror(doc_id, cut):
     payload = synth_wav(doc_id)
     with pytest.raises(ValueError):
         decode_wav(payload[: len(payload) - cut])
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    n_frames=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    uniform=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_gif_roundtrip_lossless(w, h, n_frames, seed, uniform):
+    """GIF-LZW is lossless on 8-bit indexed frames: arbitrary (or
+    worst-case uniform, long-run) content round-trips bit-exactly with
+    per-frame GCE delays preserved — covering variable code-width
+    growth and the code==next self-referential case."""
+    from parallel_monte_carlo_simulations_spark.multimodal.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    if uniform:
+        frames = [bytes([f % 256]) * (w * h) for f in range(n_frames)]
+    else:
+        frames = [
+            bytes(rng.integers(0, 256, size=w * h, dtype=np.uint8))
+            for _ in range(n_frames)
+        ]
+    delays = [int(rng.integers(0, 1000)) for _ in range(n_frames)]
+    dw, dh, dec = decode_gif(encode_gif(w, h, frames, delays_cs=delays))
+    assert (dw, dh) == (w, h)
+    assert [d for d, _ in dec] == delays
+    assert [x for _, x in dec] == frames
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**6),
+    cut=st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=80, deadline=None)
+def test_gif_truncation_raises_valueerror(doc_id, cut):
+    import pytest
+
+    from parallel_monte_carlo_simulations_spark.multimodal.gif import (
+        decode_gif,
+        synth_gif,
+    )
+
+    payload = synth_gif(doc_id)
+    with pytest.raises(ValueError):
+        decode_gif(payload[: len(payload) - cut])
