@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     grouping,
     joins,
     misc,
+    profiling,
     pandas_api,
     relational,
     reshape,

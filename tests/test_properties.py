@@ -138,3 +138,22 @@ def test_pagerank_mass_conserved(spark):
     rows = SPECS["q_graph_pagerank"].fn(spark, SF).collect()
     total = sum(r.rank for r in rows)
     assert abs(total - len(rows)) < 0.01 * len(rows), (total, len(rows))
+
+
+def test_freq_items_sketch_superset_of_exact(spark):
+    """df.stat.freqItems (the one-pass sketch) must return a superset of
+    the exact heavy hitters q_heavy_hitters computes — the classic
+    frequent-items guarantee (false positives allowed, no false
+    negatives at support 1/200)."""
+    from pyspark.sql import functions as F
+
+    from parallel_monte_carlo_simulations_spark.tables import table
+
+    exact = {r.token for r in SPECS["q_heavy_hitters"].fn(spark, SF).collect()}
+    toks = (
+        table(spark, SF, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sketch = set(toks.stat.freqItems(["token"], support=1 / 200).collect()[0][0])
+    assert exact <= sketch, exact - sketch
