@@ -285,3 +285,147 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+_BM25_TERMS = ("hash", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_QBM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+),
+terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           LN((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS bm25
+FROM scored
+ORDER BY ROUND(score, 4) DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "q_text_bm25",
+    oracle=_QBM25_ORACLE,
+    description=(
+        f"BM25 retrieval scoring (k1={_BM25_K1}, b={_BM25_B}, Lucene idf) "
+        f"for query {' '.join(_BM25_TERMS)!r}: top-{_BM25_TOPK} documents"
+    ),
+    tags=("text", "bm25", "retrieval", "scoring"),
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus BM25 ranking for a fixed query: term frequencies and
+    document frequencies aggregate distributedly; the per-term idf and
+    length-normalization fold into one scoring aggregate. Corpus stats
+    (N, avgdl) and the per-term df table are scalar/tiny — broadcast —
+    so the only data-sized shuffles are the tf groupBy and the final
+    top-k. avgdl is SUM/COUNT (exact integer sum, one double division)
+    on both engines, and the tie-break sorts on the ROUNDED score so the
+    top-k cut is cross-engine stable."""
+    d = table(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id",
+        F.size(F.filter(_tokens(F.col("text")), lambda t: t != "")).alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * F.lit(1.0) / F.count("*")).alias("avgdl"),
+    )
+    terms = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+_BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+_QREGEX_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}'))
+            AS INTEGER)                                        AS n_regex_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_PATTERN}'),
+                            t -> t SIMILAR TO '[0-9]+'))
+            AS INTEGER)                                        AS n_number_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_PATTERN}'),
+                            t -> NOT t SIMILAR TO '[a-zA-Z0-9]+'))
+            AS INTEGER)                                        AS n_punct_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}')))
+            AS INTEGER)                                        AS n_unique
+FROM documents
+"""
+
+
+@register(
+    "q_text_regex_tokens",
+    oracle=_QREGEX_TOKENS_ORACLE,
+    description=(
+        "BPE-style regex tokenization: letter-run / digit-run / "
+        "punctuation token counts per document"
+    ),
+    tags=("text", "tokens", "regexp"),
+)
+def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer accounting with a BPE-ish split (letter runs,
+    digit runs, single punctuation marks — the GPT-2 pattern's
+    ASCII core): the token-budget estimate a curation pipeline runs
+    before committing corpus space. Pure columnar regexp built-ins,
+    zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_regex_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("int").alias(
+            "n_number_tokens"
+        ),
+        F.size(F.filter(toks, lambda t: ~t.rlike("^[a-zA-Z0-9]+$")))
+        .cast("int")
+        .alias("n_punct_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_unique"),
+    )

@@ -263,3 +263,97 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("triangles"), "s_suppkey")
         .limit(20)
     )
+
+
+_BFS_SOURCE = 1  # supplier node s_suppkey = 1
+_BFS_HOPS = 6
+
+
+def _bfs_oracle() -> str:
+    body = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p FROM lineitem
+),
+edges AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL
+  SELECT p AS src, s AS dst FROM pairs
+),
+d0 AS (
+  SELECT {_BFS_SOURCE} AS node, 0 AS dist
+)"""
+    prev = "d0"
+    parts = []
+    for i in range(1, _BFS_HOPS + 1):
+        parts.append(f""",
+d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, {prev}.dist + 1 AS dist
+    FROM edges e JOIN {prev} ON e.src = {prev}.node
+  ) GROUP BY node
+)""")
+        prev = f"d{i}"
+    return (
+        body
+        + "".join(parts)
+        + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INTEGER) AS dist FROM {prev}
+"""
+    )
+
+
+@register(
+    "q_graph_bfs_hops",
+    oracle=_bfs_oracle(),
+    description=(
+        f"bounded BFS: hop distance <= {_BFS_HOPS} from supplier "
+        f"{_BFS_SOURCE} on the part-supplier graph"
+    ),
+    tags=("graph", "bfs", "shortest_path", "iterative"),
+)
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop single-source BFS by iterative relaxation: each round
+    unions the current distance set with one-hop expansions and takes
+    the per-node MIN. A fixed hop bound makes the result well-defined
+    whatever the graph's diameter, and integer distances make the oracle
+    exact. Same co-partitioned shape as PageRank: edges hash(src, P),
+    distances hash(node, P) — the expand join is zero-exchange and each
+    round shuffles only the MIN aggregation. At 100 TB a
+    frontier-delta formulation (join only nodes whose dist changed)
+    cuts per-round work further; the full-relax form keeps the oracle
+    replayable."""
+    l = table(spark, sf_dir, "lineitem")
+    pairs = (
+        l.select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("l_partkey") + _PART_OFFSET).alias("p"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        .unionByName(pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+    )
+    p = spark.sparkContext.defaultParallelism
+    edges = edges.repartition(p, "src").persist()
+
+    dist = spark.createDataFrame(
+        [(_BFS_SOURCE, 0)], "node long, dist int"
+    ).repartition(p, "node")
+    for _ in range(_BFS_HOPS):
+        expanded = (
+            edges.join(dist, edges.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .repartition(p, "node")
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    )

@@ -189,3 +189,96 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text source: one line per record through spark.read.text.
+# --------------------------------------------------------------------------
+
+_QTEXT_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+FROM documents
+WHERE NOT contains(text, chr(10))
+GROUP BY lang
+"""
+
+
+@register(
+    "q_source_text_roundtrip",
+    oracle=_QTEXT_ORACLE,
+    description="line-oriented text sink+source roundtrip (lang|text lines re-parsed)",
+    tags=("source", "sink", "text"),
+)
+def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rawest ingest format: serialize ``lang|text`` lines through
+    ``df.write.text`` / ``spark.read.text`` (newline-free docs only, as
+    line-oriented formats require), re-split on the first pipe, and
+    aggregate — matching the oracle only if every line survived intact.
+    ``text`` scans parallelize by file split like any other source."""
+    d = table(spark, sf_dir, "documents").filter(~F.contains("text", F.lit("\n")))
+    path = _tmpdir("text")
+    d.select(
+        F.concat_ws("|", F.col("lang"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.substring_index("value", "|", 1).alias("lang"),
+        F.expr("substring(value, instr(value, '|') + 1)").alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# binaryFile source: opaque payload files read back with metadata.
+# --------------------------------------------------------------------------
+
+_QBINARY_ORACLE = """
+SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT)    AS n_files,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents
+WHERE doc_id < 200
+GROUP BY doc_id % 10
+"""
+
+
+@register(
+    "q_source_binaryfile",
+    oracle=_QBINARY_ORACLE,
+    description=(
+        "binaryFile source: write per-doc payload files, read back via "
+        "format('binaryFile'), aggregate true byte lengths"
+    ),
+    tags=("source", "binary", "multimodal"),
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest path multimodal corpora actually use: opaque files on
+    storage read as (path, modificationTime, length, content) rows via
+    the ``binaryFile`` source. Payload files are written once per query
+    run (driver-side, bounded to 200 docs); the read-back parses doc ids
+    from file names and aggregates CONTENT byte lengths, so the oracle
+    only matches if the binary payloads round-tripped exactly. At scale
+    the same reader lists object storage and parallelizes by file."""
+    import os as _os
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    path = _tmpdir("binfiles")
+    _os.makedirs(path, exist_ok=True)
+    for doc_id, text in d.select("doc_id", "text").collect():
+        with open(_os.path.join(path, f"doc_{doc_id}.bin"), "wb") as fh:
+            fh.write(text.encode("utf-8"))
+    files = spark.read.format("binaryFile").load(path)
+    parsed = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("content").alias("n_bytes"),
+    )
+    return parsed.groupBy((F.col("doc_id") % 10).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    ).select(F.col("bucket").cast("long").alias("bucket"), "n_files", "total_bytes")
