@@ -46,6 +46,9 @@ HEADLINE = [
     "q_text_tfidf_topterms",
     "q_merge_upsert",
     "q_multimodal_jpeg_color",
+    "q_graph_pagerank",
+    "q_multimodal_gif_frames",
+    "q_multimodal_wav_decode",
 ]
 
 

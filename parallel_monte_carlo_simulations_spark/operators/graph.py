@@ -125,15 +125,23 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
+    # shuffle_hash hints: the rank/contrib sides look broadcastable at
+    # test SFs, but broadcasting an iteration state re-materializes its
+    # whole iteration-prefix subtree per broadcast (O(N^2) work, driver
+    # heap pressure) — and at real scale per-node state is never
+    # broadcastable. The hint keeps the co-partitioned zero-exchange
+    # hash join the plan at every size.
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(N_ITERS):
         contrib = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            edges_deg.join(ranks.hint("shuffle_hash"), edges_deg.src == ranks.node)
             .repartition(p, "dst")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        ranks = nodes.join(
+            contrib.hint("shuffle_hash"), nodes.node == contrib.dst, "left"
+        ).select(
             "node",
             (
                 F.lit(1 - DAMPING)
@@ -343,8 +351,14 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(_BFS_SOURCE, 0)], "node long, dist int"
     ).repartition(p, "node")
     for _ in range(_BFS_HOPS):
+        # Each round references `dist` TWICE (carry-over + expansion), so
+        # an unpersisted chain doubles the shared subtree every hop —
+        # 2^H copies by the end. Persisting the per-round result keeps
+        # the DAG linear. shuffle_hash for the same reason as PageRank:
+        # broadcasting iteration state re-runs its prefix per broadcast.
+        dist = dist.persist()
         expanded = (
-            edges.join(dist, edges.src == dist.node)
+            edges.join(dist.hint("shuffle_hash"), edges.src == dist.node)
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
         dist = (
