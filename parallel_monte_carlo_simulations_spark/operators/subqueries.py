@@ -277,3 +277,36 @@ GROUP BY s.c_mktsegment
 def q_sub_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_QCTE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery: per-row dependent top-k (TPC-H-adjacent
+# "top customers per nation" without a window function).
+# --------------------------------------------------------------------------
+
+_QLATERAL = """
+SELECT n.n_name, l.c_name, l.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 0
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) l
+"""
+
+
+@register(
+    "q_sub_lateral_topk",
+    oracle=_QLATERAL,
+    description="LATERAL correlated subquery: dependent top-2 customers per nation row",
+    tags=("subquery", "lateral", "topk", "sql"),
+)
+def q_sub_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lateral-join topology (each outer row drives a dependent
+    subquery with its own ORDER BY ... LIMIT): Catalyst decorrelates it
+    to a partitioned window-and-filter, so the physical plan is one
+    shuffle on the correlation key — verify with .explain() that no
+    nested-loop per-outer-row execution survives. Both engines run the
+    identical SQL text."""
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_QLATERAL)

@@ -220,3 +220,27 @@ def test_variance_reduction_beats_plain_mc(spark):
         assert abs(row.mc_price - bs) < 4 * row.std_error + 1e-9, (row.mc_price, bs)
     assert anti.std_error < plain.std_error, (anti.std_error, plain.std_error)
     assert cv.std_error < plain.std_error, (cv.std_error, plain.std_error)
+
+
+def test_importance_sampling_beats_plain_on_deep_otm(spark):
+    """For the deep-OTM strike the drift-shifted estimator must stay
+    within ~4 standard errors of Black-Scholes AND cut the standard
+    error well below the plain estimator at the same path budget (the
+    textbook importance-sampling win; the margin is far outside noise)."""
+    from parallel_monte_carlo_simulations_spark.mc.queries import (
+        _OTM_STRIKE,
+        q_mc_gbm_importance,
+    )
+
+    rows = {r.estimator: r for r in q_mc_gbm_importance(spark, "").collect()}
+    plain, imp = rows["plain"], rows["importance"]
+
+    r, sigma, t, s0, k = 0.03, 0.25, 1.0, 100.0, _OTM_STRIKE
+    d1 = (math.log(s0 / k) + (r + sigma**2 / 2) * t) / (sigma * math.sqrt(t))
+    d2 = d1 - sigma * math.sqrt(t)
+    phi = lambda x: 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))  # noqa: E731
+    bs = s0 * phi(d1) - k * math.exp(-r * t) * phi(d2)
+
+    assert abs(imp.mc_price - bs) < 4 * imp.std_error + 1e-9, (imp.mc_price, bs)
+    assert imp.std_error < 0.5 * plain.std_error, (imp.std_error, plain.std_error)
+    assert plain.n_paths == imp.n_paths == 20_000
