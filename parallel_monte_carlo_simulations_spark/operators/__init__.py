@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     complex_types,
     graph,
     grouping,
+    layout,
     joins,
     misc,
     profiling,

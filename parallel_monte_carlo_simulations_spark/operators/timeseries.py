@@ -278,3 +278,84 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
         .alias("duration_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA: exponentially weighted moving average over a bounded trailing
+# window (the smoothing primitive behind monitoring dashboards).
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.9
+_EWMA_ROWS = 10
+
+_QEWMA_ORACLE = f"""
+WITH w AS (
+  SELECT user_id, event_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {_EWMA_ROWS - 1} PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM events
+)
+SELECT user_id, event_id,
+       ROUND(
+         list_reduce(list_concat([0.0], list_transform(
+           range(1, len(vals) + 1),
+           i -> vals[i] * pow({_EWMA_ALPHA}, len(vals) - i)
+         )), (acc, v) -> acc + v)
+         /
+         list_reduce(list_concat([0.0], list_transform(
+           range(1, len(vals) + 1),
+           i -> pow({_EWMA_ALPHA}, len(vals) - i)
+         )), (acc, v) -> acc + v),
+         4
+       ) AS ewma
+FROM w
+"""
+
+
+@register(
+    "q_ewma_trailing",
+    oracle=_QEWMA_ORACLE,
+    description=(
+        f"EWMA (alpha={_EWMA_ALPHA}) over a trailing {_EWMA_ROWS}-row "
+        "window per user (deterministic index-ordered fold)"
+    ),
+    tags=("timeseries", "window", "ewma", "smoothing"),
+)
+def q_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average with a bounded trailing
+    frame: the window collects the frame's values IN FRAME ORDER on
+    both engines, and the weighted sum folds index-first, so the float
+    result is bit-comparable after rounding. The (ts, event_id) window
+    order keeps frames deterministic under duplicate timestamps. One
+    window shuffle on user_id; the fold is per-row JVM-side — no
+    quadratic self-join formulation."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_ROWS - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    n = F.size(F.col("vals"))
+    wsum = F.aggregate(
+        F.transform(
+            F.col("vals"),
+            lambda v, i: v * F.pow(F.lit(_EWMA_ALPHA), n - 1 - i),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = F.aggregate(
+        F.transform(
+            F.col("vals"),
+            lambda _v, i: F.pow(F.lit(_EWMA_ALPHA), n - 1 - i),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        e.select("user_id", "event_id", vals.alias("vals"))
+        .select("user_id", "event_id", F.round(wsum / norm, 4).alias("ewma"))
+    )

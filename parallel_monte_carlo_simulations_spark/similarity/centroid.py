@@ -143,3 +143,74 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot_ec / (norm_e * norm_c), 6).alias("cos_c"),
     )
     return scored.filter(F.col("cos_c") < _OUTLIER_COS)
+
+
+_QQUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+         list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mx
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id, v, mn, (mx - mn) / 255.0 AS scale,
+         list_transform(v, x -> round((x - mn) / ((mx - mn) / 255.0))) AS codes
+  FROM q
+)
+SELECT vec_id,
+       CAST(list_reduce(list_concat([0.0], codes), (a, b) -> a + b) AS BIGINT)
+         AS code_sum,
+       ROUND(list_max(list_transform(
+         range(1, len(v) + 1),
+         i -> abs(v[i] - (mn + codes[i] * scale))
+       )), 6) AS max_abs_err
+FROM coded
+"""
+
+
+@register(
+    "q_embedding_quantize",
+    oracle=_QQUANT_ORACLE,
+    description=(
+        "int8 scalar quantization of embeddings (per-vector min/max "
+        "scale): code checksum + max reconstruction error"
+    ),
+    tags=("similarity", "embedding", "quantization", "compression"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-side ANN primitive: 4x compression by per-vector min/max
+    int8 quantization (the scalar-quantization variant next to PQ's
+    codebook approach in ``similarity/pq.py``). The integer code sum is
+    an exact cross-engine checksum of every rounded code; the max
+    reconstruction error bounds the quantization loss. All higher-order
+    built-ins over the array column — zero shuffle, zero Python."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    q = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        F.array_max(v).alias("mx"),
+    ).select(
+        "vec_id", "v", "mn",
+        ((F.col("mx") - F.col("mn")) / 255.0).alias("scale"),
+    )
+    coded = q.select(
+        "vec_id", "v", "mn", "scale",
+        F.transform(
+            F.col("v"), lambda x: F.round((x - F.col("mn")) / F.col("scale"))
+        ).alias("codes"),
+    )
+    err = F.zip_with(
+        F.col("v"),
+        F.col("codes"),
+        lambda x, c: F.abs(x - (F.col("mn") + c * F.col("scale"))),
+    )
+    return coded.select(
+        "vec_id",
+        F.aggregate(F.col("codes"), F.lit(0.0), lambda a, b: a + b)
+        .cast("long")
+        .alias("code_sum"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+    )
