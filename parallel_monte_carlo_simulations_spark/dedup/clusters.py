@@ -103,3 +103,105 @@ FROM reach GROUP BY node
 def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+def _canonical_oracle() -> str:
+    from ..functions.pipeline import _EN_SW_SQL
+    from .minhash import _QMINHASH_ORACLE
+
+    inner = _QMINHASH_ORACLE.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({inner}) mh
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+scored AS (
+  SELECT doc_id,
+    ROUND(
+      0.4 * LEAST(length(text) / 500.0, 1.0)
+      + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')))
+      + 0.2 * LEAST(len(list_filter(string_split(text, ' '),
+                                    t -> t IN {_EN_SW_SQL})) * 5.0
+                    / len(string_split(text, ' ')), 1.0), 6) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, s.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.quality DESC, c.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM comp c JOIN scored s ON c.doc_id = s.doc_id
+)
+SELECT cluster_id,
+       doc_id AS canonical_doc,
+       CAST(n_members AS BIGINT) AS n_members,
+       quality AS best_quality
+FROM ranked WHERE rk = 1
+"""
+
+
+@register(
+    "q_dedup_canonical",
+    oracle=_canonical_oracle(),
+    description=(
+        "canonical representative per near-dup cluster: highest-quality "
+        "member (doc_id tie-break) with cluster size"
+    ),
+    tags=("dedup", "clustering", "canonical", "curation", "composition"),
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-decision that follows clustering: instead of 'keep the
+    lowest doc_id', keep each component's HIGHEST-QUALITY member (the
+    curation-grade policy — rounded quality score, doc_id tie-break for
+    determinism). Composes three verified blocks — MinHash pairs,
+    hash-min components, quality scoring — into one plan: component
+    labels join the scored docs, a per-cluster window picks the
+    representative. Cluster count is tiny relative to the corpus, so
+    the window shuffle is on near-dup members only."""
+    from pyspark.sql import Window
+
+    from ..functions.pipeline import QUALITY_MIN  # noqa: F401  (same module family)
+    from ..functions.text import STOPWORDS, _stopword_count, _tokens
+    from ..tables import table
+
+    comp = q_dedup_connected_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    quality = F.round(
+        0.4 * F.least(F.length("text") / 500.0, F.lit(1.0))
+        + 0.4 * (F.size(F.array_distinct(toks)) / n)
+        + 0.2 * F.least(_stopword_count(toks, STOPWORDS["en"]) / n * 5.0, F.lit(1.0)),
+        6,
+    )
+    scored = d.select("doc_id", quality.alias("quality"))
+    members = comp.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return (
+        members.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("quality").alias("best_quality"),
+        )
+    )
