@@ -837,3 +837,91 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     vids = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
     return vids.mapInPandas(_gif_frames_batch, schema=_GIF_FRAME_SCHEMA)
+
+
+_RESAMPLE_SCHEMA = (
+    "doc_id long, n_in long, n_out long, out_sum long, out_sq_sum long"
+)
+
+
+def _audio_resample_batch(batches: Iterator) -> Iterator:
+    """Synth + decode + 2x upsample (midpoint interpolation, integer
+    exact): s2[2i] = s[i], s2[2i+1] = (s[i] + s[i+1]) DIV 2 (floor), the
+    last sample carried as-is."""
+    import pandas as pd
+
+    from .wav import synth_wav
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            _rate, _ch, s = decode_audio(synth_wav(int(doc_id)))
+            out = []
+            for i, v in enumerate(s):
+                out.append(v)
+                if i + 1 < len(s):
+                    out.append((v + s[i + 1]) // 2)
+            rows.append(
+                (
+                    int(doc_id),
+                    len(s),
+                    len(out),
+                    sum(out),
+                    sum(x * x for x in out),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_in", "n_out", "out_sum", "out_sq_sum"]
+        )
+
+
+_QRESAMPLE_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, 200 + (doc_id % 23) * 16 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+samples AS (
+  SELECT d.doc_id, d.n, i.i,
+         ((d.doc_id * 31 + i.i * 17) % 2001) - 1000 AS s,
+         CASE WHEN i.i + 1 < d.n
+              THEN ((d.doc_id * 31 + (i.i + 1) * 17) % 2001) - 1000
+         END AS s_next
+  FROM docs d, LATERAL (SELECT unnest(range(0, d.n)) AS i) i
+),
+expanded AS (
+  SELECT doc_id, n, s AS v FROM samples
+  UNION ALL
+  SELECT doc_id, n,
+         CAST(floor((s + s_next) / 2.0) AS BIGINT) AS v
+  FROM samples WHERE s_next IS NOT NULL
+)
+SELECT doc_id,
+       CAST(n AS BIGINT)            AS n_in,
+       CAST(2 * n - 1 AS BIGINT)    AS n_out,
+       CAST(SUM(v) AS BIGINT)       AS out_sum,
+       CAST(SUM(v * v) AS BIGINT)   AS out_sq_sum
+FROM expanded
+GROUP BY doc_id, n
+"""
+
+
+@register(
+    "q_multimodal_audio_resample",
+    oracle=_QRESAMPLE_ORACLE,
+    description=(
+        "audio resample execution: decode real WAVs and 2x upsample by "
+        "midpoint interpolation (integer-exact); oracle recomputes the "
+        "resampled checksums from the closed form"
+    ),
+    tags=("multimodal", "audio", "resample", "codec", "mapInPandas"),
+)
+def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTED audio-resample stage (the docstring plug point made
+    real for the integer-ratio case): decode PCM through the WAV codec,
+    double the sample rate by midpoint interpolation — floor division
+    keeps every interpolated value integer, so the oracle reproduces the
+    resampled stream's checksums exactly without decoding. Narrow Arrow
+    map, zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    auds = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    return auds.mapInPandas(_audio_resample_batch, schema=_RESAMPLE_SCHEMA)

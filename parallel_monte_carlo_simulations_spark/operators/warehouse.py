@@ -16,7 +16,7 @@ file-level pruning, which the table format adds on top). The source
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -92,4 +92,59 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("price").cast("decimal(18,4)")), 2)
         .cast("double")
         .alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC apply: materialize the latest state from an ordered change log
+# (last-writer-wins with delete tombstones) — the Debezium/stream-table
+# maintenance pattern.
+# --------------------------------------------------------------------------
+
+_QCDC_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_op,
+       CAST(ROUND(CAST(value AS DECIMAL(18,4)), 4) AS DOUBLE) AS last_value,
+       CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+FROM log
+WHERE rk = 1 AND event_type <> 'error'
+"""
+
+
+@register(
+    "q_cdc_apply",
+    oracle=_QCDC_ORACLE,
+    description=(
+        "CDC apply: last-writer-wins latest state per key from the event "
+        "change log, 'error' ops as delete tombstones"
+    ),
+    tags=("warehouse", "cdc", "window", "upsert"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture materialization: each key's newest log entry
+    (ordered by (ts, event_id) DESC — the deterministic tie-break) wins;
+    keys whose final operation is a tombstone ('error' here) drop out of
+    the materialized state. One window shuffle on the key — the same
+    plan MERGE-based CDC apply lowers to, without requiring a table
+    format. Timestamps surface as epoch micros, values through the
+    decimal round-trip, so the state hash-matches cross-engine."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.round(F.col("value").cast("decimal(18,4)"), 4)
+            .cast("double")
+            .alias("last_value"),
+            F.unix_micros("ts").cast("long").alias("last_ts_us"),
+        )
     )

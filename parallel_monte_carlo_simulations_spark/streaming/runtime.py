@@ -76,3 +76,82 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_true_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_tumbling(spark, sf_dir)
+
+
+_QUPDATE_ORACLE = """
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM events
+WHERE user_id < 40
+GROUP BY user_id, event_type
+"""
+
+
+@register(
+    "q_stream_update_incremental",
+    oracle=_QUPDATE_ORACLE,
+    description=(
+        "UPDATE-mode incremental state across REAL multiple micro-batches "
+        "(4-file source, maxFilesPerTrigger=1): last emitted update per "
+        "key == batch aggregate"
+    ),
+    tags=("streaming", "update_mode", "incremental", "readstream"),
+)
+def q_stream_update_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode under GENUINE multi-micro-batch execution —
+    the topology availableNow-over-one-file cannot exercise: the events
+    table is split into 4 files, ``maxFilesPerTrigger=1`` forces 4
+    micro-batches, and the memory sink accumulates every per-batch
+    UPDATE row a key emits. Keys seen in several batches appear several
+    times with growing aggregates; taking each key's LAST update (by
+    running count — counts are monotone) must equal the batch aggregate,
+    proving state carried correctly across batches. At scale this is
+    the kafka->state-store->upsert-sink topology verbatim."""
+    import os
+
+    batch = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    src_dir = tempfile.mkdtemp(prefix="pmcs_upd_")
+    batch.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = stream.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("raw_total"),
+    )
+    sink = f"mem_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    updates = spark.table(sink)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n_events"))
+    final = (
+        updates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("raw_total", 4).cast("double").alias("total_value"),
+        )
+    )
+    import shutil as _sh
+
+    import atexit as _ae
+
+    _ae.register(_sh.rmtree, src_dir, ignore_errors=True)
+    return final
