@@ -164,3 +164,41 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_heavy_hitters_threshold_broadcast_no_python(spark):
+    """The scalar token total joins in as a broadcast, and the whole
+    heavy-hitter plan stays JVM-side (no Python eval in a pure
+    explode+aggregate pipeline)."""
+    plan = _plan(spark, "q_heavy_hitters")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_contamination_probe_broadcasts_bench_side(spark):
+    """The tiny benchmark span set must broadcast so the corpus side
+    never shuffles for the probe."""
+    plan = _plan(spark, "q_contamination_check")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_layout_stays_jvm_side(spark):
+    """The bit-interleave is pure integer arithmetic inside
+    whole-stage codegen — no Python, one aggregate exchange."""
+    plan = _plan(spark, "q_zorder_layout")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # scan -> project(interleave) -> partial agg -> ONE exchange -> final
+    assert plan.count("Exchange") == 1 and "HashAggregate" in plan
+
+
+def test_pagerank_iteration_uses_shuffled_hash_join(spark):
+    """Iteration state must NOT be broadcast (prefix re-materialization
+    + un-broadcastable at scale): the shuffle_hash hint has to survive
+    planning as ShuffledHashJoin."""
+    plan = _plan(spark, "q_graph_pagerank")
+    assert "ShuffledHashJoin" in plan
+
+
+def test_embedding_outliers_broadcasts_centroids(spark):
+    plan = _plan(spark, "q_embedding_outliers")
+    assert "BroadcastHashJoin" in plan
