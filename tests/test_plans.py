@@ -188,7 +188,8 @@ def test_zorder_layout_stays_jvm_side(spark):
     plan = _plan(spark, "q_zorder_layout")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # scan -> project(interleave) -> partial agg -> ONE exchange -> final
-    assert plan.count("Exchange") == 1 and "HashAggregate" in plan
+    # (each physical node appears twice in formatted output: tree + detail)
+    assert plan.count("+- Exchange") == 1 and "HashAggregate" in plan
 
 
 def test_pagerank_iteration_uses_shuffled_hash_join(spark):
