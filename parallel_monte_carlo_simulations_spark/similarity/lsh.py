@@ -10,8 +10,14 @@ of ``n_tables`` independent tables. Exact cosine re-ranks candidates.
 At 100 TB: bucketing is a projection (no shuffle), candidate generation
 is an equi-join on (table, bucket) — cardinality-bounded, skew handled by
 AQE — and only candidates (a tiny fraction of the corpus) reach the
-re-rank. Registered rows-only (the bucketing math is not reasonably
-SQL-oracle-able; recall-vs-brute is property-tested in tests/).
+re-rank.
+
+FULLY ORACLED: because the hyperplane weights are a pure function of
+(table, plane, dim) — no RNG state — the DuckDB oracle embeds all
+8x4x64 weight literals and replays the identical index-ordered dot
+folds, so buckets, candidate sets, and re-ranked scores are
+bit-reproducible cross-engine. Recall-vs-brute is additionally
+property-tested in tests/.
 """
 
 from __future__ import annotations
@@ -71,10 +77,78 @@ def lsh_buckets(vectors: DataFrame, emb_col: str = "emb") -> DataFrame:
     ).select("*", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")).drop("tb")
 
 
+def _sql_plane_dot(e: str, tbl: int, plane: int) -> str:
+    """Index-ordered fold of ``e`` against the literal weight list for
+    (tbl, plane) — the same order as the Spark zip_with+aggregate."""
+    ws = "[" + ", ".join(repr(_plane_weight(tbl, plane, d)) for d in range(DIM)) + "]"
+    return (
+        f"list_reduce(list_concat([0.0], "
+        f"list_transform(range(1, {DIM} + 1), i -> ({e})[i] * ({ws})[i])), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def _sql_bucket(e: str, tbl: int) -> str:
+    bits = [
+        f"CASE WHEN {_sql_plane_dot(e, tbl, p)} >= 0 THEN {1 << p} ELSE 0 END"
+        for p in range(N_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_oracle() -> str:
+    from ..functions.vectors import sql_cosine
+
+    bucket_cases = "\n      ".join(
+        f"WHEN {t} THEN {_sql_bucket('e', t)}" for t in range(N_TABLES)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+buckets AS (
+  SELECT vec_id, label, e, t.tbl,
+    CASE t.tbl
+      {bucket_cases}
+    END AS bucket
+  FROM emb, LATERAL (SELECT unnest(range(0, {N_TABLES})) AS tbl) t
+),
+q AS (
+  SELECT vec_id AS query_id, e AS qe, tbl, bucket
+  FROM buckets WHERE vec_id < {N_QUERIES}
+),
+c AS (SELECT vec_id, label, e, tbl, bucket FROM buckets),
+cand AS (
+  SELECT DISTINCT q.query_id, q.qe, c.vec_id, c.label, c.e
+  FROM q JOIN c ON q.tbl = c.tbl AND q.bucket = c.bucket
+              AND q.query_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id, label AS neighbor_label,
+         {sql_cosine("qe", "e")} AS cos_raw
+  FROM cand
+)
+SELECT query_id, neighbor_id, neighbor_label,
+       ROUND(cos_raw, 6) AS cos_sim, rk
+FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+  ) AS INTEGER) AS rk
+  FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
 @register(
     "q_sim_lsh_topk",
-    oracle=None,  # bucketing not SQL-oracle-able; recall property-tested
-    description="ANN scale path: random-hyperplane LSH buckets + exact re-rank",
+    oracle=_lsh_oracle(),
+    description=(
+        "ANN scale path: random-hyperplane LSH buckets + exact re-rank "
+        "(hyperplanes deterministic, so buckets are fully oracled)"
+    ),
     tags=("similarity", "ann", "lsh"),
 )
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
