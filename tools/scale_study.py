@@ -28,6 +28,9 @@ QUERIES = [
     "q_text_tfidf_topterms",
     "q_sim_pq_topk",
     "q_merge_upsert",
+    "q_graph_pagerank",
+    "q_multimodal_gif_frames",
+    "q_heavy_hitters",
 ]
 
 
