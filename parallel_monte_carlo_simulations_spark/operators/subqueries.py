@@ -310,3 +310,52 @@ def q_sub_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical SQL text."""
     _views(spark, sf_dir, "nation", "customer")
     return spark.sql(_QLATERAL)
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): bounded transitive closure over
+# the part-supplier graph — identical SQL text on both engines.
+# --------------------------------------------------------------------------
+
+_QRECURSIVE = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem
+),
+edges AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL
+  SELECT p AS src, s AS dst FROM pairs
+),
+walk(node, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT e.dst AS node, w.depth + 1 AS depth
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 2
+)
+SELECT node, CAST(MIN(depth) AS INTEGER) AS dist
+FROM walk
+GROUP BY node
+"""
+
+
+@register(
+    "q_recursive_cte",
+    oracle=_QRECURSIVE,
+    description=(
+        "WITH RECURSIVE bounded transitive closure: 2-hop reachability "
+        "from supplier 1 (Spark 4 recursive CTE == DuckDB)"
+    ),
+    tags=("subquery", "recursive", "cte", "graph", "sql"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursive-CTE surface (new in Spark 4): bounded-depth
+    reachability over the bipartite part-supplier graph, the same SQL
+    text running on both engines. UNION ALL recursion with an explicit
+    depth bound keeps the working set finite on a cyclic graph; the
+    outer MIN collapses path multiplicity to distances. The DataFrame
+    formulation of the same computation (explicitly co-partitioned,
+    shuffle-hash-hinted) is ``q_graph_bfs_hops`` — this query proves the
+    declarative front-end parity."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_QRECURSIVE)

@@ -32,6 +32,11 @@ REPRESENTATIVE = [
     "q18_large_volume_customer",
     "q_graph_pagerank",
     "q_multimodal_wav_decode",
+    "q_multimodal_gif_frames",
+    "q_sim_lsh_topk",
+    "q_graph_triangles",
+    "q_dataset_split",
+    "q_contamination_check",
 ]
 
 
