@@ -155,3 +155,83 @@ def q_stream_update_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ae.register(_sh.rmtree, src_dir, ignore_errors=True)
     return final
+
+
+_QRECOVERY_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "q_stream_checkpoint_recovery",
+    oracle=_QRECOVERY_ORACLE,
+    description=(
+        "exactly-once restart: two availableNow runs over ONE checkpoint "
+        "(late-arriving files) == batch aggregate, no double-counting"
+    ),
+    tags=("streaming", "checkpoint", "recovery", "exactly_once"),
+)
+def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recovery contract production streaming lives on: a job drains
+    half the source files and STOPS; more files land; a second job
+    starts from the SAME checkpoint. The file-source commit log must
+    replay nothing and miss nothing — the final complete-mode state
+    equals the batch aggregate over everything only if each file was
+    processed exactly once across the restart. (Complete mode re-emits
+    full state, so any double-count from a broken offset log would
+    surface as inflated counts, and a lost offset as missing rows.)"""
+    import os
+    import shutil as _sh
+
+    batch = table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="pmcs_rec_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="pmcs_rec_ckpt_")
+    import atexit as _ae
+
+    _ae.register(_sh.rmtree, src_dir, ignore_errors=True)
+    _ae.register(_sh.rmtree, ckpt_dir, ignore_errors=True)
+
+    # first half of the data lands
+    batch.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    # (streaming aggregates cannot COUNT DISTINCT; the decimal value sum
+    # is an exact double-count detector all the same)
+    agg_of = lambda stream: stream.groupBy("event_type").agg(  # noqa: E731
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("raw_total"),
+    )
+    sink = f"mem_{uuid.uuid4().hex[:12]}"
+
+    def run_once(qname: str) -> None:
+        stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+        q = (
+            agg_of(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(sink)  # drains the first half, commits offsets, stops
+
+    # the second half arrives while the job is down
+    batch.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    run_once(sink)  # restart from the SAME checkpoint: only new files
+
+    return spark.table(sink).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("raw_total", 4).cast("double").alias("total_value"),
+    )
