@@ -15,13 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .confscope import state_partitions_scope
 from ..tables import table
 from .runtime import read_events_stream
 
 
 def _run_to_memory(stream_df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
     sink = f"mem_x_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with state_partitions_scope(spark), tempfile.TemporaryDirectory() as ckpt:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(sink)

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .confscope import state_partitions_scope
 from .runtime import read_events_stream
 
 _QSSJOIN_ORACLE = """
@@ -70,7 +71,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
 
     sink = f"mem_ss_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with state_partitions_scope(spark), tempfile.TemporaryDirectory() as ckpt:
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -115,7 +116,7 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stream = read_events_stream(spark, sf_dir)
-    with tempfile.TemporaryDirectory() as ckpt:
+    with state_partitions_scope(spark), tempfile.TemporaryDirectory() as ckpt:
         q = (
             stream.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", ckpt)

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .confscope import state_partitions_scope
 from ..tables import table
 from .windows import _QTUMBLE_ORACLE, tumbling_hourly
 
@@ -55,7 +56,7 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_hourly(stream.withWatermark("ts", "1 hour"))
     sink = f"mem_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with state_partitions_scope(spark), tempfile.TemporaryDirectory() as ckpt:
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -124,7 +125,7 @@ def q_stream_update_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,4)")).alias("raw_total"),
     )
     sink = f"mem_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with state_partitions_scope(spark), tempfile.TemporaryDirectory() as ckpt:
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -209,17 +210,18 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"mem_{uuid.uuid4().hex[:12]}"
 
     def run_once(qname: str) -> None:
-        stream = spark.readStream.schema(batch.schema).parquet(src_dir)
-        q = (
-            agg_of(stream)
-            .writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with state_partitions_scope(spark):
+            stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+            q = (
+                agg_of(stream)
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     run_once(sink)  # drains the first half, commits offsets, stops
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
+from .confscope import state_partitions_scope
 from .runtime import read_events_stream
 
 _OUT_SCHEMA = "user_id long, n_events long, total_value double"
@@ -72,7 +73,7 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"mem_state_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with state_partitions_scope(spark), tempfile.TemporaryDirectory() as ckpt:
         q = (
             stateful.writeStream.format("memory")
             .queryName(sink)
