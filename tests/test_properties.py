@@ -157,3 +157,32 @@ def test_freq_items_sketch_superset_of_exact(spark):
     )
     sketch = set(toks.stat.freqItems(["token"], support=1 / 200).collect()[0][0])
     assert exact <= sketch, exact - sketch
+
+
+def test_zorder_buckets_are_local_in_both_dimensions(spark):
+    """The point of Z-ordering: every file bucket's zone map must be
+    narrow in BOTH dimensions simultaneously (a single-column sort
+    leaves the other column's min/max at full width, killing skipping
+    on that predicate)."""
+    rows = SPECS["q_zorder_layout"].fn(spark, SF).collect()
+    assert len(rows) >= 4
+    for r in rows:
+        # 16 buckets over a 256x256 grid -> each z-range spans a 64x64
+        # tile region; both dims must stay well under the full 0..255.
+        assert r.max_x - r.min_x <= 127, r
+        assert r.max_y - r.min_y <= 127, r
+
+
+def test_dataset_split_proportions(spark):
+    """The md5-bucket split must land near 90/5/5 and be exhaustive and
+    disjoint (counts sum to the corpus size)."""
+    from parallel_monte_carlo_simulations_spark.tables import table
+
+    rows = SPECS["q_dataset_split"].fn(spark, SF).collect()
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    total = sum(by_split.values())
+    assert total == table(spark, SF, "documents").count()
+    assert 0.80 <= by_split["train"] / total <= 0.97
+    assert by_split.get("val", 0) > 0 and by_split.get("test", 0) > 0
