@@ -388,3 +388,70 @@ def q_mc_gbm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_paths"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quasi-Monte Carlo: Halton low-discrepancy points are PURE ARITHMETIC in
+# the index, so (uniquely among the MC family) the estimator is exactly
+# DuckDB-oracle-able — and runs entirely JVM-side, no Python at all.
+# --------------------------------------------------------------------------
+
+_QMC_N = 200_000
+_QMC_BITS = 20   # base-2 radical inverse depth (covers N < 2^20)
+_QMC_TRITS = 13  # base-3 digits (3^13 > 2^20)
+
+
+def _radical_inverse_sql(i: str, base: int, digits: int) -> str:
+    """Identical expression text for Spark SQL and DuckDB: the base-b
+    radical inverse as a fixed left-to-right sum of digit * b^-(k+1).
+    Weights are Python-computed double literals, so both engines parse
+    the exact same IEEE constants and the fold order is the text order."""
+    terms = [
+        f"((({i}) DIV {base ** k}) % {base}) * {repr(base ** -(k + 1))}"
+        for k in range(digits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _qmc_body() -> str:
+    x = _radical_inverse_sql("i", 2, _QMC_BITS)
+    y = _radical_inverse_sql("i", 3, _QMC_TRITS)
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN {x} * {x} + {y} * {y} < 1.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       ROUND(CAST(4.0 AS DOUBLE) * SUM(CASE WHEN {x} * {x} + {y} * {y} < 1.0
+                       THEN 1 ELSE 0 END) / COUNT(*), 6) AS pi_est
+FROM pts
+"""
+
+
+_QMC_ORACLE = (
+    f"WITH pts AS (SELECT unnest(range(1, {_QMC_N} + 1)) AS i)"
+    + _qmc_body().replace(" DIV ", " // ")
+)
+
+
+@register(
+    "q_mc_qmc_pi",
+    oracle=_QMC_ORACLE,
+    description=(
+        f"quasi-Monte Carlo pi: {_QMC_N} Halton(2,3) points, pure "
+        "arithmetic in the index — the one exactly-oracled MC estimator"
+    ),
+    tags=("mc", "qmc", "halton", "deterministic"),
+)
+def q_mc_qmc_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-Monte Carlo integration with a Halton(2,3) low-discrepancy
+    sequence: each point is a radical-inverse polynomial of its index,
+    so the whole estimator is a relational plan — range source, digit
+    arithmetic inside whole-stage codegen, one aggregate, ZERO Python
+    and zero RNG state. That determinism is the point twice over: QMC's
+    error decays ~1/N (vs 1/sqrt(N) pseudo-random), and the DuckDB
+    oracle replays bit-identical IEEE arithmetic, making this the one
+    Monte Carlo query the hash gate fully verifies. Trivially parallel:
+    the range source splits across the cluster like any scan."""
+    spark.range(1, _QMC_N + 1).select(F.col("id").alias("i")).createOrReplaceTempView(
+        "pts"
+    )
+    return spark.sql(_qmc_body())

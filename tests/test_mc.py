@@ -244,3 +244,14 @@ def test_importance_sampling_beats_plain_on_deep_otm(spark):
     assert abs(imp.mc_price - bs) < 4 * imp.std_error + 1e-9, (imp.mc_price, bs)
     assert imp.std_error < 0.5 * plain.std_error, (imp.std_error, plain.std_error)
     assert plain.n_paths == imp.n_paths == 20_000
+
+
+def test_qmc_pi_accuracy_beats_sqrt_n(spark):
+    """The Halton estimate must be close to pi at the low-discrepancy
+    rate — far inside the ~1/sqrt(N) pseudo-random band (which at
+    N=200k is ~0.004)."""
+    from parallel_monte_carlo_simulations_spark.mc.queries import q_mc_qmc_pi
+
+    row = q_mc_qmc_pi(spark, "").collect()[0]
+    assert row.n_points == 200_000
+    assert abs(float(row.pi_est) - math.pi) < 1.5e-3, row.pi_est
