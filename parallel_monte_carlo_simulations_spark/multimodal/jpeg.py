@@ -1,7 +1,8 @@
 """Baseline JPEG (ITU T.81) codec — stdlib + numpy only.
 
 A real, self-contained implementation of the baseline sequential DCT
-process for 8-bit grayscale AND 3-component 4:4:4 YCbCr images: marker
+process for 8-bit grayscale and 3-component YCbCr images in 4:4:4 or
+4:2:0 chroma-subsampled layout: marker
 segment parsing (SOI/DQT/SOF0/DHT/SOS/EOI, APPn/COM skipped), canonical
 Huffman tables decoded from DHT, entropy-coded scan with byte
 unstuffing, interleaved MCUs with per-component DC predictors, AC
@@ -10,8 +11,9 @@ IDCT, and BT.601 YCbCr->RGB conversion — plus the matching encoder used
 to synthesize deterministic test payloads.
 
 Scope (enforced, clear errors outside it): baseline DCT, 8-bit, 1 or 3
-components without subsampling, no restart markers, no progressive or
-arithmetic coding. That subset is decoded for REAL — there is no
+components in 4:4:4 or 4:2:0 (generalized interleaved-MCU walk with
+per-component sampling factors, replication chroma upsample), no
+restart markers, no progressive or arithmetic coding. That subset is decoded for REAL — there is no
 library call anywhere.
 
 The embedded Huffman tables are canonical fixed-length code sets (12
@@ -195,10 +197,15 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def _headers(width: int, height: int, ncomp: int) -> bytes:
+def _headers(
+    width: int, height: int, ncomp: int, samplings: list[int] | None = None
+) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(DQT, b"\x00" + bytes([1] * 64))
-    comp_specs = b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
+    samplings = samplings or [0x11] * ncomp
+    comp_specs = b"".join(
+        bytes([cid, samplings[cid - 1], 0]) for cid in range(1, ncomp + 1)
+    )
     out += _seg(SOF0, struct.pack(">BHHB", 8, height, width, ncomp) + comp_specs)
     out += _seg(DHT, bytes([0x00] + _DC_BITS) + bytes(_DC_SYMS))
     out += _seg(DHT, bytes([0x10] + _AC_BITS) + bytes(_AC_SYMS))
@@ -255,6 +262,47 @@ def encode_jpeg_ycbcr(
     return _encode_planes([y, cb, cr], width, height)
 
 
+def encode_jpeg_ycbcr_420(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, width: int, height: int
+) -> bytes:
+    """Encode YCbCr planes as a 4:2:0 chroma-subsampled baseline JPEG:
+    Y at full resolution (sampling 2x2), Cb/Cr at half resolution in
+    both axes (1x1) — the ubiquitous real-world JPEG layout. Each MCU
+    covers 16x16 pixels and carries four Y blocks (2x2 order) then one
+    Cb and one Cr block. Dimensions must be multiples of 16; the chroma
+    planes are (height/2, width/2)."""
+    if width % 16 or height % 16:
+        raise ValueError("encode 4:2:0: dimensions must be multiples of 16")
+    if y.shape != (height, width):
+        raise ValueError("encode 4:2:0: Y plane shape mismatch")
+    if cb.shape != (height // 2, width // 2) or cr.shape != cb.shape:
+        raise ValueError("encode 4:2:0: chroma plane shape mismatch")
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMS)
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(height // 16):
+        for mx in range(width // 16):
+            for vy in range(2):  # four Y blocks, raster order inside MCU
+                for vx in range(2):
+                    r0, c0 = my * 16 + vy * 8, mx * 16 + vx * 8
+                    prev_dc[0] = _encode_block(
+                        w, y[r0 : r0 + 8, c0 : c0 + 8], prev_dc[0],
+                        dc_codes, ac_codes,
+                    )
+            for ci, plane in ((1, cb), (2, cr)):
+                r0, c0 = my * 8, mx * 8
+                prev_dc[ci] = _encode_block(
+                    w, plane[r0 : r0 + 8, c0 : c0 + 8], prev_dc[ci],
+                    dc_codes, ac_codes,
+                )
+    return (
+        _headers(width, height, 3, samplings=[0x22, 0x11, 0x11])
+        + w.flush()
+        + b"\xff\xd9"
+    )
+
+
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
@@ -272,6 +320,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = -1
     comp_q: dict[int, int] = {}
+    comp_samp: dict[int, tuple[int, int]] = {}
     scan_comps: list[tuple[int, int, int]] = []
     scan_data: bytes | None = None
 
@@ -310,11 +359,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             if ncomp not in (1, 3):
                 raise ValueError("only 1 (gray) or 3 (YCbCr) components supported")
             comp_q = {}
+            comp_samp = {}
             for ci in range(ncomp):
                 cid, sampling, qid = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise ValueError("only 4:4:4 (no subsampling) supported")
                 comp_q[cid] = qid
+                comp_samp[cid] = (sampling >> 4, sampling & 0xF)
             if width * height > _MAX_PIXELS:
                 raise ValueError("declared dims exceed pixel ceiling")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
@@ -402,30 +451,58 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         return np.clip(np.rint(block), 0, 255).astype(np.uint8), prev_dc
 
     ncomp = len(scan_comps)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(ncomp)]
+    samps = [comp_samp[cid] for cid, _dc, _ac in scan_comps]
+    hmax = max(h for h, _v in samps)
+    vmax = max(v for _h, v in samps)
+    supported = {(1, 1)} if ncomp == 1 else {((1, 1),) * 3, ((2, 2), (1, 1), (1, 1))}
+    key = samps[0] if ncomp == 1 else tuple(samps)
+    if key not in supported:
+        raise ValueError(f"unsupported sampling layout {samps}")
+
+    # Interleaved MCUs, generalized over sampling factors: an MCU covers
+    # (8*hmax x 8*vmax) pixels and carries h_i*v_i blocks per component
+    # in raster order — 4:4:4 degenerates to one block each; 4:2:0 is
+    # four Y blocks then one Cb and one Cr.
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.uint8)
+        for h, v in samps
+    ]
     prev_dc = [0] * ncomp
-    # Interleaved MCUs (4:4:4): one block per component per MCU, each
-    # component with its own DC predictor and table set.
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-                block, prev_dc[ci] = read_block(
-                    huff[(0, dc_id)], huff[(1, ac_id)], quant[comp_q[cid]],
-                    prev_dc[ci],
-                )
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                h, v = samps[ci]
+                for vy in range(v):
+                    for vx in range(h):
+                        block, prev_dc[ci] = read_block(
+                            huff[(0, dc_id)], huff[(1, ac_id)],
+                            quant[comp_q[cid]], prev_dc[ci],
+                        )
+                        r0 = (my * v + vy) * 8
+                        c0 = (mx * h + vx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
 
     if ncomp == 1:
         return width, height, 1, planes[0][:height, :width].tobytes()
+
+    # Upsample subsampled chroma by sample replication (each chroma
+    # sample covers a (vmax/v x hmax/h) pixel tile) before conversion.
+    full = []
+    for ci, (h, v) in enumerate(samps):
+        p = planes[ci]
+        if (h, v) != (hmax, vmax):
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        full.append(p)
 
     # YCbCr (BT.601 full-range) -> RGB. Rounding is floor(x + 0.5): the
     # JPEG spec does not mandate a rounding mode here, and floor+0.5 is
     # reproducible verbatim in SQL, which keeps the decoded output
     # closed-form checkable (np.rint's half-to-even is not).
-    y = planes[0][:height, :width].astype(np.float64)
-    cb = planes[1][:height, :width].astype(np.float64) - 128.0
-    cr = planes[2][:height, :width].astype(np.float64) - 128.0
+    y = full[0][:height, :width].astype(np.float64)
+    cb = full[1][:height, :width].astype(np.float64) - 128.0
+    cr = full[2][:height, :width].astype(np.float64) - 128.0
     rgb = np.stack(
         [
             y + 1.402 * cr,
@@ -488,3 +565,34 @@ def synth_jpeg_color(doc_id: int) -> bytes:
             for plane, v in zip(planes, (y, cb, cr)):
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
     return encode_jpeg_ycbcr(*planes, width, height)
+
+
+def synth_jpeg_420_dims(doc_id: int) -> tuple[int, int]:
+    """(Y blocks wide, Y blocks high), both even so dims are 16-multiples."""
+    return 2 * (1 + doc_id % 3), 2 * (1 + (doc_id % 6) // 3)
+
+
+def synth_jpeg_420(doc_id: int) -> bytes:
+    """Deterministic 4:2:0 payload: Y constant per 8x8 block, chroma
+    constant per chroma block (= per 16x16 luma region); constant blocks
+    have a single integer DCT coefficient, so the all-ones quantization
+    round-trips them exactly and the decoded RGB has a closed form."""
+    wb, hb = synth_jpeg_420_dims(doc_id)
+    w, h = 8 * wb, 8 * hb
+    y = np.zeros((h, w), dtype=np.uint8)
+    for by in range(hb):
+        for bx in range(wb):
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                doc_id * 11 + bx * 17 + by * 29
+            ) % 256
+    cb = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    cr = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    for cy in range(hb // 2):
+        for cx in range(wb // 2):
+            cb[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
+                doc_id * 13 + cx * 7 + cy * 19
+            ) % 256
+            cr[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
+                doc_id * 17 + cx * 23 + cy * 31
+            ) % 256
+    return encode_jpeg_ycbcr_420(y, cb, cr, w, h)

@@ -925,3 +925,80 @@ def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     auds = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
     return auds.mapInPandas(_audio_resample_batch, schema=_RESAMPLE_SCHEMA)
+
+
+def _synth_jpeg_420_batch(batches: Iterator) -> Iterator:
+    import pandas as pd
+
+    from .jpeg import synth_jpeg_420
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda d: synth_jpeg_420(int(d))),
+            }
+        )
+
+
+_QJPEG_420_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id,
+         2 * (1 + doc_id % 3)        AS wb,
+         2 * (1 + (doc_id % 6) // 3) AS hb
+  FROM documents WHERE doc_id % 3 = 2
+),
+blocks AS (
+  SELECT i.doc_id, i.wb, i.hb,
+         (i.doc_id*11 + bx.bx*17 + by.by*29) % 256                    AS y,
+         ((i.doc_id*13 + (bx.bx // 2)*7 + (by.by // 2)*19) % 256) - 128.0 AS cb,
+         ((i.doc_id*17 + (bx.bx // 2)*23 + (by.by // 2)*31) % 256) - 128.0 AS cr
+  FROM imgs i,
+       LATERAL (SELECT unnest(range(0, i.wb)) AS bx) bx,
+       LATERAL (SELECT unnest(range(0, i.hb)) AS by) by
+),
+px AS (
+  SELECT doc_id, wb, hb,
+    LEAST(255, GREATEST(0, FLOOR(y + 1.402*cr + 0.5)))                  AS r,
+    LEAST(255, GREATEST(0, FLOOR(y - 0.344136*cb - 0.714136*cr + 0.5))) AS g,
+    LEAST(255, GREATEST(0, FLOOR(y + 1.772*cb + 0.5)))                  AS b
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(8 * wb AS INTEGER)               AS width,
+       CAST(8 * hb AS INTEGER)               AS height,
+       CAST(64 * wb * hb * 3 AS BIGINT)      AS n_values,
+       CAST(SUM(64 * (r + g + b)) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, wb, hb
+"""
+
+
+@register(
+    "q_multimodal_jpeg_420",
+    oracle=_QJPEG_420_ORACLE,
+    description=(
+        "REAL 4:2:0 JPEG decode: chroma-subsampled payloads through the "
+        "16x16-MCU scan (4 Y + Cb + Cr), replication upsample, and "
+        "YCbCr->RGB; oracle recomputes the RGB checksum from the closed "
+        "form"
+    ),
+    tags=("multimodal", "binary", "jpeg", "subsampling", "codec", "mapInPandas"),
+)
+def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the JPEG surface with the layout nearly every camera
+    and web image actually uses: 4:2:0 chroma subsampling. The decoder
+    walks 16x16 MCUs (four Y blocks then Cb, Cr with their own DC
+    predictors), replicates each chroma sample over its 2x2 luma tile,
+    and converts — all replayed in SQL, so the hash match proves MCU
+    ordering, per-component prediction, upsampling, and color
+    conversion at once. Same zero-shuffle narrow-map shape as the other
+    codec legs."""
+    d = table(spark, sf_dir, "documents")
+    imgs = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    payloads = imgs.mapInPandas(
+        _synth_jpeg_420_batch, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _decode_color_batch,
+        schema="doc_id long, width int, height int, n_values long, pixel_sum long",
+    )

@@ -205,3 +205,52 @@ def test_gif_truncation_raises_valueerror(doc_id, cut):
     payload = synth_gif(doc_id)
     with pytest.raises(ValueError):
         decode_gif(payload[: len(payload) - cut])
+
+
+@given(
+    mw=st.integers(min_value=1, max_value=3),
+    mh=st.integers(min_value=1, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_420_roundtrip_matches_model(mw, mh, seed):
+    """4:2:0 chroma-subsampled bitstream must equal the numpy model:
+    per-plane round(DCT)->IDCT->clamp, 2x2 replication upsample of the
+    half-resolution chroma, then BT.601 with floor(x+0.5)."""
+    from parallel_monte_carlo_simulations_spark.multimodal.jpeg import (
+        encode_jpeg_ycbcr_420,
+    )
+
+    w, h = mw * 16, mh * 16
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    cb = rng.integers(0, 256, size=(h // 2, w // 2), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(h // 2, w // 2), dtype=np.uint8)
+    dw, dh, dc, px = decode_jpeg(encode_jpeg_ycbcr_420(y, cb, cr, w, h))
+    assert (dw, dh, dc) == (w, h, 3)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+
+    def model(plane):
+        ph, pw = plane.shape
+        out = np.zeros((ph, pw), dtype=np.float64)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                b = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                    np.float64
+                )
+                q = np.rint(_M @ (b - 128.0) @ _M.T)
+                r = _M.T @ q @ _M + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(r), 0, 255
+                )
+        return out
+
+    ym = model(y)
+    cbf = np.repeat(np.repeat(model(cb), 2, 0), 2, 1) - 128.0
+    crf = np.repeat(np.repeat(model(cr), 2, 0), 2, 1) - 128.0
+    rgb = np.stack(
+        [ym + 1.402 * crf, ym - 0.344136 * cbf - 0.714136 * crf, ym + 1.772 * cbf],
+        axis=-1,
+    )
+    ref = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    assert (dec == ref).all()
