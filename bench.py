@@ -49,6 +49,8 @@ HEADLINE = [
     "q_graph_pagerank",
     "q_multimodal_gif_frames",
     "q_multimodal_wav_decode",
+    "q_sim_lsh_topk",
+    "q_mc_qmc_pi",
 ]
 
 
