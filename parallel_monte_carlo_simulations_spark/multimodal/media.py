@@ -1002,3 +1002,78 @@ def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_color_batch,
         schema="doc_id long, width int, height int, n_values long, pixel_sum long",
     )
+
+
+def _synth_png_palette_batch(batches: Iterator) -> Iterator:
+    """Synthesize indexed-color PNGs: 64-entry palette with closed-form
+    RGB entries, index map a closed form of (doc_id, x, y)."""
+    import pandas as pd
+
+    from .png import encode_png
+
+    pal = bytes(
+        b for i in range(64) for b in ((i * 3) % 256, (i * 5) % 256, (i * 7) % 256)
+    )
+
+    def synth(d: int) -> bytes:
+        w, h = (d % 11) + 4, (d % 5) + 3
+        idx = bytes((d * 7 + x * 3 + y * 5) % 64 for y in range(h) for x in range(w))
+        return encode_png(w, h, idx, color_type=3, palette=pal)
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda d: synth(int(d))),
+            }
+        )
+
+
+_QPNG_PALETTE_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id, (doc_id % 11) + 4 AS w, (doc_id % 5) + 3 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT i.doc_id, i.w, i.h,
+         (i.doc_id*7 + x.x*3 + y.y*5) % 64 AS idx
+  FROM imgs i,
+       LATERAL (SELECT unnest(range(0, i.w)) AS x) x,
+       LATERAL (SELECT unnest(range(0, i.h)) AS y) y
+)
+SELECT doc_id,
+       CAST(w AS INTEGER)           AS width,
+       CAST(h AS INTEGER)           AS height,
+       CAST(w * h * 3 AS BIGINT)    AS n_values,
+       CAST(SUM((idx*3) % 256 + (idx*5) % 256 + (idx*7) % 256) AS BIGINT)
+                                    AS pixel_sum
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+@register(
+    "q_multimodal_png_palette",
+    oracle=_QPNG_PALETTE_ORACLE,
+    description=(
+        "REAL indexed-color PNG decode: PLTE palette lookup after the "
+        "filtered-scanline walk; oracle recomputes the mapped RGB "
+        "checksum from the closed form"
+    ),
+    tags=("multimodal", "binary", "png", "palette", "codec", "mapInPandas"),
+)
+def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed color — the PNG layout icons and screenshots actually
+    use: one byte per pixel through the full filter pipeline, then a
+    bounds-checked PLTE lookup expands indices to RGB. The oracle maps
+    the closed-form index field through the closed-form palette without
+    decoding, so a hash match proves both the scanline walk at 1 byte/px
+    and the palette expansion. Zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    imgs = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    payloads = imgs.mapInPandas(
+        _synth_png_palette_batch, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _decode_color_batch,
+        schema="doc_id long, width int, height int, n_values long, pixel_sum long",
+    )

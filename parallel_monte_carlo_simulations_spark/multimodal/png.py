@@ -25,7 +25,7 @@ import zlib
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-_CHANNELS = {0: 1, 2: 3}  # color type -> samples per pixel (our subset)
+_CHANNELS = {0: 1, 2: 3, 3: 1}  # color type -> samples/px (3 = palette index)
 
 #: Decode ceiling (pixels) — 64 MPix ≈ 192 MB RGB, far above any test
 #: payload but small enough that a malicious header can't OOM an executor.
@@ -106,11 +106,16 @@ def encode_png(
     pixels: bytes,
     color_type: int = 2,
     filter_per_row=None,
+    palette: bytes | None = None,
 ) -> bytes:
     """Encode raw 8-bit pixels (row-major, ``width*height*channels``
     bytes) as a valid PNG. ``filter_per_row`` maps row index -> filter
     type 0..4 (default: cycle through all five so decoders must handle
-    each)."""
+    each). ``color_type=3`` takes palette INDICES as pixels plus a
+    ``palette`` of packed RGB triples (PLTE chunk)."""
+    if color_type == 3:
+        if palette is None or len(palette) % 3 or len(palette) > 768:
+            raise ValueError("palette encode needs <=256 RGB triples")
     channels = _CHANNELS[color_type]
     bpp = channels
     stride = width * channels
@@ -129,12 +134,10 @@ def encode_png(
         raw += _filter_scanline(ftype, row, prev, bpp)
         prev = row
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    return (
-        PNG_SIGNATURE
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + _chunk(b"IEND", b"")
-    )
+    out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += _chunk(b"PLTE", palette)
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + _chunk(b"IEND", b"")
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -146,8 +149,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     width = height = channels = -1
+    color = -1
     bpp = stride = 0
     idat = bytearray()
+    plte: bytes | None = None
     seen_end = False
     while pos < len(payload):
         if pos + 8 > len(payload):
@@ -178,6 +183,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             channels = _CHANNELS[color]
             bpp = channels
             stride = width * channels
+            # (color retained for the post-unfilter palette mapping)
+        elif tag == b"PLTE":
+            if len(data) % 3 or len(data) > 768:
+                raise ValueError("malformed PLTE chunk")
+            plte = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -209,6 +219,16 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         row = _unfilter_scanline(raw[off], raw[off + 1 : off + 1 + stride], prev, bpp)
         out += row
         prev = row
+    if color == 3:  # indexed: map through the palette to RGB
+        if plte is None:
+            raise ValueError("palette image missing PLTE chunk")
+        n_entries = len(plte) // 3
+        rgb = bytearray()
+        for idx in out:
+            if idx >= n_entries:
+                raise ValueError(f"palette index {idx} out of range")
+            rgb += plte[idx * 3 : idx * 3 + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(out)
 
 

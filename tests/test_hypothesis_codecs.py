@@ -254,3 +254,26 @@ def test_jpeg_420_roundtrip_matches_model(mw, mh, seed):
     )
     ref = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
     assert (dec == ref).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    n_colors=st.integers(min_value=1, max_value=256),
+    base_filter=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_png_palette_roundtrip(w, h, n_colors, base_filter, seed):
+    """Indexed PNG: arbitrary index maps through arbitrary palettes must
+    decode to exactly the palette-mapped RGB under every filter type."""
+    rng = np.random.default_rng(seed)
+    pal = bytes(rng.integers(0, 256, size=n_colors * 3, dtype=np.uint8))
+    idx = bytes(rng.integers(0, n_colors, size=w * h, dtype=np.uint8))
+    payload = encode_png(
+        w, h, idx, color_type=3, palette=pal,
+        filter_per_row=lambda y: (base_filter + y) % 5,
+    )
+    dw, dh, dc, out = decode_png(payload)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert out == bytes(b for i in idx for b in pal[i * 3 : i * 3 + 3])
