@@ -104,10 +104,15 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad_align(self) -> None:
+        """Pad the current partial byte with 1-bits (spec) — used before
+        emitting a byte-aligned RSTn marker."""
         if self._n:
             pad = 8 - self._n
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+            self.write((1 << pad) - 1, pad)
+
+    def flush(self) -> bytes:
+        self.pad_align()
         return bytes(self.buf)
 
 
@@ -141,6 +146,18 @@ class _BitReader:
         for _ in range(length):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self, n: int) -> None:
+        """Discard pad bits and consume the byte-aligned RSTn marker."""
+        self._n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n:
+            raise ValueError(
+                f"expected RST{n} at scan offset {self.pos}, found "
+                f"{self.data[self.pos:self.pos + 2].hex()}"
+            )
+        self.pos += 2
 
 
 def _extend(v: int, size: int) -> int:
@@ -198,10 +215,16 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def _headers(
-    width: int, height: int, ncomp: int, samplings: list[int] | None = None
+    width: int,
+    height: int,
+    ncomp: int,
+    samplings: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(DQT, b"\x00" + bytes([1] * 64))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     samplings = samplings or [0x11] * ncomp
     comp_specs = b"".join(
         bytes([cid, samplings[cid - 1], 0]) for cid in range(1, ncomp + 1)
@@ -214,9 +237,12 @@ def _headers(
     return bytes(out)
 
 
-def _encode_planes(planes: list[np.ndarray], width: int, height: int) -> bytes:
+def _encode_planes(
+    planes: list[np.ndarray], width: int, height: int, restart_interval: int = 0
+) -> bytes:
     """Shared encoder core: interleaved MCUs (one 8x8 block per plane,
-    4:4:4), per-plane DC predictors, all-ones quantization."""
+    4:4:4), per-plane DC predictors, all-ones quantization; optional
+    DRI/RSTn restart markers every ``restart_interval`` MCUs."""
     if width % 8 or height % 8:
         raise ValueError("encode_jpeg: dimensions must be multiples of 8")
     for p in planes:
@@ -226,8 +252,14 @@ def _encode_planes(planes: list[np.ndarray], width: int, height: int) -> bytes:
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMS)
     w = _BitWriter()
     prev_dc = [0] * len(planes)
+    mcu_i = 0
+    n_mcus = (height // 8) * (width // 8)
     for by in range(height // 8):
         for bx in range(width // 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                w.pad_align()
+                w.buf += bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
+                prev_dc = [0] * len(planes)
             for ci, plane in enumerate(planes):
                 prev_dc[ci] = _encode_block(
                     w,
@@ -236,10 +268,18 @@ def _encode_planes(planes: list[np.ndarray], width: int, height: int) -> bytes:
                     dc_codes,
                     ac_codes,
                 )
-    return _headers(width, height, len(planes)) + w.flush() + b"\xff\xd9"
+            mcu_i += 1
+    assert mcu_i == n_mcus
+    return (
+        _headers(width, height, len(planes), restart_interval=restart_interval)
+        + w.flush()
+        + b"\xff\xd9"
+    )
 
 
-def encode_jpeg(pixels: bytes, width: int, height: int) -> bytes:
+def encode_jpeg(
+    pixels: bytes, width: int, height: int, restart_interval: int = 0
+) -> bytes:
     """Encode 8-bit grayscale row-major ``pixels`` as a baseline JPEG.
 
     Dimensions must be multiples of 8 (the synthetic-payload case; real
@@ -248,7 +288,7 @@ def encode_jpeg(pixels: bytes, width: int, height: int) -> bytes:
     if len(pixels) != width * height:
         raise ValueError("encode_jpeg: pixel buffer does not match dims")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    return _encode_planes([arr], width, height)
+    return _encode_planes([arr], width, height, restart_interval=restart_interval)
 
 
 def encode_jpeg_ycbcr(
@@ -323,6 +363,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     comp_samp: dict[int, tuple[int, int]] = {}
     scan_comps: list[tuple[int, int, int]] = []
     scan_data: bytes | None = None
+    restart_interval = 0
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -385,6 +426,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                     code <<= 1
                 huff[(cls, tid)] = table
                 off += 17 + n
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                raise ValueError("malformed DRI segment")
+            (restart_interval,) = struct.unpack(">H", body)
         elif marker == SOS:
             ns = body[0]
             if ns not in (1, 3):
@@ -470,8 +515,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         for h, v in samps
     ]
     prev_dc = [0] * ncomp
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                r.restart((mcu_i // restart_interval - 1) % 8)
+                prev_dc = [0] * ncomp
             for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
                 h, v = samps[ci]
                 for vy in range(v):
@@ -483,6 +532,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                         r0 = (my * v + vy) * 8
                         c0 = (mx * h + vx) * 8
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+            mcu_i += 1
 
     if ncomp == 1:
         return width, height, 1, planes[0][:height, :width].tobytes()

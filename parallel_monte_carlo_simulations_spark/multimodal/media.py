@@ -1077,3 +1077,75 @@ def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_color_batch,
         schema="doc_id long, width int, height int, n_values long, pixel_sum long",
     )
+
+
+def _synth_jpeg_restart_batch(batches: Iterator) -> Iterator:
+    """Same closed-form grayscale payloads as q_multimodal_jpeg_decode,
+    but entropy-coded with a DRI/RST restart interval of 2 MCUs."""
+    import numpy as np
+    import pandas as pd
+
+    from .jpeg import block_constant, encode_jpeg, synth_jpeg_dims
+
+    def synth(d: int) -> bytes:
+        width, height = synth_jpeg_dims(d)
+        arr = np.zeros((height, width), dtype=np.uint8)
+        for by in range(height // 8):
+            for bx in range(width // 8):
+                arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block_constant(
+                    d, bx, by
+                )
+        return encode_jpeg(arr.tobytes(), width, height, restart_interval=2)
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda d: synth(int(d))),
+            }
+        )
+
+
+_QJPEG_RESTART_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id,
+         2 + doc_id % 4        AS wb,
+         2 + (doc_id % 9) // 3 AS hb
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT i.doc_id,
+       CAST(8 * i.wb AS INTEGER)       AS width,
+       CAST(8 * i.hb AS INTEGER)       AS height,
+       CAST(64 * i.wb * i.hb AS BIGINT) AS n_pixels,
+       CAST(SUM(64 * ((i.doc_id*11 + bx.bx*17 + by.by*29) % 256)) AS BIGINT)
+                                        AS pixel_sum
+FROM imgs i,
+     LATERAL (SELECT unnest(range(0, i.wb)) AS bx) bx,
+     LATERAL (SELECT unnest(range(0, i.hb)) AS by) by
+GROUP BY i.doc_id, i.wb, i.hb
+"""
+
+
+@register(
+    "q_multimodal_jpeg_restart",
+    oracle=_QJPEG_RESTART_ORACLE,
+    description=(
+        "REAL JPEG decode with DRI/RSTn restart markers (interval 2): "
+        "byte-aligned marker sync + DC predictor resets; closed-form oracle"
+    ),
+    tags=("multimodal", "binary", "jpeg", "restart", "codec", "mapInPandas"),
+)
+def q_multimodal_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart markers are what real encoders emit for error resilience
+    (and what parallel JPEG decoders key on): every 2 MCUs the entropy
+    stream pads to a byte boundary, drops an RSTn marker (n cycling
+    0..7), and resets every DC predictor. The decoder must re-sync at
+    each marker or the DC chain decodes garbage — so the closed-form
+    checksum match proves marker alignment, stuffing interaction, and
+    predictor resets."""
+    d = table(spark, sf_dir, "documents")
+    imgs = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    payloads = imgs.mapInPandas(
+        _synth_jpeg_restart_batch, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(_decode_jpeg_batch, schema=_JPEG_DECODE_SCHEMA)

@@ -277,3 +277,26 @@ def test_png_palette_roundtrip(w, h, n_colors, base_filter, seed):
     dw, dh, dc, out = decode_png(payload)
     assert (dw, dh, dc) == (w, h, 3)
     assert out == bytes(b for i in idx for b in pal[i * 3 : i * 3 + 3])
+
+
+@given(
+    bw=st.integers(min_value=1, max_value=5),
+    bh=st.integers(min_value=1, max_value=4),
+    interval=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_restart_markers_roundtrip(bw, bh, interval, seed):
+    """DRI/RSTn streams must decode identically to the unrestarted
+    stream: marker byte alignment, RST index cycling, and DC predictor
+    resets all verified against the quantization model."""
+    w, h = bw * 8, bh * 8
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    from parallel_monte_carlo_simulations_spark.multimodal.jpeg import (
+        encode_jpeg as _enc,
+    )
+
+    plain = decode_jpeg(_enc(img.tobytes(), w, h))
+    restarted = decode_jpeg(_enc(img.tobytes(), w, h, restart_interval=interval))
+    assert plain == restarted
