@@ -1149,3 +1149,73 @@ def q_multimodal_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_jpeg_restart_batch, schema="doc_id long, payload binary"
     )
     return payloads.mapInPandas(_decode_jpeg_batch, schema=_JPEG_DECODE_SCHEMA)
+
+
+def _synth_png_interlaced_batch(batches: Iterator) -> Iterator:
+    """Same closed-form truecolor pixels as the plain PNG query, but
+    written in the Adam7 progressive layout (7 filtered sub-images)."""
+    import pandas as pd
+
+    from .png import encode_png
+
+    def synth(d: int) -> bytes:
+        w, h = (d % 13) + 4, (d % 7) + 3
+        px = bytes(
+            (d * 7 + x * 3 + y * 5 + c * 11) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        return encode_png(w, h, px, color_type=2, interlace=True)
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda d: synth(int(d))),
+            }
+        )
+
+
+_QPNG_INTERLACED_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 7) + 3 AS h
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT i.doc_id,
+       CAST(i.w AS INTEGER)            AS width,
+       CAST(i.h AS INTEGER)            AS height,
+       CAST(i.w * i.h AS BIGINT)       AS n_pixels,
+       CAST(SUM((i.doc_id*7 + x.x*3 + y.y*5 + c.c*11) % 256) AS BIGINT)
+                                        AS pixel_sum
+FROM imgs i,
+     LATERAL (SELECT unnest(range(0, i.w)) AS x) x,
+     LATERAL (SELECT unnest(range(0, i.h)) AS y) y,
+     LATERAL (SELECT unnest(range(0, 3))   AS c) c
+GROUP BY i.doc_id, i.w, i.h
+"""
+
+
+@register(
+    "q_multimodal_png_interlaced",
+    oracle=_QPNG_INTERLACED_ORACLE,
+    description=(
+        "REAL Adam7 interlaced PNG decode: 7-pass de-interlace with "
+        "per-pass filtering; oracle recomputes the pixel checksum from "
+        "the closed form"
+    ),
+    tags=("multimodal", "binary", "png", "interlace", "codec", "mapInPandas"),
+)
+def q_multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive PNG — each payload stores 7 Adam7 sub-images, each
+    independently filtered, that the decoder unfilters and scatters back
+    onto the pixel grid. A mis-ordered pass, wrong pass geometry, or a
+    filter applied against the wrong predecessor row lands pixels in
+    the wrong cells, so the closed-form checksum catches the whole
+    de-interlace path. Same zero-shuffle narrow-map shape."""
+    d = table(spark, sf_dir, "documents")
+    imgs = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    payloads = imgs.mapInPandas(
+        _synth_png_interlaced_batch, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(_decode_png_batch, schema=_PNG_DECODE_SCHEMA)

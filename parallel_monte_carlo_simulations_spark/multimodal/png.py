@@ -9,8 +9,9 @@ spec §6). The encoder exists so tests and the registered query can
 synthesize deterministic payloads that exercise every filter type.
 
 Supported subset (what we emit; the decoder validates and reports
-anything else): 8-bit-depth, color type 2 (truecolor RGB) or 0
-(grayscale), no interlace, no palette.
+anything else): 8-bit-depth, color types 0 (grayscale), 2 (truecolor
+RGB), and 3 (indexed/palette via PLTE), progressive Adam7 interlace or
+none.
 
 Scale note: both functions are per-payload pure Python invoked from an
 Arrow-batched ``mapInPandas`` — a narrow map over the binary column,
@@ -24,6 +25,23 @@ import struct
 import zlib
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: Adam7 interlace passes: (x_start, y_start, x_step, y_step).
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_pass_dims(width: int, height: int):
+    """Per-pass (x0, y0, dx, dy, pass_w, pass_h), empty passes included
+    with zero dims (they contribute no scanlines)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        out.append((x0, y0, dx, dy, pw, ph))
+    return out
 
 _CHANNELS = {0: 1, 2: 3, 3: 1}  # color type -> samples/px (3 = palette index)
 
@@ -107,12 +125,15 @@ def encode_png(
     color_type: int = 2,
     filter_per_row=None,
     palette: bytes | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Encode raw 8-bit pixels (row-major, ``width*height*channels``
     bytes) as a valid PNG. ``filter_per_row`` maps row index -> filter
     type 0..4 (default: cycle through all five so decoders must handle
     each). ``color_type=3`` takes palette INDICES as pixels plus a
-    ``palette`` of packed RGB triples (PLTE chunk)."""
+    ``palette`` of packed RGB triples (PLTE chunk). ``interlace=True``
+    writes the Adam7 progressive layout (7 sub-images, each filtered
+    independently)."""
     if color_type == 3:
         if palette is None or len(palette) % 3 or len(palette) > 768:
             raise ValueError("palette encode needs <=256 RGB triples")
@@ -126,14 +147,35 @@ def encode_png(
     if filter_per_row is None:
         filter_per_row = lambda y: y % 5  # noqa: E731
     raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = pixels[y * stride : (y + 1) * stride]
-        ftype = filter_per_row(y)
-        raw.append(ftype)
-        raw += _filter_scanline(ftype, row, prev, bpp)
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    if interlace:
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(width, height):
+            if pw == 0 or ph == 0:
+                continue
+            prev = bytes(pw * bpp)
+            for py in range(ph):
+                sy = y0 + py * dy
+                row = b"".join(
+                    pixels[
+                        (sy * width + x0 + px * dx) * bpp
+                        : (sy * width + x0 + px * dx) * bpp + bpp
+                    ]
+                    for px in range(pw)
+                )
+                ftype = filter_per_row(py)
+                raw.append(ftype)
+                raw += _filter_scanline(ftype, row, prev, bpp)
+                prev = row
+    else:
+        prev = bytes(stride)
+        for y in range(height):
+            row = pixels[y * stride : (y + 1) * stride]
+            ftype = filter_per_row(y)
+            raw.append(ftype)
+            raw += _filter_scanline(ftype, row, prev, bpp)
+            prev = row
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += _chunk(b"PLTE", palette)
@@ -150,6 +192,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     pos = 8
     width = height = channels = -1
     color = -1
+    interlaced = False
     bpp = stride = 0
     idat = bytearray()
     plte: bytes | None = None
@@ -176,13 +219,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"unsupported bit depth {depth}")
             if color not in _CHANNELS:
                 raise ValueError(f"unsupported color type {color}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
             channels = _CHANNELS[color]
             bpp = channels
             stride = width * channels
+            interlaced = interlace == 1
             # (color retained for the post-unfilter palette mapping)
         elif tag == b"PLTE":
             if len(data) % 3 or len(data) > 768:
@@ -203,7 +247,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     # executor memory before a post-hoc length check.
     if width * height > _MAX_PIXELS:
         raise ValueError(f"declared {width}x{height} exceeds pixel ceiling")
-    expected = (stride + 1) * height
+    if interlaced:
+        expected = sum(
+            ph * (1 + pw * bpp)
+            for _x0, _y0, _dx, _dy, pw, ph in _adam7_pass_dims(width, height)
+            if pw and ph
+        )
+    else:
+        expected = (stride + 1) * height
     d = zlib.decompressobj()
     raw = d.decompress(bytes(idat), expected)
     if d.unconsumed_tail or d.decompress(b"", 1):
@@ -212,13 +263,34 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(
             f"inflated stream is {len(raw)} bytes, expected {expected}"
         )
-    out = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        off = y * (stride + 1)
-        row = _unfilter_scanline(raw[off], raw[off + 1 : off + 1 + stride], prev, bpp)
-        out += row
-        prev = row
+    if interlaced:
+        out = bytearray(stride * height)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(width, height):
+            if pw == 0 or ph == 0:
+                continue
+            pstride = pw * bpp
+            prev = bytes(pstride)
+            for py in range(ph):
+                row = _unfilter_scanline(
+                    raw[off], raw[off + 1 : off + 1 + pstride], prev, bpp
+                )
+                sy = y0 + py * dy
+                for px in range(pw):
+                    dst = (sy * width + x0 + px * dx) * bpp
+                    out[dst : dst + bpp] = row[px * bpp : (px + 1) * bpp]
+                prev = row
+                off += 1 + pstride
+    else:
+        out = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            off = y * (stride + 1)
+            row = _unfilter_scanline(
+                raw[off], raw[off + 1 : off + 1 + stride], prev, bpp
+            )
+            out += row
+            prev = row
     if color == 3:  # indexed: map through the palette to RGB
         if plte is None:
             raise ValueError("palette image missing PLTE chunk")

@@ -300,3 +300,28 @@ def test_jpeg_restart_markers_roundtrip(bw, bh, interval, seed):
     plain = decode_jpeg(_enc(img.tobytes(), w, h))
     restarted = decode_jpeg(_enc(img.tobytes(), w, h, restart_interval=interval))
     assert plain == restarted
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    color=st.sampled_from([0, 2]),
+    base_filter=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_png_adam7_roundtrip_lossless(w, h, color, base_filter, seed):
+    """Adam7 progressive layout must reproduce arbitrary content
+    bit-exactly — all 7 pass geometries, per-pass filtering, and the
+    scatter back onto the pixel grid (incl. degenerate dims where some
+    passes are empty)."""
+    channels = 1 if color == 0 else 3
+    rng = np.random.default_rng(seed)
+    pixels = bytes(rng.integers(0, 256, size=w * h * channels, dtype=np.uint8))
+    payload = encode_png(
+        w, h, pixels, color_type=color, interlace=True,
+        filter_per_row=lambda y: (base_filter + y) % 5,
+    )
+    dw, dh, dc, out = decode_png(payload)
+    assert (dw, dh, dc) == (w, h, channels)
+    assert out == pixels
