@@ -127,3 +127,89 @@ def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_except("a.toks", "b.toks")).alias("n_only_a"),
         )
     )
+
+
+_QSHARE_ORACLE = """
+WITH sums AS (
+  SELECT o_orderpriority, o_orderstatus,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS grp_total
+  FROM orders
+  GROUP BY o_orderpriority, o_orderstatus
+)
+SELECT o_orderpriority, o_orderstatus,
+       CAST(ROUND(grp_total, 2) AS DOUBLE) AS grp_total,
+       ROUND(CAST(grp_total AS DOUBLE)
+             / CAST(SUM(grp_total) OVER (PARTITION BY o_orderpriority) AS DOUBLE), 6)
+         AS share_of_priority,
+       ROUND(CAST(grp_total AS DOUBLE)
+             / CAST(SUM(grp_total) OVER () AS DOUBLE), 6)
+         AS share_of_total
+FROM sums
+"""
+
+
+@register(
+    "q_window_share_of_total",
+    oracle=_QSHARE_ORACLE,
+    description=(
+        "ratio-to-report: each group's revenue share of its parent level "
+        "and of the grand total via unpartitioned window sums"
+    ),
+    tags=("window", "share", "aggregate", "report"),
+)
+def q_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ratio-to-report reporting shape: aggregate once, then two
+    window sums — one per parent level, one over the whole frame — give
+    each row its contribution share without re-scanning or self-joining.
+    The unpartitioned window is a single-partition exchange of the
+    ALREADY-AGGREGATED rows (group count, not fact count), which is the
+    only reason it is scale-safe. Decimal group sums keep the shares'
+    numerators exact on both engines."""
+    o = table(spark, sf_dir, "orders")
+    sums = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("grp_total")
+    )
+    w_pri = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    g = F.col("grp_total").cast("double")
+    return sums.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round("grp_total", 2).cast("double").alias("grp_total"),
+        F.round(g / F.sum("grp_total").over(w_pri).cast("double"), 6).alias(
+            "share_of_priority"
+        ),
+        F.round(g / F.sum("grp_total").over(w_all).cast("double"), 6).alias(
+            "share_of_total"
+        ),
+    )
+
+
+_QFILTER_AGG_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_large,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE) AS open_value
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_agg_filter_clause",
+    oracle=_QFILTER_AGG_ORACLE,
+    description=(
+        "ANSI FILTER (WHERE ...) aggregates: per-predicate counts and a "
+        "filtered decimal sum in one pass (identical SQL both engines)"
+    ),
+    tags=("aggregate", "filter_clause", "sql"),
+)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI FILTER clause — several differently-predicated
+    aggregates in ONE scan and one shuffle, where the naive formulation
+    unions per-predicate subqueries. Same SQL text on both engines via
+    the SQL front-end."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_QFILTER_AGG_ORACLE)
