@@ -52,7 +52,16 @@ def demo_traces(spark: SparkSession) -> DataFrame:
 )
 def q_mc_simulate_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf_dir unused: the MC battery's input is its config, not testdata.
-    return demo_traces(spark).filter(F.col("sim_id") < 50)
+    # The trace is returned in its CSV-parity form (comma-joined, the
+    # reference's on-disk format, utils.py:19-23) rather than as a raw
+    # array<string>: the driver's rows-only canonicalizer sorts/hashes
+    # pandas values and cannot hash Python lists.
+    return demo_traces(spark).filter(F.col("sim_id") < 50).select(
+        "model_id",
+        "sim_id",
+        F.concat_ws(",", F.col("trace")).alias("trace"),
+        F.size("trace").alias("trace_len"),
+    )
 
 
 def _coin_sequence_vectorized(number_points, rng, parameters=None, starting_point=None):
