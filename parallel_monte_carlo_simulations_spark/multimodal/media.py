@@ -35,12 +35,14 @@ _FEATURE_SCHEMA = (
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload to ``(width, height, channels, pixels)``.
 
-    PNG and baseline grayscale JPEG are decoded for REAL via the
-    self-contained codecs in ``png.py`` (chunk walk + CRC + inflate +
-    all five unfilters) and ``jpeg.py`` (marker parse + Huffman scan +
-    dequant + IDCT). Other formats (WebP, TIFF, color JPEG, ...) need
-    PIL/opencv, which this container ships without, so they remain a
-    clearly-marked ``NotImplementedError`` plug point."""
+    PNG (grayscale/truecolor/palette, Adam7 interlace) and baseline JPEG
+    (grayscale and color 4:4:4 / 4:2:0, optional restart markers) are
+    decoded for REAL via the self-contained codecs in ``png.py`` (chunk
+    walk + CRC + inflate + all five unfilters) and ``jpeg.py`` (marker
+    parse + Huffman scan + dequant + IDCT + chroma upsampling). Other
+    formats (WebP, TIFF, progressive JPEG, ...) need PIL/opencv, which
+    this container ships without, so they remain a clearly-marked
+    ``NotImplementedError`` plug point."""
     from .png import PNG_SIGNATURE, decode_png
 
     if payload[:8] == PNG_SIGNATURE:

@@ -108,6 +108,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
             )
             if audio_fmt != 1:
                 raise ValueError(f"unsupported WAVE format tag {audio_fmt}")
+            if channels != 1:
+                # Interleaved multi-channel PCM would be misread as mono,
+                # silently corrupting sample_sum / zero-crossing features.
+                raise ValueError(f"unsupported channel count {channels}")
             if bits != 16:
                 raise ValueError(f"unsupported bit depth {bits}")
         elif tag == b"data":

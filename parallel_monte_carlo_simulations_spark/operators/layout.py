@@ -91,8 +91,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QCOMPACT_ORACLE = """
-SELECT CAST(64 AS INTEGER) AS files_before,
-       CAST(4 AS INTEGER)  AS files_after,
+SELECT TRUE AS fragmented,
+       TRUE AS compacted,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
@@ -104,8 +104,8 @@ FROM documents
     oracle=_QCOMPACT_ORACLE,
     description=(
         "small-file compaction (OPTIMIZE): 64-file fragmented write "
-        "rewritten to 4 files, content equality + file counts proven on "
-        "read-back"
+        "rewritten to <=4 files, content equality + file-count invariants "
+        "proven on read-back"
     ),
     tags=("layout", "compaction", "sink", "warehouse"),
 )
@@ -116,7 +116,15 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce-rewrite to 4 right-sized files. File counts come from
     ``input_file_name()`` on each read-back, and the row/char totals
     only match the oracle if compaction preserved content exactly.
-    ``coalesce`` (not repartition) keeps the rewrite shuffle-free."""
+    ``coalesce`` (not repartition) keeps the rewrite shuffle-free.
+
+    The oracle checks *invariants* (fragmented: 1 <= files_after <=
+    files_before <= 64; compacted: files_after <= 4) plus exact content
+    totals, not the literal counts 64/4: Spark writes no file for an
+    empty partition, so at a scale factor with fewer documents than
+    partitions (or an unlucky round-robin split) the literal counts are
+    not guaranteed. ``tests/test_layout.py`` pins the exact 64 -> 4
+    counts at the SF where they are deterministic."""
     from ..sources.roundtrip import _tmpdir
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
@@ -141,8 +149,14 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
-    return (
-        files_before.withColumnRenamed("n", "files_before")
-        .crossJoin(files_after.withColumnRenamed("n", "files_after"))
-        .crossJoin(stats)
+    counts = files_before.withColumnRenamed("n", "files_before").crossJoin(
+        files_after.withColumnRenamed("n", "files_after")
     )
+    return counts.select(
+        (
+            (F.col("files_after") >= 1)
+            & (F.col("files_after") <= F.col("files_before"))
+            & (F.col("files_before") <= 64)
+        ).alias("fragmented"),
+        (F.col("files_after") <= 4).alias("compacted"),
+    ).crossJoin(stats)

@@ -154,8 +154,10 @@ WITH q AS (
   FROM embeddings
 ),
 coded AS (
-  SELECT vec_id, v, mn, (mx - mn) / 255.0 AS scale,
-         list_transform(v, x -> round((x - mn) / ((mx - mn) / 255.0))) AS codes
+  SELECT vec_id, v, mn, greatest(mx - mn, 1e-12) / 255.0 AS scale,
+         list_transform(
+           v, x -> round((x - mn) / (greatest(mx - mn, 1e-12) / 255.0))
+         ) AS codes
   FROM q
 )
 SELECT vec_id,
@@ -194,7 +196,12 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(v).alias("mx"),
     ).select(
         "vec_id", "v", "mn",
-        ((F.col("mx") - F.col("mn")) / 255.0).alias("scale"),
+        # greatest(.., 1e-12) guards the constant-vector case (mx == mn):
+        # scale=0 would give 0/0 = NaN codes here and Inf (or a BIGINT
+        # cast error) in the oracle. With the floor, codes are exactly 0
+        # and reconstruction error is 0 — mirrored in the oracle SQL.
+        (F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-12)) / 255.0)
+        .alias("scale"),
     )
     coded = q.select(
         "vec_id", "v", "mn", "scale",
