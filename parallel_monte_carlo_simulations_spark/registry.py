@@ -96,17 +96,27 @@ def _driver_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         from .coverage import DRIVER_COVERED
     except ImportError:  # pragma: no cover - generated file missing
         DRIVER_COVERED = {}
+    try:
+        from .coverage import KNOWN_NAMES
+    except ImportError:  # pragma: no cover - pre-KNOWN_NAMES coverage.py
+        KNOWN_NAMES = frozenset(registry)
 
-    # tier -> module (first-appearance order) -> names in registration order
+    # tier -> module (first-appearance order) -> names in registration order.
+    # Tier 0 splits in two: the never-covered BACKLOG (known when coverage
+    # was generated) ranks ahead of queries registered after generation, so
+    # new work queues behind queries still waiting for a driver window.
     tiers: dict[int, dict[str, list[str]]] = {}
     for name, spec in registry.items():
         tier = DRIVER_COVERED.get(name, 0)
+        if tier == 0 and name not in KNOWN_NAMES:
+            tier = -1  # sorts AFTER tier 0 via the key below
         tiers.setdefault(tier, {}).setdefault(spec.fn.__module__, []).append(name)
 
     from itertools import chain, zip_longest
 
     ordered: list[str] = []
-    for tier in sorted(tiers):
+    # -1 (new-this-round) slots between the tier-0 backlog and tier 1.
+    for tier in sorted(tiers, key=lambda t: 0.5 if t == -1 else t):
         module_lists = list(tiers[tier].values())
         ordered.extend(
             n
