@@ -34,6 +34,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dist2(a: Column, b: Column) -> Column:
+    """Squared euclidean distance, same left-fold shape as ``dot``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 # --- DuckDB oracle fragments (same fold order) -----------------------------
 
 def sql_as_double(expr: str) -> str:
@@ -50,3 +59,13 @@ def sql_dot(a: str, b: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+def sql_dist2(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`dist2` — identical element order and fold."""
+    return (
+        f"list_reduce(list_concat([0.0], "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(acc, v) -> acc + v)"
+    )

@@ -22,17 +22,29 @@ subspaces, raw anchors) to ~0.9.
 Vectors are L2-normalized before quantization so squared-L2 ADC order
 agrees with the cosine objective of the re-rank and the brute baseline.
 
-Registered rows-only (argmin-over-trained-centroids is not reasonably
-SQL-oracle-able); recall vs brute force is property-tested in
-tests/test_properties.py like the LSH and IVF paths.
+Fully DuckDB-oracled (the round-3 ask): every arithmetic step is
+cross-engine exact — subspace distances are the shared ``dist2`` /
+``sql_dist2`` left-fold (bit-identical float64), Lloyd means and the
+ADC distance sum go through ``DECIMAL(38,18)`` (exact, partition-order
+independent), and ties break on ids. The oracle replays training,
+encoding, ADC, and re-rank as unrolled CTEs and hash-matches the
+final top-k.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, dot, norm
+from ..functions.vectors import (
+    as_double,
+    dist2,
+    dot,
+    norm,
+    sql_cosine,
+    sql_dist2,
+    sql_dot,
+)
 from ..registry import register
 from ..tables import table
 
@@ -62,14 +74,6 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _l2sq(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _melt(df: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
     """One row per (id, subspace): ``subvec`` is the m-th SUB_DIM slice.
     Single explode of an inline struct array — NOT an M-way union, whose
@@ -94,8 +98,9 @@ def _melt(df: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
 def _assign(melted: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
     """Nearest codebook entry per (id, subspace): broadcast join on the
     subspace, min_by over the K candidate codes. Ties break on the lower
-    code id, so assignment is deterministic."""
-    d = _l2sq(F.col("subvec"), F.col("anchor_sub"))
+    code id, so assignment is deterministic (and equals the oracle's
+    ROW_NUMBER argmin)."""
+    d = dist2(F.col("subvec"), F.col("anchor_sub"))
     return (
         melted.join(F.broadcast(codebooks), "m")
         .select(id_col, "m", "code", "subvec", d.alias("d"))
@@ -110,7 +115,9 @@ def _assign(melted: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
 def pq_codebooks(corpus: DataFrame) -> DataFrame:
     """(m, code, anchor_sub): per-subspace codebooks — deterministic
     md5-ordered corpus anchors refined with LLOYD_ITERS distributed
-    k-means steps (assign join + per-(m, code) element-wise mean)."""
+    k-means steps (assign join + per-(m, code) element-wise exact
+    decimal mean, so the result is partition-order independent and
+    bit-identical to the oracle replay)."""
     w = Window.orderBy(F.md5(F.concat_ws(":", F.col("vec_id"), F.lit("pq"))))
     anchors = (
         corpus.withColumn("rk", F.row_number().over(w))
@@ -124,9 +131,16 @@ def pq_codebooks(corpus: DataFrame) -> DataFrame:
     for _ in range(LLOYD_ITERS):
         assigned = _assign(melted, codebooks, "vec_id")
         codebooks = assigned.groupBy("m", "code").agg(
-            F.array(*[F.avg(F.col("subvec")[i]) for i in range(SUB_DIM)]).alias(
-                "anchor_sub"
-            )
+            F.array(
+                *[
+                    (
+                        F.sum(F.col("subvec")[i].cast("decimal(38,18)"))
+                        .cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    for i in range(SUB_DIM)
+                ]
+            ).alias("anchor_sub")
         )
         # Materialize each iteration's codebook (M_SUB*K_CODES tiny rows)
         # and CUT the lineage: without this, iteration i+1's plan embeds
@@ -138,10 +152,126 @@ def pq_codebooks(corpus: DataFrame) -> DataFrame:
     return codebooks
 
 
+# --- oracle SQL: training + encode + ADC + re-rank as unrolled CTEs --------
+
+_SQL_MELT_CORPUS = f"""
+  SELECT vec_id, m.m AS m,
+         emb[m.m * {SUB_DIM} + 1 : m.m * {SUB_DIM} + {SUB_DIM}] AS subvec
+  FROM corpus, LATERAL (SELECT unnest(range(0, {M_SUB})) AS m) m
+"""
+
+
+def _sql_pq_assign(cb: str) -> str:
+    return f"""
+  SELECT vec_id, m, code, subvec FROM (
+    SELECT t.vec_id, t.m, k.code, t.subvec,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.vec_id, t.m
+             ORDER BY {sql_dist2("t.subvec", "k.anchor_sub")} ASC, k.code ASC
+           ) AS rn
+    FROM melted t JOIN {cb} k USING (m)
+  ) WHERE rn = 1
+"""
+
+
+def _sql_pq_update(asg: str) -> str:
+    return f"""
+  SELECT m, code, list(cval ORDER BY i) AS anchor_sub FROM (
+    SELECT a.m, a.code, i.i AS i,
+           CAST(SUM(CAST(a.subvec[i.i + 1] AS DECIMAL(38,18))) AS DOUBLE)
+             / COUNT(*) AS cval
+    FROM {asg} a, LATERAL (SELECT unnest(range(0, {SUB_DIM})) AS i) i
+    GROUP BY a.m, a.code, i.i
+  ) GROUP BY m, code
+"""
+
+
+_QPQ_ORACLE = f"""
+WITH raw AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_raw,
+         label
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id,
+         list_transform(emb_raw, x -> x / sqrt({sql_dot("emb_raw", "emb_raw")}))
+           AS emb,
+         label
+  FROM raw
+),
+anchors AS (
+  SELECT CAST(rk - 1 AS BIGINT) AS code, emb FROM (
+    SELECT emb, ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':pq')
+    ) AS rk
+    FROM corpus
+  ) WHERE rk <= {K_CODES}
+),
+cb0 AS (
+  SELECT m.m AS m, code,
+         emb[m.m * {SUB_DIM} + 1 : m.m * {SUB_DIM} + {SUB_DIM}] AS anchor_sub
+  FROM anchors, LATERAL (SELECT unnest(range(0, {M_SUB})) AS m) m
+),
+melted AS ({_SQL_MELT_CORPUS}),
+asg1 AS ({_sql_pq_assign("cb0")}),
+cb1 AS ({_sql_pq_update("asg1")}),
+asg2 AS ({_sql_pq_assign("cb1")}),
+cb2 AS ({_sql_pq_update("asg2")}),
+codes AS (SELECT vec_id, m, code FROM ({_sql_pq_assign("cb2")})),
+qs AS (
+  SELECT vec_id AS query_id, emb AS qemb FROM corpus
+  WHERE vec_id < {N_QUERIES}
+),
+dist_table AS (
+  SELECT q.query_id, s.m, k.code,
+         {sql_dist2(
+             f"q.qemb[s.m * {SUB_DIM} + 1 : s.m * {SUB_DIM} + {SUB_DIM}]",
+             "k.anchor_sub",
+         )} AS dpart
+  FROM qs q,
+       LATERAL (SELECT unnest(range(0, {M_SUB})) AS m) s,
+       cb2 k
+  WHERE k.m = s.m
+),
+approx AS (
+  SELECT d.query_id, c.vec_id,
+         CAST(SUM(CAST(d.dpart AS DECIMAL(38,18))) AS DOUBLE) AS approx_d
+  FROM codes c JOIN dist_table d ON c.m = d.m AND c.code = d.code
+  GROUP BY d.query_id, c.vec_id
+),
+survivors AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY approx_d ASC, vec_id ASC
+    ) AS ar
+    FROM approx WHERE query_id <> vec_id
+  ) WHERE ar <= {RERANK}
+),
+cand AS (
+  SELECT s.query_id, s.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {sql_cosine("q.qemb", "c.emb")} AS cos_raw
+  FROM survivors s
+  JOIN corpus c ON c.vec_id = s.vec_id
+  JOIN qs q ON q.query_id = s.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label,
+       ROUND(cos_raw, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+  ) AS rk
+  FROM cand
+) WHERE rk <= {TOP_K}
+"""
+
+
 @register(
     "q_sim_pq_topk",
-    oracle=None,  # trained-centroid argmin not SQL-expressible; recall-tested
-    description="ANN scale path 3: product quantization (16-byte codes, ADC) + exact re-rank",
+    oracle=_QPQ_ORACLE,
+    description=(
+        "ANN scale path 3: product quantization (16-byte codes, ADC) + "
+        "exact re-rank, fully oracled via unrolled-CTE replay"
+    ),
     tags=("similarity", "ann", "pq", "quantization"),
 )
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,14 +296,22 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "m",
             "code",
-            _l2sq(F.col("subvec"), F.col("anchor_sub")).alias("dpart"),
+            dist2(F.col("subvec"), F.col("anchor_sub")).alias("dpart"),
         )
     )
 
+    # The ADC sum goes through DECIMAL so the rerank cut (a strict
+    # row_number on approx_d) is partition-order independent and equals
+    # the oracle's — a double SUM here could flip the order of two
+    # near-tied survivors between engines.
     approx = (
         codes.join(F.broadcast(dist_table), ["m", "code"])
         .groupBy("query_id", "vec_id")
-        .agg(F.sum("dpart").alias("approx_d"))
+        .agg(
+            F.sum(F.col("dpart").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("approx_d")
+        )
         .filter(F.col("query_id") != F.col("vec_id"))
     )
     wa = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("vec_id"))
