@@ -259,18 +259,28 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingest path multimodal corpora actually use: opaque files on
     storage read as (path, modificationTime, length, content) rows via
     the ``binaryFile`` source. Payload files are written once per query
-    run (driver-side, bounded to 200 docs); the read-back parses doc ids
-    from file names and aggregates CONTENT byte lengths, so the oracle
-    only matches if the binary payloads round-tripped exactly. At scale
-    the same reader lists object storage and parallelizes by file."""
+    run via ``foreachPartition`` — each EXECUTOR writes its partition's
+    files, no ``collect()`` and no driver loop, the pattern that holds
+    when the corpus is billions of payloads (here the target is a local
+    tmpdir; on a cluster it would be a shared-store path). The read-back
+    parses doc ids from file names and aggregates CONTENT byte lengths,
+    so the oracle only matches if the binary payloads round-tripped
+    exactly. At scale the same reader lists object storage and
+    parallelizes by file."""
     import os as _os
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     path = _tmpdir("binfiles")
     _os.makedirs(path, exist_ok=True)
-    for doc_id, text in d.select("doc_id", "text").collect():
-        with open(_os.path.join(path, f"doc_{doc_id}.bin"), "wb") as fh:
-            fh.write(text.encode("utf-8"))
+
+    def _write_partition(rows) -> None:
+        import os
+
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r.doc_id}.bin"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+
+    d.select("doc_id", "text").foreachPartition(_write_partition)
     files = spark.read.format("binaryFile").load(path)
     parsed = files.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
