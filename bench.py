@@ -141,9 +141,41 @@ def bench_skew(spark) -> dict[str, float]:
     return out
 
 
+def _other_spark_jvms() -> int:
+    """Count OTHER live Spark JVMs on this box (this process has not
+    started its own JVM yet when this runs). Measured on this machine:
+    a concurrent Spark session inflates bench numbers ~2.5x, so
+    round-over-round comparisons are only trustworthy from a solo run —
+    the JSON carries the flag so a contended run is never mistaken for
+    a regression."""
+    import glob
+
+    n = 0
+    for cmdline in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            with open(cmdline, "rb") as fh:
+                argv = fh.read().split(b"\0")
+        except OSError:
+            continue
+        if not argv or b"java" not in argv[0]:
+            continue
+        if any(b"spark" in a.lower() for a in argv):
+            n += 1
+    return n
+
+
 def main() -> None:
     from parallel_monte_carlo_simulations_spark.registry import load_all_queries
     from parallel_monte_carlo_simulations_spark.session import get_spark
+
+    contending = _other_spark_jvms()
+    if contending:
+        print(
+            f"WARNING: {contending} other Spark JVM(s) alive — bench "
+            "numbers inflate ~2.5x under contention; re-run solo before "
+            "trusting a regression signal.",
+            file=sys.stderr,
+        )
 
     spark = get_spark(
         app_name="pmcs-bench",
@@ -182,6 +214,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if contending:
+        out["contended_with_spark_jvms"] = contending
     print(json.dumps(out))
 
 
