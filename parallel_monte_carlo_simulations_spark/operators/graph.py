@@ -322,16 +322,22 @@ SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INTEGER) AS dist FROM {prev}
     tags=("graph", "bfs", "shortest_path", "iterative"),
 )
 def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-hop single-source BFS by iterative relaxation: each round
-    unions the current distance set with one-hop expansions and takes
-    the per-node MIN. A fixed hop bound makes the result well-defined
-    whatever the graph's diameter, and integer distances make the oracle
-    exact. Same co-partitioned shape as PageRank: edges hash(src, P),
-    distances hash(node, P) — the expand join is zero-exchange and each
-    round shuffles only the MIN aggregation. At 100 TB a
-    frontier-delta formulation (join only nodes whose dist changed)
-    cuts per-round work further; the full-relax form keeps the oracle
-    replayable."""
+    """Bounded-hop single-source BFS as FRONTIER-DELTA iteration (the
+    100 TB-scale formulation, r3 stretch ask): each round expands only
+    the nodes discovered in the PREVIOUS round, dedups the expansion,
+    and anti-joins the already-known set — per-round join work tracks
+    the frontier size, not the full reachable set, which on high-
+    diameter graphs is the difference between O(frontier) and O(visited)
+    per hop. For unweighted BFS the layered discovery order makes this
+    EXACTLY equivalent to full relaxation (a node's first discovery hop
+    is its min distance; later paths are never shorter), so the
+    unrolled union-min oracle is unchanged and stays hash-green.
+
+    Same co-partitioned shape as PageRank: edges hash(src, P), frontier
+    and known hash(node, P) — the expand join is zero-exchange; each
+    round shuffles only the frontier dedup. ``known`` is referenced
+    twice per round (anti-join probe + carry union), so it persists per
+    round to keep the DAG linear instead of doubling per hop."""
     l = table(spark, sf_dir, "lineitem")
     pairs = (
         l.select(
@@ -347,27 +353,27 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.sparkContext.defaultParallelism
     edges = edges.repartition(p, "src").persist()
 
-    dist = spark.createDataFrame(
-        [(_BFS_SOURCE, 0)], "node long, dist int"
-    ).repartition(p, "node")
+    known = (
+        spark.createDataFrame([(_BFS_SOURCE, 0)], "node long, dist int")
+        .repartition(p, "node")
+        .persist()
+    )
+    frontier = known
     for _ in range(_BFS_HOPS):
-        # Each round references `dist` TWICE (carry-over + expansion), so
-        # an unpersisted chain doubles the shared subtree every hop —
-        # 2^H copies by the end. Persisting the per-round result keeps
-        # the DAG linear. shuffle_hash for the same reason as PageRank:
-        # broadcasting iteration state re-runs its prefix per broadcast.
-        dist = dist.persist()
-        expanded = (
-            edges.join(dist.hint("shuffle_hash"), edges.src == dist.node)
+        # shuffle_hash for the same reason as PageRank: broadcasting
+        # iteration state re-runs its prefix subtree per broadcast.
+        cand = (
+            edges.join(frontier.hint("shuffle_hash"), edges.src == frontier.node)
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
-        )
-        dist = (
-            dist.unionByName(expanded)
             .repartition(p, "node")
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-    return dist.select(
+        frontier = cand.join(
+            known.hint("shuffle_hash"), "node", "left_anti"
+        ).persist()
+        known = known.unionByName(frontier).persist()
+    return known.select(
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("int").alias("dist"),
     )
