@@ -35,16 +35,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema pinned from the
     batch reader; nanos ts handled identically)."""
     batch = table(spark, sf_dir, "events")  # also ensures nanosAsLong
-    raw_schema = (
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    )
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     # The file stream source requires a DIRECTORY; point it at sf_dir and
     # glob-filter to the events file.
+    from ..tables import _normalize_ts
+
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withColumn("ts", _normalize_ts(raw))
     )
     assert stream.schema == batch.schema
     return stream

@@ -41,18 +41,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
-    reader rejects; read nanos as long and convert to micros with exact
-    integer division (a double division would lose precision above 2^53
-    nanos ≈ 1970+104 days). DuckDB truncates NS→US the same way, so the
-    two engines agree to the microsecond."""
+    """events.parquet has shipped with two physical ``ts`` encodings
+    across driver testdata generations, so normalize adaptively:
+
+    - TIMESTAMP(NANOS): the Spark parquet reader rejects it unless nanos
+      surface as longs; convert to micros with exact integer division (a
+      double division would lose precision above 2^53 nanos ≈ 1970+104
+      days). DuckDB truncates NS→US the same way.
+    - timestamp[us] (current generation): reads natively as
+      TIMESTAMP_NTZ; cast to session-tz TIMESTAMP (session tz is pinned
+      UTC) so downstream window/watermark/date code sees the same type
+      the nanos path produced.
+    """
     from .session import ensure_nanos_as_long
 
     ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    from pyspark.sql import functions as F
+    return df.withColumn("ts", _normalize_ts(df))
 
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+def _normalize_ts(df: DataFrame):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, T.LongType):  # nanos-as-long legacy encoding
+        return F.timestamp_micros(F.expr("ts DIV 1000"))
+    return F.col("ts").cast(T.TimestampType())
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
