@@ -131,6 +131,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heap pressure) — and at real scale per-node state is never
     # broadcastable. The hint keeps the co-partitioned zero-exchange
     # hash join the plan at every size.
+    #
+    # Measured dead end (do not "optimize" this): because both edge
+    # directions are materialized, dst-set == node-set, so the per-
+    # iteration nodes-LEFT JOIN-contrib step is semantically redundant —
+    # the contrib aggregate alone already emits every node. Removing it
+    # halves the join count (10 vs 20 across the unroll, 95 vs 145
+    # Exchange nodes) yet runs 3-4x SLOWER (sf0.1/local[32] interleaved
+    # same-JVM A/B: 1.5-2.8 s with the nodes join, 5-16 s without;
+    # affine-inside-agg vs affine-after-agg makes no difference). The
+    # cached-nodes join resets each iteration's probe side to an
+    # InMemoryTableScan, which this runtime schedules far better than
+    # the purely chained agg->join pipeline. Keep the nodes join.
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(N_ITERS):
         contrib = (
