@@ -203,3 +203,28 @@ def test_pagerank_iteration_uses_shuffled_hash_join(spark):
 def test_embedding_outliers_broadcasts_centroids(spark):
     plan = _plan(spark, "q_embedding_outliers")
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The point of q_sink_bucketed_join: both sides bucketed on the join
+    key with the same bucket count, so the join is satisfied by the scans
+    themselves. At tiny SF Catalyst rightly prefers broadcasting the
+    small side, so force the shuffle-join path (broadcast off) to assert
+    the 100 TB property: the join runs WITHOUT any shuffle exchange —
+    the only Exchange in the whole plan is the final aggregate's."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "q_sink_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert plan.count("Bucketed: true") >= 2
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # exactly one Exchange NODE: the groupBy after the join; none feed
+    # the join (formatted output names each node twice — tree + detail)
+    import re
+
+    exchange_nodes = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchange_nodes) == 1, plan[:1500]
