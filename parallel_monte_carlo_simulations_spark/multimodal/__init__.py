@@ -2,4 +2,4 @@
 
 Importing registers the queries."""
 
-from . import media  # noqa: F401
+from . import media, media2  # noqa: F401

@@ -325,3 +325,89 @@ def test_png_adam7_roundtrip_lossless(w, h, color, base_filter, seed):
     dw, dh, dc, out = decode_png(payload)
     assert (dw, dh, dc) == (w, h, channels)
     assert out == pixels
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    top_down=st.booleans(),
+)
+@settings(max_examples=120, deadline=None)
+def test_bmp_roundtrip_lossless(w, h, seed, top_down):
+    """24-bit BI_RGB encode->decode reproduces arbitrary pixels exactly,
+    including the top-down (negative height) storage variant."""
+    import struct
+
+    from parallel_monte_carlo_simulations_spark.multimodal.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+    pixels = [
+        (int(vals[i]), int(vals[i + 1]), int(vals[i + 2]))
+        for i in range(0, len(vals), 3)
+    ]
+    payload = encode_bmp(w, h, pixels)
+    if top_down:
+        # rewrite as the top-down variant: negate height, reverse rows
+        buf = bytearray(payload)
+        struct.pack_into("<i", buf, 14 + 8, -h)
+        stride = (w * 3 + 3) & ~3
+        body = payload[54:]
+        rows = [body[i * stride : (i + 1) * stride] for i in range(h)]
+        buf[54:] = b"".join(reversed(rows))
+        payload = bytes(buf)
+    dw, dh, out = decode_bmp(payload)
+    assert (dw, dh) == (w, h)
+    assert out == pixels
+
+
+@given(
+    doc_id=st.integers(min_value=0, max_value=5000),
+    cut=st.integers(min_value=1, max_value=53),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_truncation_raises_valueerror(doc_id, cut):
+    from parallel_monte_carlo_simulations_spark.multimodal.bmp import (
+        decode_bmp,
+        synth_bmp,
+    )
+
+    payload = synth_bmp(doc_id)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_bmp(payload[: len(payload) - cut])
+
+
+@given(s=st.integers(min_value=-32768, max_value=32767))
+@settings(max_examples=300, deadline=None)
+def test_mulaw_transfer_function_properties(s):
+    """Spec properties over the full int16 domain: byte in range,
+    expansion is sign-preserving, quantization error bounded by the
+    segment width (<= 2^exp * 8 with the clip region saturating)."""
+    from parallel_monte_carlo_simulations_spark.multimodal.mulaw import (
+        CLIP,
+        decode_mulaw_sample,
+        encode_mulaw_sample,
+    )
+
+    b = encode_mulaw_sample(s)
+    assert 0 <= b <= 255
+    d = decode_mulaw_sample(b)
+    if s > 0:
+        assert d >= 0
+    if s < 0:
+        assert d <= 0
+    clipped = max(-CLIP, min(CLIP, s))
+    # widest segment (exp=7) quantization step is 2^(7+3) = 1024
+    assert abs(clipped - d) <= 1024
+    # idempotence: re-encoding the decoded value yields the same byte.
+    # Exception: mu-law has dual zero encodings (0x7F negative zero,
+    # 0xFF positive zero) that both decode to 0, which re-encodes as
+    # the positive form.
+    if d != 0:
+        assert encode_mulaw_sample(d) == b
