@@ -255,3 +255,66 @@ def test_qmc_pi_accuracy_beats_sqrt_n(spark):
     row = q_mc_qmc_pi(spark, "").collect()[0]
     assert row.n_points == 200_000
     assert abs(float(row.pi_est) - math.pi) < 1.5e-3, row.pi_est
+
+
+def test_lsmc_american_put_sane(spark):
+    """Independent verification of q_mc_american_lsmc: re-implement the
+    same discretized-QMC LSMC in straight numpy (no shared SQL), and
+    check the engine's price against it, plus the no-arbitrage
+    dominance American >= European and proximity of the European leg to
+    Black-Scholes (discretization bias only)."""
+    import math
+
+    import numpy as np
+
+    from parallel_monte_carlo_simulations_spark.mc import lsmc as L
+
+    df = L.q_mc_american_lsmc(spark, "/root/testdata/sf0.001").collect()[0]
+    assert df.n_paths == L.N_PATHS
+    assert df.am_price >= df.eu_price  # early exercise has value
+
+    # Black-Scholes European put for the same params
+    d1 = (
+        math.log(L.S0 / L.STRIKE)
+        + (L.RATE + 0.5 * L.SIGMA**2) * L.N_DATES * L.DT
+    ) / (L.SIGMA * math.sqrt(L.N_DATES * L.DT))
+    d2 = d1 - L.SIGMA * math.sqrt(L.N_DATES * L.DT)
+    nd = lambda z: 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+    bs_put = L.STRIKE * math.exp(-L.RATE * L.N_DATES * L.DT) * nd(
+        -d2
+    ) - L.S0 * nd(-d1)
+    assert abs(df.eu_price - bs_put) < 0.35  # 8-strata discretization bias
+
+    # independent numpy LSMC on the identical deterministic paths
+    means = np.array(L._stratum_means(L.N_STRATA))
+    mults = np.exp(
+        (L.RATE - 0.5 * L.SIGMA**2) * L.DT
+        + L.SIGMA * math.sqrt(L.DT) * means
+    )
+    idx = np.arange(1, L.N_PATHS + 1)
+
+    def radical(base, digits):
+        u = np.zeros(len(idx))
+        for kd in range(digits):
+            u += ((idx // base**kd) % base) * float(base) ** -(kd + 1)
+        return u
+
+    s = np.full(L.N_PATHS, L.S0)
+    spots = []
+    for t, (b, dg) in enumerate(L._BASES_DIGITS):
+        k = np.minimum((radical(b, dg) * L.N_STRATA).astype(int), 7)
+        s = s * mults[k]
+        spots.append(s.copy())
+    disc = math.exp(-L.RATE * L.DT)
+    v = np.maximum(L.STRIKE - spots[-1], 0.0)
+    for t in range(L.N_DATES - 2, -1, -1):
+        pay = np.maximum(L.STRIKE - spots[t], 0.0)
+        itm = pay > 0
+        x = spots[t][itm] / L.S0
+        y = disc * v[itm]
+        coef = np.polyfit(x, y, 2)  # c2 x^2 + c1 x + c0
+        cont = np.polyval(coef, spots[t] / L.S0)
+        exercise = itm & (pay > cont)
+        v = np.where(exercise, pay, disc * v)
+    am_ref = disc * v.mean()
+    assert abs(df.am_price - am_ref) < 0.05, (df.am_price, am_ref)
