@@ -35,13 +35,14 @@ _FEATURE_SCHEMA = (
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload to ``(width, height, channels, pixels)``.
 
-    PNG (grayscale/truecolor/palette, Adam7 interlace) and baseline JPEG
-    (grayscale and color 4:4:4 / 4:2:0, optional restart markers) are
-    decoded for REAL via the self-contained codecs in ``png.py`` (chunk
-    walk + CRC + inflate + all five unfilters) and ``jpeg.py`` (marker
-    parse + Huffman scan + dequant + IDCT + chroma upsampling). Other
-    formats (WebP, TIFF, progressive JPEG, ...) need PIL/opencv, which
-    this container ships without, so they remain a clearly-marked
+    PNG (grayscale/truecolor/palette, Adam7 interlace), baseline JPEG
+    (grayscale and color 4:4:4 / 4:2:0, optional restart markers) and
+    24-bit BMP (bottom-up or top-down) are decoded for REAL via the
+    self-contained codecs in ``png.py`` (chunk walk + CRC + inflate +
+    all five unfilters), ``jpeg.py`` (marker parse + Huffman scan +
+    dequant + IDCT + chroma upsampling) and ``bmp.py``. Other formats
+    (WebP, TIFF, progressive JPEG, ...) need PIL/opencv, which this
+    container ships without, so they remain a clearly-marked
     ``NotImplementedError`` plug point."""
     from .png import PNG_SIGNATURE, decode_png
 
@@ -51,6 +52,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:2] == b"BM":
+        from .bmp import decode_bmp
+
+        w, h, pixels = decode_bmp(payload)
+        return w, h, 3, bytes(c for px in pixels for c in px)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:

@@ -163,8 +163,12 @@ def _sql_update(asg: str) -> str:
 """
 
 
-_QIVF_ORACLE = f"""
-WITH corpus AS (
+def sql_training_ctes() -> str:
+    """The deterministic-Lloyd training loop as a WITH-clause fragment
+    (corpus -> cent0 -> asg1/cent1 -> asg2/cent2 -> asgf). Shared by the
+    IVF query oracle and the semantic-dedup oracle (dedup/semantic.py),
+    so both replay the IDENTICAL quantizer."""
+    return f"""corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
          label
   FROM embeddings
@@ -181,7 +185,11 @@ asg1 AS ({_sql_assign("cent0")}),
 cent1 AS ({_sql_update("asg1")}),
 asg2 AS ({_sql_assign("cent1")}),
 cent2 AS ({_sql_update("asg2")}),
-asgf AS ({_sql_assign("cent2")}),
+asgf AS ({_sql_assign("cent2")})"""
+
+
+_QIVF_ORACLE = f"""
+WITH {sql_training_ctes()},
 qs AS (
   SELECT vec_id AS query_id, emb AS qemb FROM corpus
   WHERE vec_id < {N_QUERIES}
