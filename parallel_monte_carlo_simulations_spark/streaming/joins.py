@@ -129,3 +129,98 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+_QSSOUTER_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+    AND ts <= (SELECT max(ts) FROM events) - INTERVAL 90 MINUTE
+),
+v AS (
+  SELECT event_id AS view_id, user_id, ts AS v_ts FROM events
+  WHERE event_type = 'view'
+)
+SELECT p.purchase_id, p.user_id, v.view_id
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND p.p_ts > v.v_ts
+ AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
+"""
+
+
+@register(
+    "q_stream_stream_outer_join",
+    oracle=_QSSOUTER_ORACLE,
+    description=(
+        "watermarked stream-stream LEFT OUTER join: unmatched purchases "
+        "emit only after the watermark passes their join window (state "
+        "eviction), compared against the batch left join"
+    ),
+    tags=("streaming", "join", "stream_stream", "outer", "watermark"),
+)
+def q_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTER variant is the semantically hard one: an unmatched left
+    row may only be emitted once the watermark proves no matching right
+    row can still arrive, so correctness depends on state-eviction
+    timing, not just the join predicate. Real Structured Streaming
+    gotcha handled here: rows inside the final ``watermark + band``
+    window are never flushed before an availableNow query stops
+    (measured: 4 of 1961 unmatched purchases withheld at sf0.01), so
+    BOTH the streaming result and the batch oracle cut purchases at
+    ``max(ts) - 90 minutes`` — the comparison covers exactly the rows
+    the watermark has adjudicated."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            """
+            p_user = v_user
+            AND p_ts > v_ts
+            AND p_ts <= v_ts + INTERVAL 30 MINUTES
+            """
+        ),
+        "left_outer",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "view_id", "p_ts")
+
+    sink = f"mem_sso_{uuid.uuid4().hex[:12]}"
+    with state_partitions_scope(spark), tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from ..tables import table as _table
+
+    cutoff = _table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 90 MINUTES")).alias("cutoff_ts")
+    )
+    return (
+        spark.table(sink)
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.col("p_ts") <= F.col("cutoff_ts"))
+        .drop("p_ts", "cutoff_ts")
+    )
