@@ -228,3 +228,47 @@ def test_bucketed_join_has_no_exchange(spark):
 
     exchange_nodes = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(exchange_nodes) == 1, plan[:1500]
+
+
+def test_binned_range_join_avoids_cartesian(spark):
+    """The whole point of q_join_range_binned: a keyless proximity join
+    must plan as a hash equi-join on the time bin, never a broadcast
+    nested loop / cartesian."""
+    plan = _plan(spark, "q_join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_unigram_lm_broadcasts_vocab(spark):
+    """The vocabulary and total-count frames are tiny; the token stream
+    must join them map-side (broadcast), never shuffle the corpus."""
+    plan = _plan(spark, "q_text_unigram_logprob")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "ArrowEvalPython" not in plan  # pure built-ins, no Python
+
+
+def test_lsmc_stays_in_codegen(spark):
+    """The LSMC path arithmetic must be codegen'd relational work over a
+    range source — no Python anywhere. The BroadcastNestedLoopJoins in
+    the plan are the three 1-row coefficient CTEs crossing into the path
+    frame (broadcasting one row is the right plan); the path side itself
+    must come straight from Range inside codegen."""
+    plan = _plan(spark, "q_mc_american_lsmc")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Range" in plan
+    # (codegen ids are not rendered in AQE's pre-execution formatted
+    # plan, so no WSCG assertion is possible here; the no-Python checks
+    # above are the load-bearing ones.)
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_joins_on_cluster(spark):
+    """Within-cluster pairwise only: the pair join must be keyed on
+    cluster_id (equi-join), never a corpus-wide cartesian. (The plan's
+    BroadcastNestedLoopJoin is the K-row centroid broadcast cross join —
+    constant-size build side, map-side assignment.)"""
+    plan = _plan(spark, "q_dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
