@@ -224,3 +224,97 @@ def test_dataset_split_proportions(spark):
     assert total == table(spark, SF, "documents").count()
     assert 0.80 <= by_split["train"] / total <= 0.97
     assert by_split.get("val", 0) > 0 and by_split.get("test", 0) > 0
+
+
+def test_interpolation_preserves_observations_and_bounds(spark):
+    """q_timeseries_interpolate invariants: every observed (series,
+    hour) keeps its (quantized) value, and every interpolated value lies
+    within [min, max] of its series' observed values (linear
+    interpolation between neighbors can't overshoot)."""
+    from pyspark.sql import functions as F
+
+    from parallel_monte_carlo_simulations_spark.operators.interp import (
+        q_timeseries_interpolate,
+    )
+
+    df = q_timeseries_interpolate(spark, "/root/testdata/sf0.001").cache()
+    bounds = (
+        df.filter("is_observed")
+        .groupBy("series")
+        .agg(
+            F.min("value_filled").alias("lo"),
+            F.max("value_filled").alias("hi"),
+        )
+    )
+    out_of_bounds = (
+        df.filter(~F.col("is_observed"))
+        .join(bounds, "series")
+        .filter(
+            (F.col("value_filled") < F.col("lo") - 1e-9)
+            | (F.col("value_filled") > F.col("hi") + 1e-9)
+        )
+        .count()
+    )
+    assert out_of_bounds == 0
+    assert df.filter("value_filled IS NULL").count() == 0
+    df.unpersist()
+
+
+def test_binned_range_join_equals_naive(spark):
+    """The bin rewrite must be EXACTLY the declarative range join —
+    compare against a plain theta self-join at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from parallel_monte_carlo_simulations_spark.operators.binned import (
+        BAND_SECONDS,
+        q_join_range_binned,
+    )
+    from parallel_monte_carlo_simulations_spark.tables import table
+
+    binned = {
+        (r.first_type, r.next_type): r.n_pairs
+        for r in q_join_range_binned(spark, "/root/testdata/sf0.001").collect()
+    }
+    e = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("b.ts") >= F.col("a.ts"))
+            & (
+                F.col("b.ts")
+                <= F.col("a.ts") + F.expr(f"INTERVAL {BAND_SECONDS} SECONDS")
+            )
+            & (F.col("a.event_id") != F.col("b.event_id")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("first_type"),
+            F.col("b.event_type").alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    naive_map = {
+        (r.first_type, r.next_type): r.n_pairs for r in naive.collect()
+    }
+    assert binned == naive_map
+
+
+def test_url_canonicalization_collapses_variants(spark):
+    """Canonical clusters must contain genuinely different raw URLs
+    (n_variants > 1 somewhere) and every keeper is the min doc_id of a
+    cluster — i.e. the dedup actually merges spelling variants."""
+    from parallel_monte_carlo_simulations_spark.dedup.urlnorm import (
+        q_dedup_url_canonical,
+    )
+
+    rows = q_dedup_url_canonical(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "dedup produced no clusters"
+    assert any(r.n_variants > 1 for r in rows)
+    for r in rows:
+        assert r.n_docs >= r.n_variants >= 1
+        assert "example.com" in r.canonical_url  # host lowercased
+        assert ":443" not in r.canonical_url
+        assert "#" not in r.canonical_url
+        assert "utm_" not in r.canonical_url
