@@ -19,6 +19,12 @@ Keeper policy (deterministic): a vector is DROPPED iff some same-
 cluster vector with a LOWER vec_id has cosine >= the threshold; its
 keeper is the smallest such id. Output rows are the dropped vectors
 with their keeper, duplicate-neighbor count, and best cosine.
+
+Scale knob: per-cluster pairwise work grows with (n/K)^2, so K must
+grow with the corpus to keep cluster sizes bounded (SemDeDup uses
+K ~ 100k at web scale; the scale study's 2.6x growth on 10x data at
+fixed K=16 is exactly this effect). K is pinned here only because the
+oracle replays the same K_CLUSTERS=16 quantizer as the IVF index.
 """
 
 from __future__ import annotations

@@ -31,6 +31,12 @@ QUERIES = [
     "q_graph_pagerank",
     "q_multimodal_gif_frames",
     "q_heavy_hitters",
+    "q_join_range_binned",
+    "q_dedup_semantic",
+    "q_timeseries_interpolate",
+    "q_text_bigram_backoff",
+    "q_sink_bucketed_join",
+    "q_multimodal_bmp_decode",
 ]
 
 
