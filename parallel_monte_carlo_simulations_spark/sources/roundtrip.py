@@ -292,3 +292,148 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_files"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
     ).select(F.col("bucket").cast("long").alias("bucket"), "n_files", "total_bytes")
+
+
+# --------------------------------------------------------------------------
+# CSV robustness leg 1: quoting/escaping roundtrip. Fields containing the
+# delimiter, double quotes, and newlines must survive write->read intact.
+# --------------------------------------------------------------------------
+
+_QCSVQ_ORACLE = """
+WITH decorated AS (
+  SELECT doc_id, lang,
+         'pre,"' || chr(10) || text || '",post' AS tricky
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)             AS n_docs,
+       CAST(SUM(length(tricky)) AS BIGINT)  AS n_chars
+FROM decorated
+GROUP BY lang
+"""
+
+
+@register(
+    "q_source_csv_quoted",
+    oracle=_QCSVQ_ORACLE,
+    description=(
+        "CSV quoting roundtrip: fields carrying delimiters, double "
+        "quotes and embedded newlines survive write->read (multiLine "
+        "parse) byte-exactly"
+    ),
+    tags=("source", "sink", "csv", "quoting"),
+)
+def q_source_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every real CSV feed eventually contains the delimiter, quote
+    char, and newlines INSIDE fields. Decorate each doc text with all
+    three (',', '\"', '\\n'), round-trip through the CSV writer/parser
+    (multiLine on, default RFC-4180-style quoting/escaping), and
+    aggregate length sums that only match the oracle (which computes
+    them from the original text, never touching CSV) if parsing
+    reconstructed every byte."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit('pre,"'), F.lit("\n"), F.col("text"), F.lit('",post')
+        ).alias("tricky"),
+    )
+    path = _tmpdir("csvq")
+    d.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema("doc_id long, lang string, tricky string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("tricky")).cast("long").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CSV robustness leg 2: malformed records under PERMISSIVE mode. Bad rows
+# land in the corrupt-record column instead of failing the job.
+# --------------------------------------------------------------------------
+
+_QCSVM_ORACLE = """
+WITH src AS (
+  SELECT doc_id,
+         doc_id % 7 = 3 AS is_bad
+  FROM documents WHERE doc_id < 300
+)
+SELECT CAST(SUM(CASE WHEN is_bad THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN is_bad THEN 0 ELSE doc_id * 2 END) AS BIGINT)
+         AS good_value_sum
+FROM src
+"""
+
+
+@register(
+    "q_source_csv_malformed",
+    oracle=_QCSVM_ORACLE,
+    description=(
+        "PERMISSIVE CSV ingest: deterministic malformed lines are "
+        "captured in the _corrupt_record column (job survives, bad rows "
+        "quarantined and counted)"
+    ),
+    tags=("source", "csv", "malformed", "data_quality"),
+)
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-robustness contract: a feed with broken lines must not
+    kill the job — PERMISSIVE mode parses what it can and quarantines
+    the rest in ``columnNameOfCorruptRecord``. Lines are written
+    executor-side (foreachPartition); every ``doc_id % 7 == 3`` line is
+    deterministically malformed (non-numeric id field + wrong arity),
+    so good/corrupt counts and the good-row value sum are closed-form
+    for the oracle. A malformed line slipping through as parsed (or a
+    good line misread) breaks the hash."""
+    import os as _os
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    path = _tmpdir("csvm")
+    _os.makedirs(path, exist_ok=True)
+
+    def _write_partition(rows) -> None:
+        import os
+
+        pid = None
+        fh = None
+        for r in rows:
+            if fh is None:
+                pid = os.getpid()
+                fh = open(
+                    os.path.join(path, f"part-{pid}-{r.doc_id}.csv"), "w"
+                )
+            if r.doc_id % 7 == 3:
+                fh.write(f"not_a_number,{r.doc_id}\n")  # bad type + arity
+            else:
+                fh.write(f"{r.doc_id},{r.doc_id * 2},ok\n")
+        if fh is not None:
+            fh.close()
+
+    d.select("doc_id").foreachPartition(_write_partition)
+    back = (
+        spark.read.schema(
+            "id long, value long, status string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    back = back.cache()  # corrupt-record column requires a materialized read
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("long")
+        .alias("n_good"),
+        F.count(F.col("_corrupt_record")).cast("long").alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("value")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("good_value_sum"),
+    )
