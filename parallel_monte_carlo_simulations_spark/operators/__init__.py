@@ -33,6 +33,7 @@ from . import (  # noqa: F401
     scalar,
     scalar2,
     scalar3,
+    scripting,
     setops,
     skew,
     subqueries,
