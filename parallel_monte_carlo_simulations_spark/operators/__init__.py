@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     interp,
     layout,
     joins,
+    maps,
     misc,
     profiling,
     pandas_api,
