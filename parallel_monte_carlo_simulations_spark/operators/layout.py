@@ -160,3 +160,43 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fragmented"),
         (F.col("files_after") <= 4).alias("compacted"),
     ).crossJoin(stats)
+
+
+_QREBAL_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT)       AS n_items,
+       ROUND(SUM(l_quantity), 2)      AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q_hint_rebalance",
+    oracle=_QREBAL_ORACLE,
+    description=(
+        "AQE REBALANCE hint: output files sized by runtime statistics "
+        "instead of static partition counts (small-file prevention at "
+        "the sink, skew-split on write)"
+    ),
+    tags=("layout", "aqe", "rebalance", "hint"),
+)
+def q_hint_rebalance(spark, sf_dir: str):
+    """``/*+ REBALANCE(col) */`` asks AQE to re-split output partitions
+    by runtime size — the sink-side answer to both small files (tiny
+    partitions coalesce) and hot keys (oversized partitions split,
+    which plain repartition(col) cannot do). The aggregate result is
+    oracle-checked; the rebalance changes layout, never values."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ REBALANCE(l_returnflag) */
+               l_returnflag,
+               CAST(COUNT(*) AS BIGINT)  AS n_items,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
