@@ -207,6 +207,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    calibration_start = _cpu_calibration()
     spark = get_spark(
         app_name="pmcs-bench",
         master=f"local[{CPUS}]",
@@ -247,7 +248,10 @@ def main() -> None:
     if contending:
         out["contended_with_spark_jvms"] = contending
     out["ambient_load1_at_start"] = ambient_load
-    out["cpu_calibration_sec"] = _cpu_calibration()
+    # start AND end: this box's speed drifts up to 3x within hours, so a
+    # single probe can misattribute mid-run shifts
+    out["cpu_calibration_sec_start"] = calibration_start
+    out["cpu_calibration_sec_end"] = _cpu_calibration()
     print(json.dumps(out))
 
 
