@@ -17,9 +17,11 @@ judge can map SURVEY.md §2's inventory line-by-line:
 """
 
 from . import (  # noqa: F401
+    basket,
     binned,
     complex_types,
     graph,
+    graph2,
     grouping,
     interp,
     layout,
