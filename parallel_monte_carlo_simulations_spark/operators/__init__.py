@@ -46,6 +46,7 @@ from . import (  # noqa: F401
     tpch4,
     variant,
     warehouse,
+    weighted_stats,
     windows,
     windows2,
 )
