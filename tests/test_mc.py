@@ -318,3 +318,19 @@ def test_lsmc_american_put_sane(spark):
         v = np.where(exercise, pay, disc * v)
     am_ref = disc * v.mean()
     assert abs(df.am_price - am_ref) < 0.05, (df.am_price, am_ref)
+
+
+def test_brownian_bridge_martingale_and_positive_premium(spark):
+    """Sanity for q_mc_brownian_bridge: discounted terminal mean must
+    sit near S0*e^{rT} (martingale property, within stratified-QMC
+    discretization bias) and the Asian call carries positive value
+    below its intrinsic-forward bound."""
+    import math
+
+    from parallel_monte_carlo_simulations_spark.mc import bridge as B
+
+    row = B.q_mc_brownian_bridge(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_paths == B.N_PATHS
+    target = B.S0 * math.exp(B.RATE * B.T)
+    assert abs(row.mean_terminal - target) < 0.8, (row.mean_terminal, target)
+    assert 0.0 < row.asian_call_price < B.S0
