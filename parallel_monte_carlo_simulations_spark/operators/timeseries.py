@@ -359,3 +359,71 @@ def q_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", "event_id", vals.alias("vals"))
         .select("user_id", "event_id", F.round(wsum / norm, 4).alias("ewma"))
     )
+
+
+_QZSCORE_ORACLE = """
+WITH w AS (
+  SELECT user_id, ts, value,
+         AVG(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING) AS mu,
+         STDDEV_SAMP(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING) AS sd,
+         COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING) AS n_hist
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT)  AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN abs(value - mu) > 3 * sd THEN 1 ELSE 0 END)
+            AS BIGINT)          AS n_anomalies
+FROM w
+WHERE n_hist >= 5 AND sd > 0
+GROUP BY user_id
+HAVING SUM(CASE WHEN abs(value - mu) > 3 * sd THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register(
+    "q_anomaly_rolling_zscore",
+    oracle=_QZSCORE_ORACLE,
+    description=(
+        "rolling z-score anomaly detection: each event scored against "
+        "the trailing-20 window of ITS OWN user (history excludes the "
+        "current row); users with |z| > 3 hits"
+    ),
+    tags=("timeseries", "window", "anomaly", "statistics"),
+)
+def q_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-monitoring classic in batch form: a trailing
+    window (19 PRECEDING .. 1 PRECEDING — the current value must not
+    contaminate its own baseline) provides mean/std per user, events
+    beyond 3 sigma count as anomalies. One user-keyed shuffle; the
+    frame carries running moments only. Warm-up rows (history < 5) and
+    zero-variance windows are excluded identically in both engines."""
+    e = table(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, -1)
+    )
+    w = e.select(
+        "user_id",
+        "value",
+        F.avg("value").over(frame).alias("mu"),
+        F.stddev_samp("value").over(frame).alias("sd"),
+        F.count(F.lit(1)).over(frame).alias("n_hist"),
+    ).filter((F.col("n_hist") >= 5) & (F.col("sd") > 0))
+    hit = F.when(
+        F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"), 1
+    ).otherwise(0)
+    return (
+        w.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum(hit).cast("long").alias("n_anomalies"),
+        )
+        .filter(F.col("n_anomalies") > 0)
+    )
