@@ -243,3 +243,151 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(us).over(w).cast("long").alias("to_us"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+_QABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey AS part,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))), 2)
+              AS DECIMAL(18,2)) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT part, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, part
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(revenue) OVER () AS total
+  FROM rev
+),
+classed AS (
+  SELECT part, revenue,
+         CASE WHEN cum * 100 <= 80 * total THEN 'A'
+              WHEN cum * 100 <= 95 * total THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT)          AS n_parts,
+       CAST(SUM(revenue) AS DOUBLE)      AS class_revenue
+FROM classed
+GROUP BY abc_class
+"""
+
+
+@register(
+    "q_abc_pareto",
+    oracle=_QABC_ORACLE,
+    description=(
+        "ABC/Pareto classification: parts bucketed A (first 80% of "
+        "cumulative revenue) / B (to 95%) / C (tail) via one running-"
+        "share window"
+    ),
+    tags=("profiling", "window", "pareto", "analytics"),
+)
+def q_abc_pareto(spark, sf_dir: str):
+    """The inventory-management classic (80/20 rule operationalized):
+    rank items by revenue, classify on the cumulative share. Money
+    discipline (the tpch3 decimal lesson): per-item revenue is cast to
+    DECIMAL(18,2) so the running and total sums are EXACT and
+    summation-order independent — the 80/95% boundary comparisons are
+    integer-scaled decimal arithmetic, and the class revenue converts
+    decimal->double only at output (bit-identical both engines). One
+    window over the ranked items, one aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    # each price product casts to DECIMAL(18,6) BEFORE the sum: the
+    # per-part total is then exact, so parts whose true revenue sits on
+    # an exact half-cent round the same way in both engines (a raw
+    # double sum differs in last ulps and flips the half-cent).
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            2,
+        )
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    running = Window.orderBy(F.desc("revenue"), "part").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy()
+    classed = rev.select(
+        "part",
+        "revenue",
+        F.sum("revenue").over(running).alias("cum"),
+        F.sum("revenue").over(total).alias("total"),
+    ).select(
+        "part",
+        "revenue",
+        F.when(F.col("cum") * 100 <= 80 * F.col("total"), "A")
+        .when(F.col("cum") * 100 <= 95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("revenue").cast("double").alias("class_revenue"),
+    )
+
+
+_QRFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS cust,
+         MAX(o_orderdate)                 AS last_order,
+         COUNT(*)                         AS frequency,
+         ROUND(SUM(o_totalprice), 2)      AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT cust,
+         NTILE(5) OVER (ORDER BY last_order DESC, cust) AS r,
+         NTILE(5) OVER (ORDER BY frequency DESC, cust)  AS f,
+         NTILE(5) OVER (ORDER BY monetary DESC, cust)   AS m
+  FROM base
+)
+SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+       CAST(m AS INTEGER) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored
+GROUP BY r, f, m
+"""
+
+
+@register(
+    "q_customer_rfm",
+    oracle=_QRFM_ORACLE,
+    description=(
+        "RFM segmentation: recency/frequency/monetary quintiles via "
+        "NTILE with deterministic tie-breaks; segment sizes"
+    ),
+    tags=("profiling", "window", "rfm", "segmentation", "analytics"),
+)
+def q_customer_rfm(spark, sf_dir: str):
+    """Marketing's standard customer segmentation. Quintiles come from
+    NTILE(5) with (metric, cust) tie-breaks — NTILE's bucket boundaries
+    depend only on the ROW ORDER, which the tie-break pins, so both
+    engines cut identical quintiles even over heavily tied frequency
+    counts. Monetary is rounded to cents before ranking for the same
+    reason."""
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = base.select(
+        "cust",
+        F.ntile(5).over(Window.orderBy(F.desc("last_order"), "cust")).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "cust")).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "cust")).alias("m"),
+    )
+    return scored.groupBy(
+        F.col("r").cast("int").alias("r"),
+        F.col("f").cast("int").alias("f"),
+        F.col("m").cast("int").alias("m"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
