@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     graph,
     graph2,
     grouping,
+    incremental,
     interp,
     layout,
     joins,
