@@ -26,15 +26,11 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
+from .hashing import sql_hash60 as _hash60_sql
 
 N_SHARDS = 16
 _MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 _BASE = 1_000_003
-
-
-def _hash60_sql(expr: str) -> str:
-    """DuckDB mirror of functions.hashing.hash60 (md5 -> 60-bit int)."""
-    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 _QSHARD_ORACLE = f"""

@@ -11,7 +11,7 @@ arithmetic double, so the empirical order statistics are deterministic
 and the DuckDB oracle replays them exactly.
 
 Order-statistic discipline: VaR is the k-th largest loss with
-k = ceil(alpha * n) via row_number over (loss DESC, scenario id) — an
+k = ceil((1 - alpha) * n) via row_number over (loss DESC, scenario id) — an
 EXACT rank cut, not an interpolated percentile, so both engines select
 the same scenario row; CVaR averages the k worst losses.
 """

@@ -23,12 +23,19 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..tables import table
 
-PCTS = (0.25, 0.5, 0.9)
+# p as exact fractions num/den: the threshold test is integer-scaled
+# (cum * den >= num * total) so both engines evaluate one exact product
+# of integral-valued doubles — never `cum >= 0.9 * total`, whose 0.9
+# literal DuckDB types as DECIMAL while Spark multiplies in DOUBLE,
+# letting a cumulative weight that lands exactly on the boundary pick
+# different rows per engine.
+PCTS = ((25, 1, 4), (50, 1, 2), (90, 9, 10))
 
 _CASES = ", ".join(
-    f"""FLOOR(MIN(CASE WHEN cum >= {p} * total THEN l_extendedprice END)
-      * 100 + 0.5e0) / 100 AS wp{int(p * 100)}"""
-    for p in PCTS
+    f"""FLOOR(MIN(CASE WHEN cum * {den} >= {num} * total
+               THEN l_extendedprice END)
+      * 100 + 0.5e0) / 100 AS wp{pct}"""
+    for pct, num, den in PCTS
 )
 
 _QWMED_ORACLE = f"""
@@ -78,7 +85,7 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 F.min(
                     F.when(
-                        F.col("cum") >= F.lit(p) * F.col("total"),
+                        F.col("cum") * den >= F.lit(num) * F.col("total"),
                         F.col("l_extendedprice"),
                     )
                 )
@@ -86,8 +93,8 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 0.5
             )
             / 100
-        ).alias(f"wp{int(p * 100)}")
-        for p in PCTS
+        ).alias(f"wp{pct}")
+        for pct, num, den in PCTS
     ]
     return w.groupBy("l_returnflag").agg(
         *aggs, F.count(F.lit(1)).cast("long").alias("n_rows")

@@ -56,6 +56,10 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = (
         spark.read.format("xml")
         .option("rowTag", "document")
+        # Spark 4 defaults ignoreSurroundingSpaces=true, which would trim
+        # leading/trailing whitespace off element text on read-back and
+        # break the byte-exact length oracle for whitespace-bearing docs.
+        .option("ignoreSurroundingSpaces", "false")
         .schema("doc_id long, lang string, text string, n_chars long")
         .load(path)
     )

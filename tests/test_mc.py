@@ -334,3 +334,25 @@ def test_brownian_bridge_martingale_and_positive_premium(spark):
     target = B.S0 * math.exp(B.RATE * B.T)
     assert abs(row.mean_terminal - target) < 0.8, (row.mean_terminal, target)
     assert 0.0 < row.asian_call_price < B.S0
+
+
+def test_sobol_direction_numbers_valid_and_pi_accuracy(spark):
+    """Direction-number validity (every m_k odd and < 2^k — the
+    (t,s)-net requirement the pre-fix recurrence violated with even
+    m3=6, m6=58) plus low-discrepancy accuracy: at N=100k the Sobol
+    estimate must sit far inside the ~1/sqrt(N) pseudo-random band
+    (~0.0052)."""
+    from parallel_monte_carlo_simulations_spark.mc.sobol import (
+        BITS,
+        _direction_numbers,
+        q_mc_sobol_pi,
+    )
+
+    _, d2 = _direction_numbers()
+    m = [d2[k] >> (31 - k) for k in range(BITS)]
+    assert all(mk % 2 == 1 for mk in m), m
+    assert all(m[k] < (1 << (k + 1)) for k in range(BITS)), m
+
+    row = q_mc_sobol_pi(spark, "").collect()[0]
+    assert row.n_points == 100_000
+    assert abs(float(row.pi_est) - math.pi) < 1.5e-3, row.pi_est
