@@ -1,11 +1,22 @@
 from __future__ import annotations
 
+import faulthandler
+import os
+import signal
+
 import pytest
 
 from parallel_monte_carlo_simulations_spark.session import get_spark
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MED = "/root/testdata/sf0.01"
+
+# Per-test wall-clock budget. A py4j client wedge (observed once: a failed
+# driver-side toPandas whose error never reached Python — zero failed
+# stages, the client waited forever) otherwise burns an entire session
+# silently. SIGALRM turns any >TIMEOUT test into a loud failure with a
+# stack dump from every thread instead of a hang. No external packages.
+TEST_TIMEOUT_S = int(os.environ.get("PMCS_TEST_TIMEOUT_S", "300"))
 
 
 @pytest.fixture(scope="session")
@@ -16,3 +27,27 @@ def spark():
         shuffle_partitions=8,
     )
     yield s
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    if TEST_TIMEOUT_S <= 0 or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+
+    def _on_timeout(signum, frame):
+        # Dump every thread (the JVM gateway thread included) so the wedge
+        # site is visible in the failure output, then fail the test.
+        faulthandler.dump_traceback()
+        raise TimeoutError(
+            f"test exceeded {TEST_TIMEOUT_S}s wall-clock "
+            f"(PMCS_TEST_TIMEOUT_S to adjust)"
+        )
+
+    prev = signal.signal(signal.SIGALRM, _on_timeout)
+    signal.alarm(TEST_TIMEOUT_S)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
