@@ -356,3 +356,38 @@ def test_sobol_direction_numbers_valid_and_pi_accuracy(spark):
     row = q_mc_sobol_pi(spark, "").collect()[0]
     assert row.n_points == 100_000
     assert abs(float(row.pi_est) - math.pi) < 1.5e-3, row.pi_est
+
+
+def test_qmc_gbm_twins_match_bs_and_reduce_variance(spark):
+    """The four exactly-oracled QMC twins of the Philox GBM family: all
+    ATM prices agree with Black-Scholes up to the 64-stratum quadrature
+    bias, every variance-reduction twin beats the plain twin's
+    std_error, and the importance estimator nails the deep-OTM price
+    the plain one struggles with."""
+    from parallel_monte_carlo_simulations_spark.mc import qmc_gbm as Q
+
+    plain = Q.q_mc_gbm_qmc_price(spark, "").collect()[0]
+    anti = Q.q_mc_gbm_qmc_antithetic(spark, "").collect()[0]
+    cv = Q.q_mc_gbm_qmc_control_variate(spark, "").collect()[0]
+    imp = {r.estimator: r for r in Q.q_mc_gbm_qmc_importance(spark, "").collect()}
+
+    phi = lambda x: 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))  # noqa: E731
+
+    def bs(strike):
+        d1 = (math.log(Q.S0 / strike) + (Q.R + Q.SIGMA**2 / 2) * Q.T) / (
+            Q.SIGMA * math.sqrt(Q.T)
+        )
+        d2 = d1 - Q.SIGMA * math.sqrt(Q.T)
+        return Q.S0 * phi(d1) - strike * math.exp(-Q.R * Q.T) * phi(d2)
+
+    # quadrature bias only (no MC noise): ATM within 0.05 of BS
+    assert abs(plain.mc_price - bs(Q.STRIKE)) < 0.05, plain
+    # identical point set => identical price; tighter spread per pair
+    assert anti.mc_price == plain.mc_price
+    assert anti.std_error < 0.7 * plain.std_error, (anti, plain)
+    assert cv.std_error < 0.6 * plain.std_error, (cv, plain)
+    assert abs(cv.mc_price - bs(Q.STRIKE)) < 0.05, cv
+    # deep OTM: importance within quadrature bias of BS, >=4x less error
+    assert abs(imp["importance"].mc_price - bs(Q.OTM_STRIKE)) < 0.01
+    assert imp["importance"].std_error < 0.25 * imp["plain"].std_error
+    assert plain.n_paths == Q.N_PATHS
