@@ -24,6 +24,14 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: The round-4 CPU-calibration constant (mean of start/end probes in
+#: BENCH_r04.json). ``value_normalized`` scales this run's seconds by
+#: (REF_CALIBRATION_SEC / this run's calibration), making totals
+#: comparable to round 4's despite single-thread speed drift. It
+#: corrects frequency-scaling/co-tenant slowdown of the CPU itself, NOT
+#: core contention — the ambient-load fields flag that separately.
+REF_CALIBRATION_SEC = 0.56
+
 #: Representative slice of the registry: scan/agg, star join, shuffle join,
 #: window, dedup scale path, ANN, streaming window, JSON + text scans.
 HEADLINE = [
@@ -248,10 +256,25 @@ def main() -> None:
     if contending:
         out["contended_with_spark_jvms"] = contending
     out["ambient_load1_at_start"] = ambient_load
+    if ambient_load > 2.0:
+        out["load_warning"] = (
+            f"ambient 1-min load {ambient_load:.2f} at start: raw seconds "
+            "are inflated by core contention, which calibration "
+            "normalization does NOT correct — re-run solo before trusting "
+            "round-over-round deltas"
+        )
     # start AND end: this box's speed drifts up to 3x within hours, so a
     # single probe can misattribute mid-run shifts
+    calibration_end = _cpu_calibration()
     out["cpu_calibration_sec_start"] = calibration_start
-    out["cpu_calibration_sec_end"] = _cpu_calibration()
+    out["cpu_calibration_sec_end"] = calibration_end
+    cal = (calibration_start + calibration_end) / 2.0
+    ratio = REF_CALIBRATION_SEC / cal if cal > 0 else 1.0
+    out["calibration_ratio_vs_r4"] = round(ratio, 4)
+    out["value_normalized"] = round(out["value"] * ratio, 3)
+    out["queries_normalized"] = {
+        k: round(v * ratio, 3) for k, v in times.items()
+    }
     print(json.dumps(out))
 
 

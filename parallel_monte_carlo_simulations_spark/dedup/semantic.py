@@ -68,8 +68,22 @@ GROUP BY dropped
     tags=("dedup", "semantic", "embedding", "clustering", "curation"),
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semantic_pairs(spark, sf_dir, K_FIXED)
+
+
+K_FIXED = 16  # == similarity.ivf.K_CLUSTERS: the oracle replays this quantizer
+# Measured trade-off (r5 same-JVM A/B, steady-state): target 32 (K=62 at
+# sf0.1) made the END-TO-END ratio WORSE than fixed K — at 2000 vectors
+# the n x K training cross-join grows faster than the n^2/K pairwise
+# join shrinks. Target 64 (K=31 at sf0.1) is the measured optimum here;
+# at production corpus sizes the pairwise term dominates and the target
+# should shrink toward SemDeDup's regime (K ~ n / a few hundred).
+TARGET_CLUSTER_SIZE = 64
+
+
+def _semantic_pairs(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    cent = det_centroids(corpus)
+    cent = det_centroids(corpus, k=k)
     asg = _nearest(corpus, cent)
     a = asg.select(
         F.col("vec_id").alias("keeper"),
@@ -95,4 +109,36 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
             F.round(F.max("cos_raw"), 6).alias("best_cos"),
         )
+    )
+
+
+@register(
+    "q_dedup_semantic_adaptive",
+    oracle=None,  # K is data-dependent; the K=16 oracle above stays the gate
+    description=(
+        "semantic dedup with the production scale knob: K grows with the "
+        f"corpus (target cluster size {TARGET_CLUSTER_SIZE}) so per-cluster "
+        "pairwise work stays bounded as data grows — summary row"
+    ),
+    tags=("dedup", "semantic", "embedding", "clustering", "scale"),
+)
+def q_dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup scale knob the fixed-K oracle can't demonstrate: with
+    K pinned, cluster sizes grow with the corpus and the within-cluster
+    pairwise join grows with n^2/K (the scale study measured 2.6x on 10x
+    data at K=16). Growing K with n keeps E[cluster size] at
+    ``TARGET_CLUSTER_SIZE``, so pairwise work grows ~linearly with n.
+    Deterministic for a given dataset (count -> K is a pure function),
+    but K is data-dependent, so the cross-engine gate stays on the K=16
+    variant; this one returns an aggregate summary row (rows-only)."""
+    corpus = _corpus(spark, sf_dir)
+    n = corpus.count()  # one scalar job; decides the quantizer size
+    k = max(K_FIXED, n // TARGET_CLUSTER_SIZE)
+    dropped = _semantic_pairs(spark, sf_dir, k)
+    return dropped.agg(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(k).cast("int").alias("k_clusters"),
+        F.count(F.lit(1)).cast("long").alias("n_dropped"),
+        F.round(F.count(F.lit(1)) / F.lit(n), 6).alias("drop_rate"),
+        F.round(F.avg("best_cos"), 6).alias("avg_best_cos"),
     )

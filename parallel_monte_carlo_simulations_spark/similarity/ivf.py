@@ -62,7 +62,18 @@ def _nearest(df: DataFrame, cent: DataFrame) -> DataFrame:
     """Each row's nearest centroid: broadcast the K-row centroid table,
     cross join (|df| x K, map-side), argmin by (d2, cluster_id). The
     row_number window shuffles on vec_id once per call — the same skinny
-    shuffle a production IVF build pays for its assignment step."""
+    shuffle a production IVF build pays for its assignment step.
+
+    Measured dead end (r5, same-JVM A/B at sf0.1): replacing the window
+    with ``groupBy(vec_id).agg(min(struct(d2, cluster_id, emb, label)))``
+    — theoretically better (map-side partial agg shuffles |df| rows
+    instead of |df| x K) — ran ~40% SLOWER end-to-end on the semantic
+    dedup consumers (10.9 s vs 7.0-8.8 s) with identical results: the
+    interpreted struct-min comparator over an embedded 64-double array
+    costs more than the extra shuffle volume saves at these row counts.
+    Same lesson as operators/graph.py:134-145 — don't re-walk it without
+    re-measuring at much larger |df| x K, where shuffle volume should
+    eventually win."""
     a = df.crossJoin(F.broadcast(cent)).withColumn(
         "d2", dist2(F.col("emb"), F.col("centroid"))
     )
@@ -74,15 +85,16 @@ def _nearest(df: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def det_centroids(corpus: DataFrame) -> DataFrame:
+def det_centroids(corpus: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
     """(cluster_id, centroid): deterministic Lloyd k-means — md5-ordered
     corpus anchors refined with ``LLOYD_ITERS`` assign/update rounds of
-    exact (decimal-summed) means. Bit-identical to the oracle's unrolled
-    CTE replay."""
+    exact (decimal-summed) means. At the default ``k=K_CLUSTERS`` this is
+    bit-identical to the oracle's unrolled CTE replay; other ``k`` values
+    serve the adaptive-K semantic dedup scale path."""
     w = Window.orderBy(F.md5(F.concat_ws(":", F.col("vec_id"), F.lit("ivf"))))
     cent = (
         corpus.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= K_CLUSTERS)
+        .filter(F.col("rk") <= k)
         .select(
             (F.col("rk") - 1).cast("int").alias("cluster_id"),
             F.col("emb").alias("centroid"),

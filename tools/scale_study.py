@@ -33,6 +33,7 @@ QUERIES = [
     "q_heavy_hitters",
     "q_join_range_binned",
     "q_dedup_semantic",
+    "q_dedup_semantic_adaptive",
     "q_timeseries_interpolate",
     "q_text_bigram_backoff",
     "q_sink_bucketed_join",
