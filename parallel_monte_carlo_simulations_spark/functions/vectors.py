@@ -43,6 +43,23 @@ def dist2(a: Column, b: Column) -> Column:
     )
 
 
+def dist2_unrolled(a: Column, b: Column, dims: int) -> Column:
+    """``dist2`` for a statically-known dimensionality, unrolled to plain
+    column arithmetic. Bit-identical to the fold (left-associated sum of
+    squares; the fold's leading ``0.0 + d0`` is exact since d0 >= 0.0),
+    but whole-stage-codegen-able where ``F.aggregate``/``zip_with``
+    lambdas are interpreted per row — measured 40% faster on the PQ
+    assign join (512k rows x 4 dims, same JVM). WIDTH-SENSITIVE: at
+    dims=64 the generated expression chain ran ~2x SLOWER than the fold
+    on the IVF assignment (same-JVM paired A/B, r5) — use only for
+    small compile-time widths (<= ~16); keep the fold for full-width
+    embedding math."""
+    d = (a[0] - b[0]) * (a[0] - b[0])
+    for i in range(1, dims):
+        d = d + (a[i] - b[i]) * (a[i] - b[i])
+    return d
+
+
 # --- DuckDB oracle fragments (same fold order) -----------------------------
 
 def sql_as_double(expr: str) -> str:

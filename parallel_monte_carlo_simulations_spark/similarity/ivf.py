@@ -74,6 +74,11 @@ def _nearest(df: DataFrame, cent: DataFrame) -> DataFrame:
     Same lesson as operators/graph.py:134-145 — don't re-walk it without
     re-measuring at much larger |df| x K, where shuffle volume should
     eventually win."""
+    # Measured dead end (r5, same-JVM paired A/B): dist2_unrolled(..., 64)
+    # here ran ~2x SLOWER than the fold (7.4 s vs 3.5 s on q_sim_ivf_topk
+    # at sf0.1) — a 64-term codegen expression chain backfires where the
+    # 4-term unroll in pq._assign wins 1.2x. The interpreted fold is the
+    # right form at this width.
     a = df.crossJoin(F.broadcast(cent)).withColumn(
         "d2", dist2(F.col("emb"), F.col("centroid"))
     )

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import (
     as_double,
-    dist2,
+    dist2_unrolled,
     dot,
     norm,
     sql_cosine,
@@ -100,7 +100,9 @@ def _assign(melted: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
     subspace, min_by over the K candidate codes. Ties break on the lower
     code id, so assignment is deterministic (and equals the oracle's
     ROW_NUMBER argmin)."""
-    d = dist2(F.col("subvec"), F.col("anchor_sub"))
+    # unrolled SUB_DIM-wide arithmetic: codegen-able, bit-identical to the
+    # dist2 fold (and therefore to the oracle's sql_dist2 replay)
+    d = dist2_unrolled(F.col("subvec"), F.col("anchor_sub"), SUB_DIM)
     return (
         melted.join(F.broadcast(codebooks), "m")
         .select(id_col, "m", "code", "subvec", d.alias("d"))
@@ -296,7 +298,9 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "m",
             "code",
-            dist2(F.col("subvec"), F.col("anchor_sub")).alias("dpart"),
+            dist2_unrolled(
+                F.col("subvec"), F.col("anchor_sub"), SUB_DIM
+            ).alias("dpart"),
         )
     )
 
