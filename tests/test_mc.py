@@ -391,3 +391,26 @@ def test_qmc_gbm_twins_match_bs_and_reduce_variance(spark):
     assert abs(imp["importance"].mc_price - bs(Q.OTM_STRIKE)) < 0.01
     assert imp["importance"].std_error < 0.25 * imp["plain"].std_error
     assert plain.n_paths == Q.N_PATHS
+
+
+def test_hashrng_twins_statistics(spark):
+    """Counter-hash RNG twins behave like their Philox originals: coin
+    frequencies sit near each model's bias (binomial CI over 500 sims),
+    and every walk has a non-negative drawdown with a sane magnitude
+    for 50 unit-normal steps."""
+    from parallel_monte_carlo_simulations_spark.mc import hashrng as H
+
+    freq = H.q_mc_heads_frequency_qmc(spark, "").collect()
+    assert len(freq) == sum(n for _, _, n in H.COIN_MODELS)
+    for r in freq:
+        bias = dict((m, b) for m, b, _ in H.COIN_MODELS)[r.model_id]
+        # 4-sigma binomial bound at n=500: 4*sqrt(0.25/500) ~ 0.09
+        assert abs(r.h_frequency - bias) < 0.09, r
+        assert r.n_obs == H.COIN_SIMS
+
+    dd = H.q_mc_walk_drawdown_qmc(spark, "").collect()
+    assert len(dd) == H.N_SIMS
+    assert all(r.max_drawdown >= 0.0 for r in dd)
+    avg = sum(r.max_drawdown for r in dd) / len(dd)
+    # E[max drawdown] of a 50-step standard random walk is a few sigma*sqrt(n)
+    assert 1.0 < avg < 30.0, avg
