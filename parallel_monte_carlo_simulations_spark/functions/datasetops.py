@@ -184,3 +184,145 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# --- round 5: Gopher-style repetition signal + domain re-mixing -------------
+
+_REP_W = 3        # word n-gram width for the repetition signal
+_REP_MIN = 20     # ignore docs with fewer shingles (ratio too noisy)
+
+_QREP_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({sql_shingles("text", _REP_W)}) AS shingle
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct
+  FROM sh
+  GROUP BY doc_id
+  HAVING COUNT(*) >= {_REP_MIN}
+)
+SELECT doc_id, n_shingles, n_distinct,
+       FLOOR((1.0e0 - CAST(n_distinct AS DOUBLE) / n_shingles) * 1000000
+             + 0.5e0) / 1000000 AS dup_ratio
+FROM per_doc
+"""
+
+
+@register(
+    "q_text_repetition_ratio",
+    oracle=_QREP_ORACLE,
+    description=(
+        "Gopher-style intra-document repetition signal: fraction of word "
+        f"{_REP_W}-gram occurrences that are repeats (1 - distinct/total) "
+        "per document — the curation filter that catches boilerplate and "
+        "template spam"
+    ),
+    tags=("text", "curation", "quality", "repetition"),
+)
+def q_text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicated-n-gram fraction from the Gopher quality rules
+    (Rae et al., 2021, arXiv:2112.11446 — "repetition" filters): high
+    values flag boilerplate/template documents that length or stopword
+    heuristics miss. One posexplode + lead window per doc (O(tokens)),
+    one groupBy — the count pass is partial-aggregated; at 100 TB this
+    is a single shuffle on doc_id, same as every other per-doc signal."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = ["tok"] + [F.lead("tok", i).over(w) for i in range(1, _REP_W)]
+    sh = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("shingle"),
+            F.lead("tok", _REP_W - 1).over(w).alias("_tl"),
+        )
+        .filter(F.col("_tl").isNotNull())
+        .select("doc_id", "shingle")
+    )
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count_distinct("shingle").cast("long").alias("n_distinct"),
+        )
+        .filter(F.col("n_shingles") >= _REP_MIN)
+    )
+    ratio = 1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        (F.floor(ratio * 1_000_000 + 0.5) / 1_000_000).alias("dup_ratio"),
+    )
+
+
+#: Target per-language keep rates for the mixing demo — the knob a real
+#: pipeline turns to hit a target language (or domain) distribution.
+_MIX_RATES = (("en", 1.0), ("de", 0.8), ("fr", 0.8), ("es", 0.6), ("zh", 0.5))
+_TWO60 = float(1 << 60)
+
+
+_QMIX_ORACLE = f"""
+WITH rated AS (
+  SELECT doc_id, lang,
+         CASE lang {" ".join(f"WHEN '{lang}' THEN {r}e0" for lang, r in _MIX_RATES)}
+              ELSE 0.0e0 END AS target_rate,
+         CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) / {_TWO60!r} AS u
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN u < target_rate THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       FLOOR(SUM(CASE WHEN u < target_rate THEN 1.0e0 ELSE 0.0e0 END)
+             / COUNT(*) * 1000000 + 0.5e0) / 1000000 AS achieved_rate,
+       MIN(target_rate) AS target_rate
+FROM rated
+GROUP BY lang
+"""
+
+
+@register(
+    "q_dataset_domain_mix",
+    oracle=_QMIX_ORACLE,
+    description=(
+        "deterministic domain/language re-mixing: per-language hash "
+        "sampling toward target keep rates — the mixture-weighting step "
+        "of a training-data pipeline, reproducible across reruns"
+    ),
+    tags=("curation", "sampling", "mixing", "dataset"),
+)
+def q_dataset_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting (the 'data mixing' stage: sample each domain
+    at a target rate to hit a corpus-level distribution) with the
+    md5-hash keep decision instead of rand(), so the subset is identical
+    across reruns, engines and cluster layouts — a property rand()-based
+    sampling cannot give at 100 TB. Map-side decision + one groupBy."""
+    from .hashing import hash60
+
+    d = table(spark, sf_dir, "documents")
+    # fold in reverse so the first declared language wins like a SQL CASE
+    rate = F.lit(0.0)
+    for lang, r in reversed(_MIX_RATES):
+        rate = F.when(F.col("lang") == lang, F.lit(float(r))).otherwise(rate)
+    u = hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) / F.lit(
+        _TWO60
+    )
+    rated = d.select(
+        "lang", rate.alias("target_rate"), (u < rate).alias("keep")
+    )
+    kept = F.sum(F.when(F.col("keep"), 1.0).otherwise(0.0))
+    return rated.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        (F.floor(kept / F.count(F.lit(1)) * 1_000_000 + 0.5) / 1_000_000).alias(
+            "achieved_rate"
+        ),
+        F.min("target_rate").alias("target_rate"),
+    )
