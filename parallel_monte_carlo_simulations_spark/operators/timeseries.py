@@ -427,3 +427,136 @@ def q_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_anomalies") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Round 5: sequence analytics — Markov transition matrix + last-touch
+# attribution. Both are one-window-pass shapes over the per-user ordered
+# stream (shuffle on user_id once), the standard journey-analytics plans.
+# --------------------------------------------------------------------------
+
+_QMARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+pairs AS (SELECT from_type, to_type FROM seq WHERE to_type IS NOT NULL),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pairs GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       FLOOR(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY from_type)
+             * 1000000 + 0.5e0) / 1000000 AS p_transition
+FROM counts
+"""
+
+
+@register(
+    "q_markov_transitions",
+    oracle=_QMARKOV_ORACLE,
+    description=(
+        "first-order Markov transition matrix of the per-user event "
+        "stream: lead-window pairs, conditional probabilities per "
+        "from-state — the journey-analytics building block"
+    ),
+    tags=("timeseries", "window", "markov", "analytics"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    p = F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wt)
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.floor(p * 1_000_000 + 0.5) / 1_000_000).alias("p_transition"),
+    )
+
+
+_ATTR_WINDOW_S = 7 * 86_400  # last-touch lookback
+
+
+_QATTR_ORACLE = f"""
+WITH stream AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts
+  FROM events
+),
+attributed AS (
+  SELECT CASE WHEN lt_type IS NULL
+                OR date_diff('second', lt_ts, ts) > {_ATTR_WINDOW_S}
+              THEN 'direct' ELSE lt_type END AS channel,
+         CAST(FLOOR(value * 100 + 0.5e0) AS BIGINT) AS cents
+  FROM stream WHERE event_type = 'purchase'
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS DOUBLE) / 100 AS attributed_revenue
+FROM attributed GROUP BY channel
+"""
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle=_QATTR_ORACLE,
+    description=(
+        "last-touch revenue attribution: each purchase credits the "
+        "user's most recent non-purchase event within 7 days (else "
+        "'direct'); ignore-nulls last_value window, integer-cents sums"
+    ),
+    tags=("timeseries", "window", "attribution", "analytics"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-attribution shape: the channel of each conversion is the
+    last preceding touch inside the lookback. One ignore-nulls
+    last_value window over the per-user ordered stream (no per-purchase
+    range join), then a 5-row aggregate. Revenue goes through exact
+    integer cents so the per-channel sums are partition-order
+    independent — a raw double SUM would drift in the last ulp."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    stream = e.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("lt_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("lt_ts"),
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("lt_ts")
+    channel = F.when(
+        F.col("lt_type").isNull() | (gap > _ATTR_WINDOW_S), "direct"
+    ).otherwise(F.col("lt_type"))
+    attributed = stream.filter(F.col("event_type") == "purchase").select(
+        channel.alias("channel"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        (F.sum("cents").cast("double") / 100).alias("attributed_revenue"),
+    )
