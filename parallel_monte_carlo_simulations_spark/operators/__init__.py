@@ -19,6 +19,7 @@ judge can map SURVEY.md §2's inventory line-by-line:
 from . import (  # noqa: F401
     basket,
     binned,
+    bloom,
     complex_types,
     graph,
     graph2,
@@ -40,6 +41,7 @@ from . import (  # noqa: F401
     scripting,
     setops,
     skew,
+    sketches,
     subqueries,
     timeseries,
     tpch2,
