@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     joins,
     maps,
     misc,
+    mlstats,
     profiling,
     pandas_api,
     relational,
