@@ -1,0 +1,206 @@
+"""BPE-style merge training over the corpus — tokenizer learning as SQL.
+
+Byte-pair-encoding training is the canonical LLM-tokenizer build loop:
+repeatedly find the globally most frequent adjacent token pair and merge
+its occurrences left-to-right. This module runs that loop at WORD level
+(phrase mining — same algorithm, coarser units) entirely in DataFrame
+ops, no driver collect:
+
+1. pair counts: one ``lead`` window + groupBy — a map-side-combined agg
+   whose shuffle is the distinct-pair set, not the corpus;
+2. the winning pair is a ONE-ROW DataFrame (deterministic tie-break:
+   count desc, then pair lexicographic) broadcast back into the plan —
+   the loop never leaves Spark;
+3. greedy left-to-right merge semantics (``[a,a,a]`` with pair ``(a,a)``
+   must become ``[a_a, a]``, not overlap) via gaps-and-islands: runs of
+   consecutive matches keep every EVEN offset within the run — two
+   windows, both partitioned by doc, no shuffle beyond the doc key;
+4. positions re-numbered, state persisted per round (the same
+   iteration-state discipline as BFS in ``operators/graph.py`` — the
+   shared subtree would otherwise double per round).
+
+At 100 TB each round is two doc-partitioned window passes plus one
+bounded pair-count agg; nothing corpus-sized is ever broadcast or
+collected. The DuckDB oracle replays the identical unrolled rounds
+(same tie-break, same island arithmetic), so the learned merge table is
+exact, not statistical.
+
+Output: one row per merge round — the merged pair, its pre-merge count,
+and the corpus token count after the merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+ROUNDS = 3
+
+
+def _sql_round(r: int) -> str:
+    prev = f"t{r - 1}"
+    return f"""
+pc{r} AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT tok AS a,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+    FROM {prev}
+  ) WHERE b IS NOT NULL GROUP BY a, b
+),
+top{r} AS (SELECT a, b, cnt FROM pc{r} ORDER BY cnt DESC, a, b LIMIT 1),
+m{r} AS (
+  SELECT t.doc_id, t.pos, t.tok,
+         LEAD(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS nxt,
+         tp.a, tp.b, tp.cnt
+  FROM {prev} t CROSS JOIN top{r} tp
+),
+mm{r} AS (
+  SELECT *,
+         (nxt IS NOT NULL AND tok = a AND nxt = b) AS mtch,
+         SUM(CASE WHEN nxt IS NOT NULL AND tok = a AND nxt = b
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS mseq
+  FROM m{r}
+),
+isl{r} AS (SELECT *, CASE WHEN mtch THEN pos - mseq END AS grp FROM mm{r}),
+keep{r} AS (
+  SELECT *,
+         mtch AND ((pos - MIN(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0)
+           AS kept
+  FROM isl{r}
+),
+nk{r} AS (
+  SELECT *,
+         COALESCE(LAG(kept) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+           AS dropped
+  FROM keep{r}
+),
+t{r} AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+              AS BIGINT) AS pos,
+         CASE WHEN kept THEN a || '_' || b ELSE tok END AS tok
+  FROM nk{r} WHERE NOT dropped
+),
+s{r} AS (
+  SELECT {r} AS merge_round, tp.a AS pair_a, tp.b AS pair_b,
+         tp.cnt AS pair_count,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t{r}) AS tokens_after
+  FROM top{r} tp
+)"""
+
+
+_BPE_ORACLE = (
+    """
+WITH t0 AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT)
+           AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),"""
+    + ",".join(_sql_round(r) for r in range(1, ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(f"SELECT * FROM s{r}" for r in range(1, ROUNDS + 1))
+    + "\nORDER BY merge_round"
+)
+
+
+@register(
+    "q_bpe_phrase_merges",
+    oracle=_BPE_ORACLE,
+    description=(
+        "word-level BPE merge training (3 rounds): most frequent adjacent "
+        "pair merged greedily left-to-right via gaps-and-islands; merge "
+        "table + corpus token count per round"
+    ),
+    tags=("text", "bpe", "tokenizer", "llm-pipeline", "iterative"),
+)
+def q_bpe_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    summaries = []
+    persisted = []
+    for r in range(1, ROUNDS + 1):
+        pairs = toks.select(
+            F.col("tok").alias("a"), F.lead("tok").over(w).alias("b")
+        ).where(F.col("b").isNotNull())
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+        m = toks.withColumn("nxt", F.lead("tok").over(w)).crossJoin(
+            F.broadcast(top)
+        )
+        mtch = (
+            F.col("nxt").isNotNull()
+            & (F.col("tok") == F.col("a"))
+            & (F.col("nxt") == F.col("b"))
+        )
+        mm = m.select(
+            "*",
+            mtch.alias("mtch"),
+            F.sum(F.when(mtch, 1).otherwise(0)).over(wrows).alias("mseq"),
+        )
+        isl = mm.withColumn(
+            "grp", F.when(F.col("mtch"), F.col("pos") - F.col("mseq"))
+        )
+        keep = isl.withColumn(
+            "kept",
+            F.col("mtch")
+            & (
+                (
+                    F.col("pos")
+                    - F.min("pos").over(Window.partitionBy("doc_id", "grp"))
+                )
+                % 2
+                == 0
+            ),
+        )
+        nk = keep.withColumn(
+            "dropped", F.coalesce(F.lag("kept").over(w), F.lit(False))
+        )
+        toks = (
+            nk.where(~F.col("dropped"))
+            .select(
+                "doc_id",
+                (F.row_number().over(w) - 1).cast("long").alias("pos"),
+                F.when(
+                    F.col("kept"),
+                    F.concat(F.col("a"), F.lit("_"), F.col("b")),
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .persist()
+        )
+        persisted.append(toks)
+        n_after = toks.agg(
+            F.count(F.lit(1)).cast("long").alias("tokens_after")
+        )
+        summaries.append(
+            top.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.col("cnt").alias("pair_count"),
+            ).crossJoin(F.broadcast(n_after))
+        )
+
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("merge_round")
