@@ -36,6 +36,7 @@ from . import (  # noqa: F401
     relational,
     reshape,
     safety,
+    sampling2,
     scalar,
     scalar2,
     scalar3,

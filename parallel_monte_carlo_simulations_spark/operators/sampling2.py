@@ -1,0 +1,82 @@
+"""Weighted reservoir sampling (Efraimidis–Spirakis) — deterministic.
+
+Weighted sampling without replacement at scale: assign each row the key
+``ln(u) / w`` (u uniform, w the weight) and keep the k LARGEST keys —
+the distributed formulation of the classic A-ES reservoir, and the plan
+is a ``TakeOrderedAndProject``: every partition keeps its local top-k,
+only k rows per partition cross the wire, no full sort, no shuffle of
+the table. High-weight rows get keys near zero and win proportionally —
+the estimator's inclusion probabilities follow the weights.
+
+Determinism: u derives from the portable md5 hash (``functions.hashing``)
+— ``(h + 1) / 2^60`` with h a 60-bit integer, so the BIGINT→DOUBLE
+rounding and the power-of-two division are identical in both engines —
+and the single ``ln``/divide per row is rounded to 12 decimals before
+ranking (ties then break on the row id), so the selected SET matches the
+DuckDB oracle exactly. No RNG state anywhere: re-running, retrying, or
+re-partitioning cannot change the sample — the property that makes
+hash-derived sampling the right design for reproducible 100 TB data
+curation (same reasoning as the MC seed discipline in ``mc/seeds.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, sql_hash60
+from ..registry import register
+from ..tables import table
+
+K = 50
+_TWO60 = float(1 << 60)
+
+_QWRS_ORACLE = f"""
+WITH keyed AS (
+  SELECT o_orderkey,
+         o_totalprice AS weight,
+         ROUND(ln((CAST({sql_hash60("CAST(o_orderkey AS VARCHAR)")} + 1 AS DOUBLE))
+                  / {_TWO60!r}) / o_totalprice, 12) AS kk
+  FROM orders
+)
+SELECT o_orderkey, ROUND(weight, 2) AS weight, kk,
+       CAST(ROW_NUMBER() OVER (ORDER BY kk DESC, o_orderkey) AS INTEGER) AS rk
+FROM keyed
+ORDER BY kk DESC, o_orderkey
+LIMIT {K}
+"""
+
+
+@register(
+    "q_sample_weighted_reservoir",
+    oracle=_QWRS_ORACLE,
+    description=(
+        "Efraimidis-Spirakis weighted reservoir sample (k=50) of orders by "
+        "totalprice via hash-derived keys; deterministic, no RNG state"
+    ),
+    tags=("sampling", "weighted", "reservoir", "curation", "scale"),
+)
+def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    u = (hash60(F.col("o_orderkey").cast("string")) + 1).cast("double") / F.lit(
+        _TWO60
+    )
+    kk = F.round(F.log(u) / F.col("o_totalprice"), 12)
+    keyed = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("weight"),
+        kk.alias("kk"),
+    )
+    from pyspark.sql import Window
+
+    return (
+        keyed.orderBy(F.col("kk").desc(), "o_orderkey")
+        .limit(K)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("kk").desc(), "o_orderkey"))
+            .cast("int"),
+        )
+        .select("o_orderkey", F.round("weight", 2).alias("weight"), "kk", "rk")
+    )
