@@ -272,3 +272,51 @@ def test_semantic_dedup_joins_on_cluster(spark):
     plan = _plan(spark, "q_dedup_semantic")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_bloom_probe_joins_broadcast_filter(spark):
+    """The bloom check joins the probe side against the bounded
+    set-of-positions dictionary (<= m rows/segment): that side must be
+    broadcast, and nothing may degenerate to a cartesian."""
+    plan = _plan(spark, "q_bloom_join_prune")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_sketch_is_broadcast_dictionary(spark):
+    """The count-min grid is constant-size (D*W cells): the estimate join
+    must broadcast it, and the build must partial-aggregate map-side
+    (two HashAggregates around the exchange)."""
+    plan = _plan(spark, "q_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_ols_is_one_partial_aggregation(spark):
+    """The whole fit ships six numbers per group: one map-side-combined
+    aggregation pass, no joins, no Python."""
+    plan = _plan(spark, "q_ols_regression")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_weighted_reservoir_uses_take_ordered(spark):
+    """A-ES sampling must be TakeOrderedAndProject (per-partition local
+    top-k, k rows per partition across the wire), never a full sort."""
+    plan = _plan(spark, "q_sample_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_naive_bayes_broadcasts_model_dims(spark):
+    """Class-level model tables (priors, token totals, vocab size) are
+    tiny and must broadcast; the likelihood join on token may shuffle
+    (it scales with vocab), but no cartesian over the corpus."""
+    plan = _plan(spark, "q_naive_bayes_confusion")
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
