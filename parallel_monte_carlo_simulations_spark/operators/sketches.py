@@ -85,28 +85,27 @@ def _cells(key_col):
     )
 
 
-@register(
-    "q_cms_heavy_hitters",
-    oracle=_CMS_ORACLE,
-    description=(
-        "count-min sketch (4x1024, md5 hash family) over event user_ids; "
-        "top-20 users by estimated count with exact count and overcount"
-    ),
-    tags=("sketch", "count-min", "heavy-hitters", "streaming", "scale"),
-)
-def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").select(
-        F.col("user_id"), F.col("user_id").cast("string").alias("key_s")
-    )
+def build_sketch(ev: DataFrame) -> DataFrame:
+    """CMS grid from an events frame with a ``key_s`` string key column.
 
-    # Build: one partial-aggregated groupBy -> at most D*W rows shuffle.
-    sketch = (
+    One partial-aggregated groupBy -> at most D*W rows shuffle. The grid
+    merges cell-wise: building per micro-batch and summing (see
+    ``streaming/sketchstream.py``) yields the identical sketch."""
+    return (
         ev.select(F.explode(_cells(F.col("key_s"))).alias("c"))
         .select("c.row_i", "c.pos")
         .groupBy("row_i", "pos")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
+
+def estimates_top_n(spark: SparkSession, sf_dir: str, sketch: DataFrame) -> DataFrame:
+    """Top-N estimated counts from a (possibly merged) CMS grid, with the
+    exact count and overcount alongside — shared by the batch and
+    streaming variants so both hit the same DuckDB oracle."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("user_id").cast("string").alias("key_s")
+    )
     users = ev.select("user_id", "key_s").distinct()
     probe = users.select(
         "user_id", F.explode(_cells(F.col("key_s"))).alias("c")
@@ -132,3 +131,19 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est").desc(), "user_id")
         .limit(TOP_N)
     )
+
+
+@register(
+    "q_cms_heavy_hitters",
+    oracle=_CMS_ORACLE,
+    description=(
+        "count-min sketch (4x1024, md5 hash family) over event user_ids; "
+        "top-20 users by estimated count with exact count and overcount"
+    ),
+    tags=("sketch", "count-min", "heavy-hitters", "streaming", "scale"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key_s")
+    )
+    return estimates_top_n(spark, sf_dir, build_sketch(ev))
