@@ -61,6 +61,8 @@ HEADLINE = [
     "q_mc_qmc_pi",
     "q_mc_american_lsmc",
     "q_sink_bucketed_join",
+    "q_bloom_join_prune",
+    "q_bpe_phrase_merges",
 ]
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60_seeded, sql_hash60_seeded
+from ..functions.hashing import hash60, hash60_seeded, sql_hash60, sql_hash60_seeded
 from ..registry import register
 from ..tables import table
 
@@ -147,3 +147,163 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("key_s")
     )
     return estimates_top_n(spark, sf_dir, build_sketch(ev))
+
+
+# --- Portable HyperLogLog ---------------------------------------------------
+#
+# Spark's approx_count_distinct and DuckDB's approx_count_distinct use
+# engine-private register layouts, which is why q_approx_count_distinct
+# is a rows-only check. This HLL is built from the portable md5 hash
+# instead, so BOTH engines materialize the identical 256-register sketch
+# and the estimate — and the union-merge proof — oracle exactly.
+#
+# Exactness engineering: the harmonic denominator Σ 2^-M_j is a sum of
+# dyadic rationals spanning up to 2^53 in magnitude — order-sensitive in
+# doubles — so it is summed as the exact INTEGER Σ 2^(53 - M_j) (M_j <=
+# 53, 256 registers: max 256·2^53 < 2^63) and only the final
+# alpha·m²·2^53 / S division runs in doubles, with identical
+# association in both engines. Register max-merge is idempotent, so the
+# two-shard merge must reproduce the global registers bit-for-bit —
+# emitted as an executable proof column, the same merge law a
+# 1000-executor rollup or a streaming foreachBatch accumulation relies
+# on.
+
+HLL_REGS = 256  # b = 8 index bits of the 60-bit hash
+_W_MASK = (1 << 52) - 1  # remaining 52 bits
+
+_HLL_RHO_SQL = "CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END"
+_HLL_EST_SQL = (
+    "((0.7213e0 / (1.0e0 + (1.079e0 / 256.0e0))) * 65536.0e0)"
+    " * 9007199254740992.0e0 / CAST(s AS DOUBLE)"
+)
+
+_HLL_ORACLE = f"""
+WITH hashed AS (
+  SELECT user_id % 2 AS half,
+         {sql_hash60("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+parts AS (
+  SELECT half, (h >> 52) AS reg, (h & {_W_MASK}) AS w FROM hashed
+),
+rhos AS (SELECT half, reg, {_HLL_RHO_SQL} AS rho FROM parts),
+regs AS (SELECT reg, MAX(rho) AS mx FROM rhos GROUP BY reg),
+allr AS (
+  SELECT gs.g AS reg, COALESCE(r.mx, 0) AS m
+  FROM generate_series(0, {HLL_REGS - 1}) AS gs(g)
+  LEFT JOIN regs r ON r.reg = gs.g
+),
+s1 AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM allr
+),
+halves AS (SELECT half, reg, MAX(rho) AS mx FROM rhos GROUP BY half, reg),
+merged AS (SELECT reg, MAX(mx) AS mx FROM halves GROUP BY reg),
+allr2 AS (
+  SELECT gs.g AS reg, COALESCE(r.mx, 0) AS m
+  FROM generate_series(0, {HLL_REGS - 1}) AS gs(g)
+  LEFT JOIN merged r ON r.reg = gs.g
+),
+s2 AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM allr2
+),
+exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events),
+est AS (
+  SELECT s1.s, s1.v,
+         CASE WHEN ({_HLL_EST_SQL}) <= (2.5e0 * 256.0e0) AND s1.v > 0
+              THEN 256.0e0 * ln(256.0e0 / CAST(s1.v AS DOUBLE))
+              ELSE {_HLL_EST_SQL} END AS e
+  FROM s1
+)
+SELECT x.n_exact,
+       ROUND(e.e, 4) AS hll_estimate,
+       ROUND(((e.e - CAST(x.n_exact AS DOUBLE)) / CAST(x.n_exact AS DOUBLE))
+             * 100.0e0, 4) AS rel_err_pct,
+       e.v AS n_zero_registers,
+       (s2.s = e.s AND s2.v = e.v) AS merge_equal
+FROM est e CROSS JOIN s2 CROSS JOIN exact x
+"""
+
+
+def _hll_sums(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """(s, v) from a (reg, mx) register frame, zero-filling empties."""
+    allr = (
+        spark.range(HLL_REGS)
+        .select(F.col("id").alias("reg"))
+        .join(regs, on="reg", how="left")
+        .select(F.coalesce(F.col("mx"), F.lit(0)).alias("m"))
+    )
+    return allr.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)"))
+        .cast("long")
+        .alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v"),
+    )
+
+
+@register(
+    "q_hll_portable",
+    oracle=_HLL_ORACLE,
+    description=(
+        "portable HyperLogLog (256 registers from the md5 hash, exact "
+        "integer harmonic sum): estimate vs exact distinct users, plus an "
+        "executable two-shard register-merge proof"
+    ),
+    tags=("sketch", "hll", "approx-distinct", "merge", "scale"),
+)
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id")
+    h = hash60(F.col("user_id").cast("string"))
+    parts = ev.select(
+        (F.col("user_id") % 2).alias("half"),
+        F.shiftright(h, 52).alias("reg"),
+        h.bitwiseAND(F.lit(_W_MASK)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, 53).otherwise(
+        53 - F.length(F.bin(F.col("w")))
+    )
+    rhos = parts.select("half", "reg", rho.alias("rho"))
+
+    regs = rhos.groupBy("reg").agg(F.max("rho").alias("mx"))
+    s1 = _hll_sums(spark, regs)
+
+    halves = rhos.groupBy("half", "reg").agg(F.max("rho").alias("mx"))
+    merged = halves.groupBy("reg").agg(F.max("mx").alias("mx"))
+    s2 = _hll_sums(spark, merged).select(
+        F.col("s").alias("s2"), F.col("v").alias("v2")
+    )
+
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+
+    alpha_m2 = (
+        F.lit(0.7213) / (F.lit(1.0) + (F.lit(1.079) / F.lit(256.0)))
+    ) * F.lit(65536.0)
+    est_raw = alpha_m2 * F.lit(9007199254740992.0) / F.col("s").cast("double")
+    e = F.when(
+        (est_raw <= F.lit(2.5) * F.lit(256.0)) & (F.col("v") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("v").cast("double")),
+    ).otherwise(est_raw)
+
+    return (
+        s1.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact",
+            F.round(e, 4).alias("hll_estimate"),
+            F.round(
+                (
+                    (e - F.col("n_exact").cast("double"))
+                    / F.col("n_exact").cast("double")
+                )
+                * 100.0,
+                4,
+            ).alias("rel_err_pct"),
+            F.col("v").alias("n_zero_registers"),
+            ((F.col("s2") == F.col("s")) & (F.col("v2") == F.col("v"))).alias(
+                "merge_equal"
+            ),
+        )
+    )

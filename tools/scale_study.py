@@ -38,6 +38,11 @@ QUERIES = [
     "q_text_bigram_backoff",
     "q_sink_bucketed_join",
     "q_multimodal_bmp_decode",
+    "q_bloom_join_prune",
+    "q_cms_heavy_hitters",
+    "q_bpe_phrase_merges",
+    "q_naive_bayes_confusion",
+    "q_sample_weighted_reservoir",
 ]
 
 
