@@ -307,3 +307,168 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- DDSketch-style log-binned quantiles ------------------------------------
+#
+# The portable twin of approx_percentile (rows-only for the same reason
+# as HLL: engine-private sketch state). Values map to log-scale buckets
+# derived ENTIRELY from integer bit arithmetic — bucket = (bitlen(v), 3
+# mantissa bits), i.e. 8 sub-buckets per octave, a DDSketch with
+# gamma = 2^(1/8) ≈ 9% relative-error bound — so both engines build the
+# identical bucket histogram: no log(), no float binning. The sketch is
+# counts-per-bucket: constant-size (≤ 8·64 buckets), mergeable by
+# addition, one partial-aggregated groupBy to build. Quantiles read the
+# cumulative bucket counts with the same integer-scaled threshold test
+# as operators/weighted_stats (never a float fraction), and the exact
+# percentiles are computed alongside so the output shows the sketch's
+# actual relative error per quantile.
+
+_DDS_ORACLE = """
+WITH cents AS (
+  SELECT l_returnflag AS rf, l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+  FROM lineitem
+),
+bl AS (SELECT rf, l_orderkey, l_linenumber, v, length(bin(v)) AS blen FROM cents),
+bk AS (
+  SELECT rf,
+         (blen * 8) + ((v >> (blen - 4)) & 7) AS bucket,
+         CAST(8 + ((v >> (blen - 4)) & 7) AS BIGINT) << (blen - 4) AS lb
+  FROM bl WHERE blen >= 4
+),
+counts AS (
+  SELECT rf, bucket, MIN(lb) AS lb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bk GROUP BY rf, bucket
+),
+tot AS (SELECT rf, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY rf),
+cum AS (
+  SELECT counts.rf, bucket, lb,
+         SUM(c) OVER (PARTITION BY counts.rf ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         n
+  FROM counts JOIN tot ON tot.rf = counts.rf
+),
+est AS (
+  SELECT rf,
+         MIN(CASE WHEN cum * 2 >= n THEN lb END) AS e50,
+         MIN(CASE WHEN cum * 10 >= 9 * n THEN lb END) AS e90,
+         MIN(CASE WHEN cum * 100 >= 99 * n THEN lb END) AS e99
+  FROM cum GROUP BY rf
+),
+vcum AS (
+  SELECT rf, v,
+         SUM(1) OVER (PARTITION BY rf ORDER BY v, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS cumv,
+         COUNT(*) OVER (PARTITION BY rf) AS n
+  FROM bl
+),
+ex AS (
+  SELECT rf,
+         MIN(CASE WHEN cumv * 2 >= n THEN v END) AS x50,
+         MIN(CASE WHEN cumv * 10 >= 9 * n THEN v END) AS x90,
+         MIN(CASE WHEN cumv * 100 >= 99 * n THEN v END) AS x99
+  FROM vcum GROUP BY rf
+)
+SELECT e.rf AS l_returnflag, t.n AS n_rows,
+       ROUND(e.e50 / 100.0e0, 2) AS p50_est, ROUND(x.x50 / 100.0e0, 2) AS p50_exact,
+       ROUND(e.e90 / 100.0e0, 2) AS p90_est, ROUND(x.x90 / 100.0e0, 2) AS p90_exact,
+       ROUND(e.e99 / 100.0e0, 2) AS p99_est, ROUND(x.x99 / 100.0e0, 2) AS p99_exact,
+       ROUND(((CAST(e.e50 AS DOUBLE) - CAST(x.x50 AS DOUBLE))
+              / CAST(x.x50 AS DOUBLE)) * 100.0e0, 4) AS re50_pct,
+       ROUND(((CAST(e.e90 AS DOUBLE) - CAST(x.x90 AS DOUBLE))
+              / CAST(x.x90 AS DOUBLE)) * 100.0e0, 4) AS re90_pct,
+       ROUND(((CAST(e.e99 AS DOUBLE) - CAST(x.x99 AS DOUBLE))
+              / CAST(x.x99 AS DOUBLE)) * 100.0e0, 4) AS re99_pct
+FROM est e
+JOIN ex x ON x.rf = e.rf
+JOIN tot t ON t.rf = e.rf
+ORDER BY e.rf
+"""
+
+
+@register(
+    "q_ddsketch_percentiles",
+    oracle=_DDS_ORACLE,
+    description=(
+        "DDSketch-style log-binned quantile sketch (8 sub-buckets/octave, "
+        "pure integer bit math): p50/p90/p99 of price per return flag vs "
+        "exact, with per-quantile relative error"
+    ),
+    tags=("sketch", "quantile", "ddsketch", "percentile", "scale"),
+)
+def q_ddsketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("rf"),
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
+    )
+    bl = cents.withColumn("blen", F.length(F.bin(F.col("v"))))
+    bk = bl.where(F.col("blen") >= 4).select(
+        "rf",
+        F.expr("(blen * 8) + (shiftright(v, blen - 4) & 7)").alias("bucket"),
+        F.expr(
+            "shiftleft(CAST(8 + (shiftright(v, blen - 4) & 7) AS BIGINT), blen - 4)"
+        ).alias("lb"),
+    )
+    counts = bk.groupBy("rf", "bucket").agg(
+        F.min("lb").alias("lb"), F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.groupBy("rf").agg(F.sum("c").cast("long").alias("n"))
+    wcum = (
+        Window.partitionBy("rf")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.join(tot, on="rf").select(
+        "rf", "bucket", "lb", F.sum("c").over(wcum).alias("cum"), "n"
+    )
+    est = cum.groupBy("rf").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("lb"))).alias("e50"),
+        F.min(F.when(F.col("cum") * 10 >= 9 * F.col("n"), F.col("lb"))).alias("e90"),
+        F.min(F.when(F.col("cum") * 100 >= 99 * F.col("n"), F.col("lb"))).alias("e99"),
+    )
+    wv = (
+        Window.partitionBy("rf")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vcum = bl.select(
+        "rf",
+        "v",
+        F.sum(F.lit(1)).over(wv).alias("cumv"),
+        F.count(F.lit(1)).over(Window.partitionBy("rf")).alias("nn"),
+    )
+    ex = vcum.groupBy("rf").agg(
+        F.min(F.when(F.col("cumv") * 2 >= F.col("nn"), F.col("v"))).alias("x50"),
+        F.min(F.when(F.col("cumv") * 10 >= 9 * F.col("nn"), F.col("v"))).alias("x90"),
+        F.min(F.when(F.col("cumv") * 100 >= 99 * F.col("nn"), F.col("v"))).alias("x99"),
+    )
+
+    def _re(e, x):
+        return F.round(
+            ((e.cast("double") - x.cast("double")) / x.cast("double")) * 100.0, 4
+        )
+
+    return (
+        est.join(ex, on="rf")
+        .join(tot, on="rf")
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            F.col("n").alias("n_rows"),
+            F.round(F.col("e50") / 100.0, 2).alias("p50_est"),
+            F.round(F.col("x50") / 100.0, 2).alias("p50_exact"),
+            F.round(F.col("e90") / 100.0, 2).alias("p90_est"),
+            F.round(F.col("x90") / 100.0, 2).alias("p90_exact"),
+            F.round(F.col("e99") / 100.0, 2).alias("p99_est"),
+            F.round(F.col("x99") / 100.0, 2).alias("p99_exact"),
+            _re(F.col("e50"), F.col("x50")).alias("re50_pct"),
+            _re(F.col("e90"), F.col("x90")).alias("re90_pct"),
+            _re(F.col("e99"), F.col("x99")).alias("re99_pct"),
+        )
+        .orderBy("l_returnflag")
+    )
