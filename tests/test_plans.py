@@ -320,3 +320,21 @@ def test_naive_bayes_broadcasts_model_dims(spark):
     assert plan.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hll_registers_partial_aggregate(spark):
+    """HLL register build must partial-aggregate map-side (the shuffle
+    carries at most 256 rows per mapper) and stay JVM-side."""
+    plan = _plan(spark, "q_hll_portable")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_ddsketch_bucket_math_stays_jvm(spark):
+    """Log-bin bucketing is integer bit arithmetic inside codegen — no
+    Python, no cartesian; the bucket histogram partial-aggregates."""
+    plan = _plan(spark, "q_ddsketch_percentiles")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
