@@ -213,3 +213,79 @@ def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL front-end."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_QFILTER_AGG_ORACLE)
+
+
+_QCUMDIST_ORACLE = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+newu AS (
+  SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY d0
+),
+act AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT STRFTIME(a.day, '%Y-%m-%d') AS day, a.n_active,
+       COALESCE(n.n_new, 0) AS n_new_users,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
+FROM act a LEFT JOIN newu n ON n.day = a.day
+ORDER BY a.day
+"""
+
+
+@register(
+    "q_cumulative_distinct_users",
+    oracle=_QCUMDIST_ORACLE,
+    description=(
+        "distinct-users-to-date per day via the first-seen trick: "
+        "cumulative distinct as one groupBy + running sum, no growing "
+        "per-day state"
+    ),
+    tags=("window", "incremental", "distinct", "timeseries", "scale"),
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-to-date is the canonical "needs a sketch" metric — the
+    naive form re-counts a growing set per day (O(days x users) work).
+    The first-seen rewrite is exact with BOUNDED work: MIN(event date)
+    per user (one groupBy), daily new-user counts, one running sum over
+    the (tiny) day spine. At 100 TB this is two shuffles on keys that
+    aggregate DOWN (users, then days) — the pattern every growth
+    dashboard should compile to."""
+    from ..tables import table as _t
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    f = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    newu = f.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    act = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        act.join(newu, on="day", how="left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new_users"),
+        )
+        .withColumn(
+            "cum_distinct_users",
+            F.sum("n_new_users").over(w).cast("long"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            "n_new_users",
+            "cum_distinct_users",
+        )
+        .orderBy("day")
+    )
