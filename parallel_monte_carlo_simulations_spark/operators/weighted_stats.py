@@ -99,3 +99,123 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("l_returnflag").agg(
         *aggs, F.count(F.lit(1)).cast("long").alias("n_rows")
     )
+
+
+_QMAD_ORACLE = """
+WITH v AS (
+  SELECT event_type, event_id, value,
+         SUM(1) OVER (PARTITION BY event_type ORDER BY value, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, MIN(CASE WHEN cum * 2 >= n THEN value END) AS med
+  FROM v GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         ABS(e.value - m.med) AS adiff
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+dc AS (
+  SELECT event_type, event_id, med, adiff,
+         SUM(1) OVER (PARTITION BY event_type ORDER BY adiff, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type, MIN(CASE WHEN cum * 2 >= n THEN adiff END) AS mad
+  FROM dc GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MIN(d.med), 4) AS median_value,
+       ROUND(MIN(mad.mad), 4) AS mad_value,
+       CAST(SUM(CASE WHEN d.adiff > (3.0e0 * 1.4826e0) * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN mad ON mad.event_type = d.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register(
+    "q_mad_outliers",
+    oracle=_QMAD_ORACLE,
+    description=(
+        "robust outlier detection per event type: exact median + MAD via "
+        "two cumulative-count window passes, 3-sigma-equivalent threshold"
+    ),
+    tags=("statistics", "robust", "outliers", "median", "window"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD are the robust location/scale pair — immune to the very
+    outliers being hunted, unlike mean/stddev z-scores (the rolling
+    z-score in operators/timeseries is the non-robust sibling). Exact
+    medians use the same integer-scaled cumulative-count selection as the
+    weighted percentiles above: the threshold test is cum*2 >= n (never a
+    float fraction), ties break on event_id, and the final outlier
+    comparison runs on bit-identical doubles in both engines, so the
+    outlier COUNT — a knife-edge boundary in float terms — still matches
+    exactly. Cost: two event_type-partitioned window passes plus one
+    broadcast-size join per pass — the same envelope as any ranked
+    window at 100 TB."""
+    from ..tables import table as _t
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        "value",
+        F.sum(F.lit(1)).over(wv).alias("cum"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("value"))).alias("med")
+    )
+    d = ev.join(F.broadcast(med), on="event_type").select(
+        "event_type",
+        "event_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adiff"),
+    )
+    wa = (
+        Window.partitionBy("event_type")
+        .orderBy("adiff", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dc = d.select(
+        "event_type",
+        "med",
+        "adiff",
+        F.sum(F.lit(1)).over(wa).alias("cum"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = dc.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("adiff"))).alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.min("med"), 4).alias("median_value"),
+            F.round(F.min("mad"), 4).alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.col("adiff") > (F.lit(3.0) * F.lit(1.4826)) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
