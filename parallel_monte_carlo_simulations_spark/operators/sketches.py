@@ -314,9 +314,11 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The portable twin of approx_percentile (rows-only for the same reason
 # as HLL: engine-private sketch state). Values map to log-scale buckets
 # derived ENTIRELY from integer bit arithmetic — bucket = (bitlen(v), 3
-# mantissa bits), i.e. 8 sub-buckets per octave, a DDSketch with
-# gamma = 2^(1/8) ≈ 9% relative-error bound — so both engines build the
-# identical bucket histogram: no log(), no float binning. The sketch is
+# mantissa bits), i.e. 8 LINEAR sub-buckets per octave (HDR-histogram
+# style; sub-bucket j spans 1/(8+j) of its lower bound, worst-case
+# 12.5%, so lower-bound estimates land within [-1/9, 0] of exact) — and
+# both engines build the identical bucket histogram: no log(), no float
+# binning. The sketch is
 # counts-per-bucket: constant-size (≤ 8·64 buckets), mergeable by
 # addition, one partial-aggregated groupBy to build. Quantiles read the
 # cumulative bucket counts with the same integer-scaled threshold test
