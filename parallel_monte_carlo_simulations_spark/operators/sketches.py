@@ -172,10 +172,38 @@ HLL_REGS = 256  # b = 8 index bits of the 60-bit hash
 _W_MASK = (1 << 52) - 1  # remaining 52 bits
 
 _HLL_RHO_SQL = "CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END"
+
+
+def _sql_hll_est(s: str, v: str) -> str:
+    """DuckDB fragment: HLL estimate from register sums ``s``/``v`` —
+    raw alpha·m²·2^53/s with the linear-counting small-range branch."""
+    raw = (
+        "((0.7213e0 / (1.0e0 + (1.079e0 / 256.0e0))) * 65536.0e0)"
+        f" * 9007199254740992.0e0 / CAST({s} AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN ({raw}) <= (2.5e0 * 256.0e0) AND {v} > 0 "
+        f"THEN 256.0e0 * ln(256.0e0 / CAST({v} AS DOUBLE)) "
+        f"ELSE {raw} END"
+    )
+
+
 _HLL_EST_SQL = (
     "((0.7213e0 / (1.0e0 + (1.079e0 / 256.0e0))) * 65536.0e0)"
     " * 9007199254740992.0e0 / CAST(s AS DOUBLE)"
 )
+
+
+def _hll_estimate(s_col, v_col):
+    """Spark column: same estimate, same association as ``_sql_hll_est``."""
+    alpha_m2 = (
+        F.lit(0.7213) / (F.lit(1.0) + (F.lit(1.079) / F.lit(256.0)))
+    ) * F.lit(65536.0)
+    est_raw = alpha_m2 * F.lit(9007199254740992.0) / s_col.cast("double")
+    return F.when(
+        (est_raw <= F.lit(2.5) * F.lit(256.0)) & (v_col > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / v_col.cast("double")),
+    ).otherwise(est_raw)
 
 _HLL_ORACLE = f"""
 WITH hashed AS (
@@ -278,14 +306,7 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
 
-    alpha_m2 = (
-        F.lit(0.7213) / (F.lit(1.0) + (F.lit(1.079) / F.lit(256.0)))
-    ) * F.lit(65536.0)
-    est_raw = alpha_m2 * F.lit(9007199254740992.0) / F.col("s").cast("double")
-    e = F.when(
-        (est_raw <= F.lit(2.5) * F.lit(256.0)) & (F.col("v") > 0),
-        F.lit(256.0) * F.log(F.lit(256.0) / F.col("v").cast("double")),
-    ).otherwise(est_raw)
+    e = _hll_estimate(F.col("s"), F.col("v"))
 
     return (
         s1.crossJoin(F.broadcast(s2))
@@ -473,4 +494,139 @@ def q_ddsketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             _re(F.col("e99"), F.col("x99")).alias("re99_pct"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# --- HLL set algebra: intersection by inclusion-exclusion -------------------
+#
+# Register max-merge computes the UNION sketch exactly (max over the
+# union of streams = elementwise max of the two sketches), so
+# |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B) without ever co-shuffling the
+# two sets — the sketch-algebra answer to "how many users both viewed
+# and purchased" when A and B live in different 100 TB partitions. The
+# estimate error compounds (three estimates), which is exactly what the
+# emitted exact-vs-estimate columns quantify.
+
+_HLL_SETOP_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type,
+         user_id,
+         {sql_hash60("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+rhos AS (
+  SELECT event_type, (h >> 52) AS reg,
+         {_HLL_RHO_SQL.replace("w", f"(h & {_W_MASK})")} AS rho
+  FROM hashed
+),
+ra AS (SELECT reg, MAX(rho) AS mx FROM rhos WHERE event_type = 'view' GROUP BY reg),
+rb AS (SELECT reg, MAX(rho) AS mx FROM rhos WHERE event_type = 'purchase' GROUP BY reg),
+ru AS (SELECT reg, MAX(rho) AS mx FROM rhos GROUP BY reg),
+sa AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (53 - COALESCE(r.mx, 0))) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN COALESCE(r.mx, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM generate_series(0, {HLL_REGS - 1}) AS gs(g) LEFT JOIN ra r ON r.reg = gs.g
+),
+sb AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (53 - COALESCE(r.mx, 0))) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN COALESCE(r.mx, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM generate_series(0, {HLL_REGS - 1}) AS gs(g) LEFT JOIN rb r ON r.reg = gs.g
+),
+su AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (53 - COALESCE(r.mx, 0))) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN COALESCE(r.mx, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM generate_series(0, {HLL_REGS - 1}) AS gs(g) LEFT JOIN ru r ON r.reg = gs.g
+),
+exact AS (
+  SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT) AS xa,
+         CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS xb,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS xu
+  FROM hashed
+),
+xint AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS xi FROM (
+    SELECT user_id FROM hashed WHERE event_type = 'view'
+    INTERSECT
+    SELECT user_id FROM hashed WHERE event_type = 'purchase'
+  )
+)
+SELECT x.xa AS exact_view, x.xb AS exact_purchase, xi.xi AS exact_inter,
+       ROUND({_sql_hll_est("sa.s", "sa.v")}, 4) AS est_view,
+       ROUND({_sql_hll_est("sb.s", "sb.v")}, 4) AS est_purchase,
+       ROUND(({_sql_hll_est("sa.s", "sa.v")} + {_sql_hll_est("sb.s", "sb.v")})
+             - {_sql_hll_est("su.s", "su.v")}, 4) AS est_inter
+FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN exact x CROSS JOIN xint xi
+"""
+
+
+@register(
+    "q_hll_set_intersection",
+    oracle=_HLL_SETOP_ORACLE,
+    description=(
+        "HLL set algebra: |view ∩ purchase| users by inclusion-exclusion "
+        "over max-merged portable sketches, vs the exact intersection"
+    ),
+    tags=("sketch", "hll", "set-algebra", "intersection", "scale"),
+)
+def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+    )
+    h = hash60(F.col("user_id").cast("string"))
+    w = h.bitwiseAND(F.lit(_W_MASK))
+    rhos = ev.select(
+        "event_type",
+        "user_id",
+        F.shiftright(h, 52).alias("reg"),
+        F.when(w == 0, 53).otherwise(53 - F.length(F.bin(w))).alias("rho"),
+    )
+    ra = rhos.where(F.col("event_type") == "view").groupBy("reg").agg(
+        F.max("rho").alias("mx")
+    )
+    rb = rhos.where(F.col("event_type") == "purchase").groupBy("reg").agg(
+        F.max("rho").alias("mx")
+    )
+    ru = rhos.groupBy("reg").agg(F.max("rho").alias("mx"))
+    sa = _hll_sums(spark, ra).select(F.col("s").alias("sa"), F.col("v").alias("va"))
+    sb = _hll_sums(spark, rb).select(F.col("s").alias("sb"), F.col("v").alias("vb"))
+    su = _hll_sums(spark, ru).select(F.col("s").alias("su"), F.col("v").alias("vu"))
+
+    va = rhos.where(F.col("event_type") == "view").select("user_id").distinct()
+    vb = rhos.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        rhos.agg(
+            F.countDistinct(
+                F.when(F.col("event_type") == "view", F.col("user_id"))
+            )
+            .cast("long")
+            .alias("exact_view"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            )
+            .cast("long")
+            .alias("exact_purchase"),
+        )
+    )
+    xint = va.intersect(vb).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_inter")
+    )
+
+    ea = _hll_estimate(F.col("sa"), F.col("va"))
+    eb = _hll_estimate(F.col("sb"), F.col("vb"))
+    eu = _hll_estimate(F.col("su"), F.col("vu"))
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(su))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(xint))
+        .select(
+            "exact_view",
+            "exact_purchase",
+            "exact_inter",
+            F.round(ea, 4).alias("est_view"),
+            F.round(eb, 4).alias("est_purchase"),
+            F.round((ea + eb) - eu, 4).alias("est_inter"),
+        )
     )
