@@ -8,7 +8,7 @@ parallel scans — no shuffle at all except where a query aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -428,4 +428,103 @@ def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_punct_tokens"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_unique"),
+    )
+
+
+_QZIPF_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk FROM tf
+),
+pts AS (
+  SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM ranked WHERE rnk <= 1000
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM pts
+),
+fit AS (
+  SELECT n_terms,
+         (n * sxy) - (sx * sy) AS cov_n,
+         (n * sxx) - (sx * sx) AS var_x,
+         (n * syy) - (sy * sy) AS var_y,
+         n, sx, sy
+  FROM stats
+)
+SELECT n_terms,
+       ROUND(cov_n / var_x, 6) AS zipf_slope,
+       ROUND((sy - ((cov_n / var_x) * sx)) / n, 6) AS intercept,
+       ROUND((cov_n * cov_n) / (var_x * var_y), 6) AS r2
+FROM fit
+"""
+
+
+@register(
+    "q_text_zipf_fit",
+    oracle=_QZIPF_ORACLE,
+    description=(
+        "Zipf-law fit: OLS of ln(freq) on ln(rank) over the top-1000 "
+        "tokens, exact-decimal sufficient statistics"
+    ),
+    tags=("text", "zipf", "ml", "regression", "llm-pipeline"),
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: natural text follows ln(freq) ~
+    -1·ln(rank); templated or synthetic corpora bend the slope. The fit
+    reuses the sufficient-statistics OLS of ``operators/mlstats`` with
+    the per-term quantization of ``functions/nbayes``: each ln() is
+    rounded to 9 decimals and summed as DECIMAL, so the regression
+    inputs are exact and order-independent, and the slope matches the
+    oracle bit-for-bit. One groupBy + one vocab-sized ranked window +
+    a 6-number aggregate — nothing corpus-sized moves."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = tf.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "tok"))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 1000)
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    stats = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    cov_n = (F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    var_x = (F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    var_y = (F.col("n") * F.col("syy")) - (F.col("sy") * F.col("sy"))
+    slope = cov_n / var_x
+    return stats.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - (slope * F.col("sx"))) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
     )
