@@ -219,3 +219,137 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_QWINSOR_ORACLE = """
+WITH cents AS (
+  SELECT l_returnflag AS rf, l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+  FROM lineitem
+),
+cum AS (
+  SELECT rf, v,
+         SUM(1) OVER (PARTITION BY rf ORDER BY v, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         COUNT(*) OVER (PARTITION BY rf) AS n
+  FROM cents
+),
+thr AS (
+  SELECT rf,
+         MIN(CASE WHEN c * 20 >= n THEN v END) AS p05,
+         MIN(CASE WHEN c * 20 >= 19 * n THEN v END) AS p95
+  FROM cum GROUP BY rf
+),
+w AS (
+  SELECT c.rf, c.v, t.p05, t.p95,
+         CASE WHEN c.v < t.p05 THEN t.p05
+              WHEN c.v > t.p95 THEN t.p95
+              ELSE c.v END AS wv
+  FROM cents c JOIN thr t ON t.rf = c.rf
+)
+SELECT rf AS l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(p05) / 100.0e0, 2) AS p05,
+       ROUND(MIN(p95) / 100.0e0, 2) AS p95,
+       ROUND((CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0e0, 4)
+         AS mean_raw,
+       ROUND((CAST(SUM(wv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0e0, 4)
+         AS mean_winsorized,
+       ROUND((CAST(SUM(CASE WHEN v >= p05 AND v <= p95 THEN v END) AS DOUBLE)
+              / CAST(SUM(CASE WHEN v >= p05 AND v <= p95 THEN 1 END) AS DOUBLE))
+             / 100.0e0, 4) AS mean_trimmed
+FROM w
+GROUP BY rf
+ORDER BY rf
+"""
+
+
+@register(
+    "q_winsorized_means",
+    oracle=_QWINSOR_ORACLE,
+    description=(
+        "5/95 winsorized and trimmed means of price per return flag — "
+        "exact integer-cent sums, thresholds from the exact-percentile "
+        "window machinery"
+    ),
+    tags=("statistics", "robust", "winsorize", "percentile", "window"),
+)
+def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust-mean pair to q_mad_outliers: winsorizing clamps the
+    tails to the exact 5th/95th percentile values, trimming drops them.
+    Everything before the final division is integer cents — sums exact
+    and order-independent in both engines — and the percentile
+    thresholds reuse the integer-scaled cumulative test, so tail
+    membership (v < p05, a knife-edge comparison) is decided on
+    identical integers. One ranked window + one broadcast threshold
+    join + one aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("rf"),
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
+    )
+    wc = (
+        Window.partitionBy("rf")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("rf")
+    cum = cents.select(
+        "rf",
+        "v",
+        F.sum(F.lit(1)).over(wc).alias("c"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    thr = cum.groupBy("rf").agg(
+        F.min(F.when(F.col("c") * 20 >= F.col("n"), F.col("v"))).alias("p05"),
+        F.min(F.when(F.col("c") * 20 >= 19 * F.col("n"), F.col("v"))).alias("p95"),
+    )
+    w = cents.join(F.broadcast(thr), on="rf").select(
+        "rf",
+        "v",
+        "p05",
+        "p95",
+        F.when(F.col("v") < F.col("p05"), F.col("p05"))
+        .when(F.col("v") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("v"))
+        .alias("wv"),
+    )
+    in_band = (F.col("v") >= F.col("p05")) & (F.col("v") <= F.col("p95"))
+    return (
+        w.groupBy("rf")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("p05") / 100.0, 2).alias("p05"),
+            F.round(F.min("p95") / 100.0, 2).alias("p95"),
+            F.round(
+                (F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"))
+                / 100.0,
+                4,
+            ).alias("mean_raw"),
+            F.round(
+                (F.sum("wv").cast("double") / F.count(F.lit(1)).cast("double"))
+                / 100.0,
+                4,
+            ).alias("mean_winsorized"),
+            F.round(
+                (
+                    F.sum(F.when(in_band, F.col("v"))).cast("double")
+                    / F.sum(F.when(in_band, 1)).cast("double")
+                )
+                / 100.0,
+                4,
+            ).alias("mean_trimmed"),
+        )
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            "n_rows",
+            "p05",
+            "p95",
+            "mean_raw",
+            "mean_winsorized",
+            "mean_trimmed",
+        )
+        .orderBy("l_returnflag")
+    )
