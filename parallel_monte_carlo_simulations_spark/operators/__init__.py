@@ -44,6 +44,7 @@ from . import (  # noqa: F401
     setops,
     skew,
     sketches,
+    stattests,
     subqueries,
     timeseries,
     tpch2,

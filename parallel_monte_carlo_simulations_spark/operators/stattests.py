@@ -1,0 +1,198 @@
+"""Statistical hypothesis tests as aggregations — Benford and chi-square.
+
+Data-quality/fraud screening at warehouse scale is a handful of exact
+counts plus closed-form test statistics: both tests here reduce to one
+contingency aggregation (map-side combined, a few dozen cells out) and
+arithmetic on those cells. The determinism discipline is the usual one —
+counts are exact integers, each floating term (an expected frequency, a
+chi-square summand) is quantized to DECIMAL before the cross-cell SUM so
+the statistic is order-independent, and literals/associations mirror the
+oracle exactly.
+
+- **Benford**: leading-digit distribution of order totals vs the
+  log10(1 + 1/d) law. Real transactional amounts follow it; fabricated
+  numbers rarely do.
+- **Chi-square independence**: event_type × day-of-week contingency,
+  integer-scaled summands ``(o·n − rs·cs)² / (n·rs·cs)`` so each term
+  is a single double expression over exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+_QBENFORD_ORACLE = """
+WITH v AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS o FROM v GROUP BY digit),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+cells AS (
+  SELECT obs.digit, obs.o, tot.n,
+         CAST(tot.n AS DOUBLE) * log10(1.0e0 + (1.0e0 / obs.digit)) AS e
+  FROM obs CROSS JOIN tot
+),
+terms AS (
+  SELECT digit, o, n, e,
+         CAST(ROUND(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e, 8)
+              AS DECIMAL(24,8)) AS t
+  FROM cells
+),
+chi AS (SELECT CAST(SUM(t) AS DOUBLE) AS chi2 FROM terms)
+SELECT t.digit,
+       t.o AS observed,
+       ROUND(t.e, 2) AS expected,
+       ROUND((CAST(t.o AS DOUBLE) / CAST(t.n AS DOUBLE)) * 100.0e0, 4)
+         AS observed_pct,
+       ROUND(c.chi2, 4) AS chi2_total
+FROM terms t CROSS JOIN chi c
+ORDER BY t.digit
+"""
+
+
+@register(
+    "q_benford_leading_digit",
+    oracle=_QBENFORD_ORACLE,
+    description=(
+        "Benford's-law screen: leading-digit distribution of order totals "
+        "vs log10(1+1/d), with an exact-decimal chi-square statistic"
+    ),
+    tags=("statistics", "benford", "data-quality", "fraud", "aggregate"),
+)
+def q_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    tot = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    e = F.col("n").cast("double") * F.log10(
+        F.lit(1.0) + (F.lit(1.0) / F.col("digit"))
+    )
+    cells = obs.crossJoin(F.broadcast(tot)).select(
+        "digit", "o", "n", e.alias("e")
+    )
+    od = F.col("o").cast("double")
+    terms = cells.select(
+        "digit",
+        "o",
+        "n",
+        "e",
+        F.round(((od - F.col("e")) * (od - F.col("e"))) / F.col("e"), 8)
+        .cast("decimal(24,8)")
+        .alias("t"),
+    )
+    chi = terms.agg(F.sum("t").cast("double").alias("chi2"))
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            F.col("o").alias("observed"),
+            F.round(F.col("e"), 2).alias("expected"),
+            F.round(
+                (F.col("o").cast("double") / F.col("n").cast("double"))
+                * 100.0,
+                4,
+            ).alias("observed_pct"),
+            F.round(F.col("chi2"), 4).alias("chi2_total"),
+        )
+        .orderBy("digit")
+    )
+
+
+_QCHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, dayofweek(CAST(ts AS DATE))
+),
+rs AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY event_type),
+cs AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY dow),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT cells.event_type, cells.dow,
+         CAST(ROUND(
+           ((CAST(cells.o AS DOUBLE) * CAST(t.n AS DOUBLE))
+            - (CAST(rs.r AS DOUBLE) * CAST(cs.c AS DOUBLE)))
+           * ((CAST(cells.o AS DOUBLE) * CAST(t.n AS DOUBLE))
+              - (CAST(rs.r AS DOUBLE) * CAST(cs.c AS DOUBLE)))
+           / (CAST(t.n AS DOUBLE) * (CAST(rs.r AS DOUBLE) * CAST(cs.c AS DOUBLE))),
+           8) AS DECIMAL(24,8)) AS t
+  FROM cells
+  JOIN rs ON rs.event_type = cells.event_type
+  JOIN cs ON cs.dow = cells.dow
+  CROSS JOIN tot t
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc
+  FROM cells
+)
+SELECT t2.n AS n_events,
+       d.nr AS n_rows_dim, d.nc AS n_cols_dim,
+       (d.nr - 1) * (d.nc - 1) AS dof,
+       ROUND(CAST((SELECT SUM(t) FROM terms) AS DOUBLE), 4) AS chi2
+FROM tot t2 CROSS JOIN dims d
+"""
+
+
+@register(
+    "q_chi_square_independence",
+    oracle=_QCHI2_ORACLE,
+    description=(
+        "chi-square independence test of event_type vs day-of-week from "
+        "one contingency aggregation; integer-scaled exact-decimal summands"
+    ),
+    tags=("statistics", "chi-square", "hypothesis-test", "aggregate"),
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek(F.to_date("ts")).alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rs = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    cs = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    dims = cells.agg(
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("dow").cast("long").alias("nc"),
+    )
+    od, nd = F.col("o").cast("double"), F.col("n").cast("double")
+    rd, cd = F.col("r").cast("double"), F.col("c").cast("double")
+    num = (od * nd) - (rd * cd)
+    terms = (
+        cells.join(F.broadcast(rs), on="event_type")
+        .join(F.broadcast(cs), on="dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(num * num / (nd * (rd * cd)), 8)
+            .cast("decimal(24,8)")
+            .alias("t")
+        )
+    )
+    chi = terms.agg(F.sum("t").cast("double").alias("chi2"))
+    return (
+        tot.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            F.col("n").alias("n_events"),
+            F.col("nr").alias("n_rows_dim"),
+            F.col("nc").alias("n_cols_dim"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+            F.round(F.col("chi2"), 4).alias("chi2"),
+        )
+    )
