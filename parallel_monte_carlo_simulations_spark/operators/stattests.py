@@ -196,3 +196,101 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("chi2"), 4).alias("chi2"),
         )
     )
+
+
+_QKS_ORACLE = """
+WITH pooled AS (
+  SELECT event_id, value,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+tot AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n1, CAST(SUM(is_b) AS BIGINT) AS n2
+  FROM pooled
+),
+walk AS (
+  SELECT SUM(is_a) OVER (ORDER BY value, is_a, event_id
+                         ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(is_b) OVER (ORDER BY value, is_a, event_id
+                         ROWS UNBOUNDED PRECEDING) AS c2
+  FROM pooled
+),
+d AS (
+  SELECT CAST(MAX(ABS((c1 * t.n2) - (c2 * t.n1))) AS BIGINT) AS d_num
+  FROM walk CROSS JOIN tot t
+)
+SELECT t.n1 AS n_view, t.n2 AS n_purchase,
+       d.d_num,
+       ROUND(CAST(d.d_num AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6) AS ks_d,
+       ROUND(1.358e0 * sqrt((CAST(t.n1 AS DOUBLE) + CAST(t.n2 AS DOUBLE))
+                            / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))), 6)
+         AS ks_crit_05,
+       (CAST(d.d_num AS DOUBLE)
+        / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)))
+       > (1.358e0 * sqrt((CAST(t.n1 AS DOUBLE) + CAST(t.n2 AS DOUBLE))
+                         / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))))
+         AS reject_05
+FROM tot t CROSS JOIN d
+"""
+
+
+@register(
+    "q_ks_two_sample",
+    oracle=_QKS_ORACLE,
+    description=(
+        "two-sample Kolmogorov-Smirnov (view vs purchase values): exact "
+        "integer D numerator max|c1*n2 - c2*n1|, one sorted window pass"
+    ),
+    tags=("statistics", "ks-test", "hypothesis-test", "window"),
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KS distance is a max over the pooled sorted walk — one global
+    window pass. The D numerator is kept INTEGER (max |c1*n2 - c2*n1|,
+    exact in both engines regardless of float behavior) and divided only
+    at the end; ties across samples are resolved by the identical
+    (value, sample, event_id) walk order in both engines, so the max is
+    taken over the same step function. The 5% critical value uses the
+    asymptotic c(alpha)=1.358 as a mirrored literal expression. At scale
+    the single global sort is the cost — the same envelope as any global
+    ranked window; per-group KS would partition it."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    pooled = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_b"),
+    )
+    tot = pooled.agg(
+        F.sum("is_a").cast("long").alias("n1"),
+        F.sum("is_b").cast("long").alias("n2"),
+    )
+    w = Window.orderBy("value", "is_a", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = pooled.select(
+        F.sum("is_a").over(w).alias("c1"), F.sum("is_b").over(w).alias("c2")
+    )
+    d = walk.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs((F.col("c1") * F.col("n2")) - (F.col("c2") * F.col("n1")))
+        )
+        .cast("long")
+        .alias("d_num")
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    ks = F.col("d_num").cast("double") / (n1d * n2d)
+    crit = F.lit(1.358) * F.sqrt((n1d + n2d) / (n1d * n2d))
+    return tot.crossJoin(F.broadcast(d)).select(
+        F.col("n1").alias("n_view"),
+        F.col("n2").alias("n_purchase"),
+        "d_num",
+        F.round(ks, 6).alias("ks_d"),
+        F.round(crit, 6).alias("ks_crit_05"),
+        (ks > crit).alias("reject_05"),
+    )
