@@ -18,6 +18,16 @@ rarity order actively minimizes; verification joins the full token sets
 only for surviving candidate pairs. All thresholds are integer-scaled
 (``10·inter ≥ 7·union``, ``ceil(0.7·s)`` as ``(7s+9) div 10``) so both
 engines make bit-identical keep/drop decisions.
+
+Honest selectivity caveat: prefix filtering earns its keep on LARGE,
+Zipf-distributed vocabularies, where the rare prefix tokens block
+almost nothing together. The synthetic testdata corpus has a ~31-token
+vocabulary (``q_text_zipf_fit`` measures slope −0.18 vs natural text's
+−1), so every prefix token is common and candidate generation here
+degenerates toward the dup-cluster quadratic — on real corpora the
+rare-first order is precisely what prevents that. MinHash banding
+(:mod:`.minhash`) is the scale path when the vocabulary itself is
+degenerate.
 """
 
 from __future__ import annotations
