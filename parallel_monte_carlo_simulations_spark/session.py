@@ -43,6 +43,14 @@ DEFAULT_CONF: dict[str, str] = {
     # reader rejects unless nanos are surfaced as longs (converted to
     # micros by tables._events with exact integer division).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deeply-unrolled iterative plans (BFS/PageRank cached unions) have
+    # MULTI-GIGABYTE plan strings; AQE's onUpdatePlan renders the plan
+    # to a string on every re-plan for its change log, and an unbounded
+    # StringConcat there OOM'd the driver heap (observed: OutOfMemoryError
+    # in QueryExecution.explainString during q_graph_bfs_hops after a
+    # long session). 1 MiB of plan text is far more than any human or
+    # test assertion reads, and truncation is loud (a marker line).
+    "spark.sql.maxPlanStringLength": str(1024 * 1024),
 }
 
 
