@@ -33,6 +33,7 @@ from . import (  # noqa: F401
     mlstats,
     profiling,
     pandas_api,
+    recursive,
     relational,
     reshape,
     safety,
