@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     maps,
     misc,
     mlstats,
+    modernsql,
     profiling,
     pandas_api,
     recursive,
