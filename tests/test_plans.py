@@ -338,3 +338,12 @@ def test_ddsketch_bucket_math_stays_jvm(spark):
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_recursive_cte_compiles_to_union_loop(spark):
+    """WITH RECURSIVE must execute as the engine's UnionLoop operator
+    (iterative re-feed), not an unrolled or collected plan."""
+    plan = _plan(spark, "q_sql_recursive_balance")
+    assert "UnionLoop" in plan
+    assert "UnionLoopRef" in plan
+    assert "BatchEvalPython" not in plan
