@@ -1,0 +1,230 @@
+"""Distribution-drift monitors — per-segment KS and Wasserstein-1.
+
+The data-quality shape every large ingest pipeline needs: "does this
+source/segment's value distribution look like the rest of the corpus?"
+Both monitors follow the integer-exact ECDF discipline of
+``stattests.q_ks_two_sample``:
+
+- ``q_ks_drift_by_type`` screens EVERY event type against the pooled
+  distribution in one shot: rows are crossed with the (tiny) type
+  dimension, and one value-sorted window per type partition carries the
+  pair of running counts, so the KS numerator ``max |c_t·n − c_all·n_t|``
+  stays integer. (Screening a segment against a pool that contains it is
+  the standard conservative drift screen, not an independent two-sample
+  test — the segment is positively correlated with the pool, so real
+  drift is UNDER-stated; flagged rows are therefore high-confidence.)
+  At scale the cross-with-types multiplies the sort by the number of
+  monitored segments — per-segment partitions sort independently, so
+  this parallelizes; monitor tens of segments, not thousands.
+- ``q_wasserstein_two_sample`` integrates |ECDF₁ − ECDF₂| over the
+  pooled walk (earth-mover's distance in one dimension): each step
+  contributes ``|c₁·n₂ − c₂·n₁| · Δv``, with the integer KS numerator
+  exact and the Δv product quantized to DECIMAL before the sum, so the
+  integral is order-independent. W1 sees HOW FAR mass moved where KS
+  only sees the worst single gap — the pair covers both drift styles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+_QKSDRIFT_ORACLE = """
+WITH types AS (SELECT DISTINCT event_type AS et FROM events),
+tot AS (
+  SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS nt
+  FROM events GROUP BY event_type
+),
+alln AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+x AS (
+  SELECT t.et, e.event_type, e.event_id, e.value
+  FROM events e CROSS JOIN types t
+),
+walk AS (
+  SELECT et,
+         SUM(CASE WHEN event_type = et THEN 1 ELSE 0 END)
+           OVER (PARTITION BY et ORDER BY value, event_id
+                 ROWS UNBOUNDED PRECEDING) AS ct,
+         SUM(1) OVER (PARTITION BY et ORDER BY value, event_id
+                      ROWS UNBOUNDED PRECEDING) AS call
+  FROM x
+),
+d AS (
+  SELECT w.et,
+         CAST(MAX(ABS((w.ct * a.n) - (w.call * t.nt))) AS BIGINT) AS d_num
+  FROM walk w
+  JOIN tot t ON t.et = w.et
+  CROSS JOIN alln a
+  GROUP BY w.et
+)
+SELECT d.et AS event_type, t.nt AS n_events, d.d_num,
+       ROUND(CAST(d.d_num AS DOUBLE)
+             / (CAST(t.nt AS DOUBLE) * CAST(a.n AS DOUBLE)), 6) AS ks_d,
+       ROUND(1.358e0 * sqrt((CAST(t.nt AS DOUBLE) + CAST(a.n AS DOUBLE))
+                            / (CAST(t.nt AS DOUBLE) * CAST(a.n AS DOUBLE))), 6)
+         AS ks_crit_05,
+       (CAST(d.d_num AS DOUBLE)
+        / (CAST(t.nt AS DOUBLE) * CAST(a.n AS DOUBLE)))
+       > (1.358e0 * sqrt((CAST(t.nt AS DOUBLE) + CAST(a.n AS DOUBLE))
+                         / (CAST(t.nt AS DOUBLE) * CAST(a.n AS DOUBLE))))
+         AS drift_flag
+FROM d JOIN tot t ON t.et = d.et CROSS JOIN alln a
+ORDER BY d.et
+"""
+
+
+@register(
+    "q_ks_drift_by_type",
+    oracle=_QKSDRIFT_ORACLE,
+    description=(
+        "KS drift screen of every event type vs the pooled value "
+        "distribution; integer-exact D numerators via per-type sorted "
+        "window partitions"
+    ),
+    tags=("statistics", "drift", "ks-test", "data-quality", "window"),
+)
+def q_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    types = ev.select(F.col("event_type").alias("et")).distinct()
+    tot = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    alln = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    x = ev.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("et")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = x.select(
+        "et",
+        F.sum(F.when(F.col("event_type") == F.col("et"), 1).otherwise(0))
+        .over(w)
+        .alias("ct"),
+        F.sum(F.lit(1)).over(w).alias("call"),
+    )
+    d = (
+        walk.join(F.broadcast(tot), on="et")
+        .crossJoin(F.broadcast(alln))
+        .groupBy("et")
+        .agg(
+            F.max(
+                F.abs((F.col("ct") * F.col("n")) - (F.col("call") * F.col("nt")))
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    ntd, nd = F.col("nt").cast("double"), F.col("n").cast("double")
+    ks = F.col("d_num").cast("double") / (ntd * nd)
+    crit = F.lit(1.358) * F.sqrt((ntd + nd) / (ntd * nd))
+    return (
+        d.join(F.broadcast(tot), on="et")
+        .crossJoin(F.broadcast(alln))
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("nt").alias("n_events"),
+            "d_num",
+            F.round(ks, 6).alias("ks_d"),
+            F.round(crit, 6).alias("ks_crit_05"),
+            (ks > crit).alias("drift_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_QW1_ORACLE = """
+WITH pooled AS (
+  SELECT event_id, value,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+tot AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n1, CAST(SUM(is_b) AS BIGINT) AS n2
+  FROM pooled
+),
+walk AS (
+  SELECT value,
+         SUM(is_a) OVER (ORDER BY value, is_a, event_id
+                         ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(is_b) OVER (ORDER BY value, is_a, event_id
+                         ROWS UNBOUNDED PRECEDING) AS c2,
+         LEAD(value) OVER (ORDER BY value, is_a, event_id) AS nxt
+  FROM pooled
+),
+terms AS (
+  SELECT CAST(ROUND(
+           CAST(ABS((c1 * t.n2) - (c2 * t.n1)) AS DOUBLE) * (nxt - value), 8)
+         AS DECIMAL(28,8)) AS contrib
+  FROM walk CROSS JOIN tot t
+  WHERE nxt IS NOT NULL
+)
+SELECT t.n1 AS n_view, t.n2 AS n_purchase,
+       ROUND(CAST((SELECT SUM(contrib) FROM terms) AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6)
+         AS wasserstein_1
+FROM tot t
+"""
+
+
+@register(
+    "q_wasserstein_two_sample",
+    oracle=_QW1_ORACLE,
+    description=(
+        "Wasserstein-1 (earth mover's) distance between view and purchase "
+        "value distributions: |ECDF diff| integrated over the pooled walk, "
+        "per-step products quantized to DECIMAL"
+    ),
+    tags=("statistics", "wasserstein", "drift", "window"),
+)
+def q_wasserstein_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    pooled = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_b"),
+    )
+    tot = pooled.agg(
+        F.sum("is_a").cast("long").alias("n1"),
+        F.sum("is_b").cast("long").alias("n2"),
+    )
+    wcum = Window.orderBy("value", "is_a", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wlead = Window.orderBy("value", "is_a", "event_id")
+    walk = pooled.select(
+        "value",
+        F.sum("is_a").over(wcum).alias("c1"),
+        F.sum("is_b").over(wcum).alias("c2"),
+        F.lead("value").over(wlead).alias("nxt"),
+    )
+    contrib = F.round(
+        F.abs((F.col("c1") * F.col("n2")) - (F.col("c2") * F.col("n1")))
+        .cast("double")
+        * (F.col("nxt") - F.col("value")),
+        8,
+    ).cast("decimal(28,8)")
+    terms = (
+        walk.crossJoin(F.broadcast(tot))
+        .where(F.col("nxt").isNotNull())
+        .select(contrib.alias("contrib"))
+    )
+    s = terms.agg(F.sum("contrib").cast("double").alias("s"))
+    return tot.crossJoin(F.broadcast(s)).select(
+        F.col("n1").alias("n_view"),
+        F.col("n2").alias("n_purchase"),
+        F.round(
+            F.col("s")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+            6,
+        ).alias("wasserstein_1"),
+    )
