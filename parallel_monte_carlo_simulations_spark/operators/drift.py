@@ -228,3 +228,166 @@ def q_wasserstein_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wasserstein_1"),
     )
+
+
+# --- Population Stability Index ---------------------------------------------
+#
+# The third standard drift lens after KS (worst gap) and W1 (mass
+# moved): PSI bins the reference sample at its own exact deciles and
+# measures sum((p_i - q_i) * ln(p_i / q_i)) over the bins — the banking/
+# scoring industry's 0.1/0.2 alert thresholds. Decile edges come from
+# the integer-scaled exact-percentile test (cum*10 >= k*n), duplicate
+# edges collapse (tied deciles), Laplace-smoothed bin shares keep empty
+# bins finite, and each PSI term is quantized to DECIMAL before the sum
+# — the full determinism discipline, so the statistic oracles exactly.
+
+_EDGE_KS = range(1, 10)
+
+_PSI_EDGES_SQL = " UNION ALL ".join(
+    f"SELECT MIN(CASE WHEN c * 10 >= {k} * n THEN value END) AS e FROM rcum"
+    for k in _EDGE_KS
+)
+
+_QPSI_ORACLE = f"""
+WITH ref AS (
+  SELECT event_id, value FROM events WHERE event_type = 'view'
+),
+act AS (
+  SELECT event_id, value FROM events WHERE event_type = 'purchase'
+),
+rcum AS (
+  SELECT value,
+         SUM(1) OVER (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING) AS c,
+         COUNT(*) OVER () AS n
+  FROM ref
+),
+edges AS (SELECT DISTINCT e FROM ({_PSI_EDGES_SQL}) WHERE e IS NOT NULL),
+nb AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS b FROM edges),
+rbin AS (
+  SELECT 1 + SUM(CASE WHEN r.value > e.e THEN 1 ELSE 0 END) AS bin
+  FROM ref r CROSS JOIN edges e GROUP BY r.event_id, r.value
+),
+abin AS (
+  SELECT 1 + SUM(CASE WHEN a.value > e.e THEN 1 ELSE 0 END) AS bin
+  FROM act a CROSS JOIN edges e GROUP BY a.event_id, a.value
+),
+spine AS (
+  -- fixed 1..10 series filtered by b: DuckDB's generate_series cannot
+  -- take a lateral column bound, and bins never exceed 10.
+  SELECT CAST(gs.g AS BIGINT) AS bin
+  FROM generate_series(1, 10) AS gs(g), nb WHERE gs.g <= nb.b
+),
+counts AS (
+  SELECT s.bin,
+         CAST(COALESCE(r.cr, 0) AS BIGINT) AS cr,
+         CAST(COALESCE(a.ca, 0) AS BIGINT) AS ca
+  FROM spine s
+  LEFT JOIN (SELECT bin, COUNT(*) AS cr FROM rbin GROUP BY bin) r ON r.bin = s.bin
+  LEFT JOIN (SELECT bin, COUNT(*) AS ca FROM abin GROUP BY bin) a ON a.bin = s.bin
+),
+tots AS (
+  SELECT CAST((SELECT COUNT(*) FROM ref) AS BIGINT) AS nr,
+         CAST((SELECT COUNT(*) FROM act) AS BIGINT) AS na,
+         nb.b FROM nb
+),
+terms AS (
+  SELECT CAST(ROUND(
+    ((CAST(c.cr + 1 AS DOUBLE) / CAST(t.nr + t.b AS DOUBLE))
+     - (CAST(c.ca + 1 AS DOUBLE) / CAST(t.na + t.b AS DOUBLE)))
+    * ln((CAST(c.cr + 1 AS DOUBLE) / CAST(t.nr + t.b AS DOUBLE))
+         / (CAST(c.ca + 1 AS DOUBLE) / CAST(t.na + t.b AS DOUBLE))), 8)
+    AS DECIMAL(20,8)) AS term
+  FROM counts c CROSS JOIN tots t
+)
+SELECT t.nr AS n_reference, t.na AS n_actual, t.b AS n_bins,
+       ROUND(CAST((SELECT SUM(term) FROM terms) AS DOUBLE), 6) AS psi,
+       CAST((SELECT SUM(term) FROM terms) AS DOUBLE) > 0.2e0 AS shift_alert
+FROM tots t
+"""
+
+
+@register(
+    "q_psi_drift",
+    oracle=_QPSI_ORACLE,
+    description=(
+        "Population Stability Index of purchase vs view values over "
+        "exact reference deciles; Laplace-smoothed, exact-decimal terms"
+    ),
+    tags=("statistics", "drift", "psi", "data-quality"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_type") == "view").select("event_id", "value")
+    act = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    wcum = Window.orderBy("value", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rcum = ref.select(
+        "value",
+        F.sum(F.lit(1)).over(wcum).alias("c"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    edges = None
+    for k in _EDGE_KS:
+        e_k = rcum.agg(
+            F.min(
+                F.when(F.col("c") * 10 >= k * F.col("n"), F.col("value"))
+            ).alias("e")
+        )
+        edges = e_k if edges is None else edges.unionAll(e_k)
+    edges = edges.where(F.col("e").isNotNull()).distinct()
+    nb = edges.agg((F.count(F.lit(1)) + 1).cast("long").alias("b"))
+
+    def bins(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .groupBy("event_id", "value")
+            .agg(
+                (
+                    1
+                    + F.sum(
+                        F.when(F.col("value") > F.col("e"), 1).otherwise(0)
+                    )
+                ).alias("bin")
+            )
+        )
+
+    rcnt = bins(ref).groupBy("bin").agg(F.count(F.lit(1)).alias("cr"))
+    acnt = bins(act).groupBy("bin").agg(F.count(F.lit(1)).alias("ca"))
+    spine = (
+        nb.select(F.explode(F.sequence(F.lit(1), F.col("b"))).alias("bin"))
+        .select(F.col("bin").cast("long").alias("bin"))
+    )
+    counts = (
+        spine.join(rcnt, on="bin", how="left")
+        .join(acnt, on="bin", how="left")
+        .select(
+            "bin",
+            F.coalesce(F.col("cr"), F.lit(0)).cast("long").alias("cr"),
+            F.coalesce(F.col("ca"), F.lit(0)).cast("long").alias("ca"),
+        )
+    )
+    tots = (
+        ref.agg(F.count(F.lit(1)).cast("long").alias("nr"))
+        .crossJoin(act.agg(F.count(F.lit(1)).cast("long").alias("na")))
+        .crossJoin(nb)
+    )
+    p = (F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("b")).cast(
+        "double"
+    )
+    q = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("b")).cast(
+        "double"
+    )
+    terms = counts.crossJoin(F.broadcast(tots)).select(
+        F.round((p - q) * F.log(p / q), 8).cast("decimal(20,8)").alias("term")
+    )
+    s = terms.agg(F.sum("term").cast("double").alias("s"))
+    return tots.crossJoin(F.broadcast(s)).select(
+        F.col("nr").alias("n_reference"),
+        F.col("na").alias("n_actual"),
+        F.col("b").alias("n_bins"),
+        F.round(F.col("s"), 6).alias("psi"),
+        (F.col("s") > F.lit(0.2)).alias("shift_alert"),
+    )
