@@ -101,3 +101,118 @@ def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lift.alias("lift"),
         )
     )
+
+
+MIN_CO = 2
+CF_TOP_K = 3
+
+_QITEMCF_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM baskets GROUP BY item),
+pairs AS (
+  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS co
+  FROM baskets a JOIN baskets b
+    ON b.basket = a.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= {MIN_CO}
+),
+sym AS (
+  SELECT ia AS item, ib AS neighbor, co FROM pairs
+  UNION ALL
+  SELECT ib AS item, ia AS neighbor, co FROM pairs
+),
+scored AS (
+  SELECT s.item, s.neighbor, s.co,
+         CAST(s.co AS DOUBLE) / sqrt(CAST(sa.s * sb.s AS DOUBLE)) AS cos_raw
+  FROM sym s
+  JOIN supp sa ON sa.item = s.item
+  JOIN supp sb ON sb.item = s.neighbor
+),
+ranked AS (
+  SELECT item, neighbor, co, cos_raw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY item
+                                 ORDER BY cos_raw DESC, neighbor)
+              AS INTEGER) AS rk
+  FROM scored
+)
+SELECT item, neighbor, co, ROUND(cos_raw, 6) AS cosine, rk
+FROM ranked WHERE rk <= {CF_TOP_K}
+ORDER BY item, rk
+"""
+
+
+@register(
+    "q_itemcf_topk",
+    oracle=_QITEMCF_ORACLE,
+    description=(
+        "item-item collaborative filtering: cosine-normalized basket "
+        "co-occurrence, top-3 neighbors per item (min co-occurrence 2)"
+    ),
+    tags=("basket", "recommender", "item-cf", "similarity"),
+)
+def q_itemcf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recommender step past q_basket_frequent_pairs: co-occurrence
+    normalized by sqrt(support_a * support_b) (cosine over implicit
+    binary baskets) separates affinity from popularity, then a per-item
+    top-k window yields each item's neighbor list — the precompute
+    behind "customers also bought". Ranking uses the UNROUNDED cosine
+    (identical doubles both engines — sqrt of an exact integer product)
+    with neighbor-id tie-breaks, so the top-k cut is deterministic.
+    Scale shape: same basket self-join as the pair miner (bounded by
+    basket size), supports broadcast, one window on the item key."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    supp = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    a = baskets.select("basket", F.col("item").alias("ia"))
+    b = baskets.select("basket", F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, on="basket")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .where(F.col("co") >= MIN_CO)
+    )
+    sym = pairs.select(
+        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "co"
+    ).unionAll(
+        pairs.select(
+            F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "co"
+        )
+    )
+    scored = (
+        sym.join(
+            supp.select(F.col("item"), F.col("s").alias("sa")), on="item"
+        )
+        .join(
+            supp.select(
+                F.col("item").alias("neighbor"), F.col("s").alias("sb")
+            ),
+            on="neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "co",
+            (
+                F.col("co").cast("double")
+                / F.sqrt((F.col("sa") * F.col("sb")).cast("double"))
+            ).alias("cos_raw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("item").orderBy(F.col("cos_raw").desc(), "neighbor")
+    )
+    return (
+        scored.withColumn("rk", rk.cast("int"))
+        .where(F.col("rk") <= CF_TOP_K)
+        .select("item", "neighbor", "co", F.round("cos_raw", 6).alias("cosine"), "rk")
+        .orderBy("item", "rk")
+    )
