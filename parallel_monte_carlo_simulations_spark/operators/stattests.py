@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import sql_hash60
 from ..registry import register
 from ..tables import table
 
@@ -293,4 +294,118 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ks, 6).alias("ks_d"),
         F.round(crit, 6).alias("ks_crit_05"),
         (ks > crit).alias("reject_05"),
+    )
+
+
+# --- Bootstrap confidence interval ------------------------------------------
+#
+# Resampling WITHOUT an RNG: bootstrap replica b draws its i-th sample
+# as row hash(b:i) mod n — the counter-hash discipline of mc/hashrng
+# applied to inference. Every draw is a pure function of (replica, i),
+# so the procedure is reproducible under retries/repartitioning AND
+# replayable by the oracle. The distributed shape: rows x B replicas is
+# one generated join (n·B rows, embarrassingly parallel), replica sums
+# are exact integer cents, and the CI bounds come from integer-ranked
+# replica sums — no float enters until the final means.
+
+BOOT_B = 40  # replicas; ranks 2 and 39 ~ the 2.5/97.5 percentile bounds
+_RK_LO, _RK_HI = 2, 39
+
+_QBOOT_ORACLE = f"""
+WITH rows0 AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+  FROM events
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv FROM rows0),
+reps AS (SELECT gs.g AS b FROM generate_series(1, {BOOT_B}) AS gs(g)),
+draws AS (
+  SELECT r.b,
+         ({sql_hash60("CONCAT(CAST(r.b AS VARCHAR), ':', CAST(x.rn AS VARCHAR))")}
+          % t.n) + 1 AS idx
+  FROM rows0 x CROSS JOIN reps r CROSS JOIN tot t
+),
+sums AS (
+  SELECT d.b, CAST(SUM(r2.v) AS BIGINT) AS s
+  FROM draws d JOIN rows0 r2 ON r2.rn = d.idx
+  GROUP BY d.b
+),
+ranked AS (SELECT b, s, ROW_NUMBER() OVER (ORDER BY s, b) AS rk FROM sums)
+SELECT t.n AS n_rows, {BOOT_B} AS n_replicas,
+       ROUND((CAST(t.sv AS DOUBLE) / CAST(t.n AS DOUBLE)) / 100.0e0, 4)
+         AS mean_full,
+       ROUND((CAST((SELECT s FROM ranked WHERE rk = {_RK_LO}) AS DOUBLE)
+              / CAST(t.n AS DOUBLE)) / 100.0e0, 4) AS ci_lo,
+       ROUND((CAST((SELECT s FROM ranked WHERE rk = {_RK_HI}) AS DOUBLE)
+              / CAST(t.n AS DOUBLE)) / 100.0e0, 4) AS ci_hi
+FROM tot t
+"""
+
+
+@register(
+    "q_bootstrap_ci_mean",
+    oracle=_QBOOT_ORACLE,
+    description=(
+        "bootstrap 95% CI of the mean event value: 40 counter-hash "
+        "resampled replicas, exact integer replica sums, integer-ranked "
+        "percentile bounds — reproducible with no RNG state"
+    ),
+    tags=("statistics", "bootstrap", "inference", "hash-rng", "scale"),
+)
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..functions.hashing import hash60
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    rows0 = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        F.row_number().over(Window.orderBy("event_id")).alias("rn"),
+    )
+    tot = rows0.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    reps = spark.range(1, BOOT_B + 1).select(F.col("id").alias("b"))
+    draw_key = F.concat(
+        F.col("b").cast("string"), F.lit(":"), F.col("rn").cast("string")
+    )
+    draws = (
+        rows0.select("rn")
+        .crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(tot.select("n")))
+        .select("b", ((hash60(draw_key) % F.col("n")) + 1).alias("idx"))
+    )
+    sums = (
+        draws.join(
+            rows0.select(F.col("rn").alias("idx"), "v"), on="idx"
+        )
+        .groupBy("b")
+        .agg(F.sum("v").cast("long").alias("s"))
+    )
+    ranked = sums.select(
+        "s", F.row_number().over(Window.orderBy("s", "b")).alias("rk")
+    )
+    lo = ranked.where(F.col("rk") == _RK_LO).select(
+        F.col("s").alias("s_lo")
+    )
+    hi = ranked.where(F.col("rk") == _RK_HI).select(
+        F.col("s").alias("s_hi")
+    )
+    nd = F.col("n").cast("double")
+    return (
+        tot.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.lit(BOOT_B).cast("int").alias("n_replicas"),
+            F.round((F.col("sv").cast("double") / nd) / 100.0, 4).alias(
+                "mean_full"
+            ),
+            F.round((F.col("s_lo").cast("double") / nd) / 100.0, 4).alias(
+                "ci_lo"
+            ),
+            F.round((F.col("s_hi").cast("double") / nd) / 100.0, 4).alias(
+                "ci_hi"
+            ),
+        )
     )
