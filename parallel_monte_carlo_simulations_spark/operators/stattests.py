@@ -409,3 +409,137 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Mann-Whitney U (Wilcoxon rank-sum) -------------------------------------
+#
+# The nonparametric difference-of-location test: U depends only on
+# RANKS, so the whole statistic is exact integer arithmetic — midranks
+# for ties are carried DOUBLED (lo+hi per tie group, an integer), the
+# doubled U and its doubled mean n1·n2 stay integers, and the
+# tie-corrected variance enters doubles only in the final z. One
+# grouped-by-value aggregation plus one cumulative window — the same
+# cost envelope as the exact percentiles.
+
+_QMWU_ORACLE = """
+WITH pooled AS (
+  SELECT value,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+tot AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS n2,
+         CAST(COUNT(*) AS BIGINT) AS nn
+  FROM pooled
+),
+byval AS (
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(is_a) AS BIGINT) AS ta
+  FROM pooled GROUP BY value
+),
+cum AS (
+  SELECT value, t, ta,
+         SUM(t) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS hi
+  FROM byval
+),
+agg AS (
+  SELECT CAST(SUM(ta * ((hi - t + 1) + hi)) AS BIGINT) AS sum_rank2_a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM cum
+)
+SELECT t.n1, t.n2,
+       ROUND((CAST(a.sum_rank2_a AS DOUBLE)
+              - CAST(t.n1 * (t.n1 + 1) AS DOUBLE)) / 2.0e0, 1) AS u_stat,
+       ROUND(((CAST(a.sum_rank2_a AS DOUBLE)
+               - CAST(t.n1 * (t.n1 + 1) AS DOUBLE))
+              - CAST(t.n1 * t.n2 AS DOUBLE))
+             / (2.0e0 * sqrt((CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)
+                              / 12.0e0)
+                             * ((CAST(t.nn + 1 AS DOUBLE))
+                                - (CAST(a.tie_term AS DOUBLE)
+                                   / (CAST(t.nn AS DOUBLE)
+                                      * CAST(t.nn - 1 AS DOUBLE)))))), 4)
+         AS z_score,
+       ABS(((CAST(a.sum_rank2_a AS DOUBLE)
+             - CAST(t.n1 * (t.n1 + 1) AS DOUBLE))
+            - CAST(t.n1 * t.n2 AS DOUBLE))
+           / (2.0e0 * sqrt((CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)
+                            / 12.0e0)
+                           * ((CAST(t.nn + 1 AS DOUBLE))
+                              - (CAST(a.tie_term AS DOUBLE)
+                                 / (CAST(t.nn AS DOUBLE)
+                                    * CAST(t.nn - 1 AS DOUBLE))))))) > 1.96e0
+         AS significant_05
+FROM tot t CROSS JOIN agg a
+"""
+
+
+@register(
+    "q_mann_whitney_u",
+    oracle=_QMWU_ORACLE,
+    description=(
+        "Mann-Whitney U (view vs purchase values): doubled midranks keep "
+        "the statistic integer-exact, tie-corrected normal z enters "
+        "doubles only at the end"
+    ),
+    tags=("statistics", "rank-sum", "hypothesis-test", "nonparametric"),
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    pooled = ev.select(
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
+    )
+    tot = pooled.agg(
+        F.sum("is_a").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    )
+    byval = pooled.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("is_a").cast("long").alias("ta"),
+    )
+    cum = byval.withColumn(
+        "hi",
+        F.sum("t").over(
+            Window.orderBy("value").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("ta") * ((F.col("hi") - F.col("t") + 1) + F.col("hi"))
+        )
+        .cast("long")
+        .alias("sum_rank2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    u2 = F.col("sum_rank2_a").cast("double") - (
+        F.col("n1") * (F.col("n1") + 1)
+    ).cast("double")
+    num = u2 - (F.col("n1") * F.col("n2")).cast("double")
+    var = (
+        F.col("n1").cast("double") * F.col("n2").cast("double") / F.lit(12.0)
+    ) * (
+        (F.col("nn") + 1).cast("double")
+        - (
+            F.col("tie_term").cast("double")
+            / (F.col("nn").cast("double") * (F.col("nn") - 1).cast("double"))
+        )
+    )
+    z = num / (F.lit(2.0) * F.sqrt(var))
+    return tot.crossJoin(F.broadcast(agg)).select(
+        "n1",
+        "n2",
+        F.round(u2 / F.lit(2.0), 1).alias("u_stat"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > F.lit(1.96)).alias("significant_05"),
+    )
