@@ -1,20 +1,23 @@
-"""Statistical hypothesis tests as aggregations — Benford and chi-square.
+"""Statistical hypothesis tests and inference as aggregations.
 
-Data-quality/fraud screening at warehouse scale is a handful of exact
-counts plus closed-form test statistics: both tests here reduce to one
-contingency aggregation (map-side combined, a few dozen cells out) and
-arithmetic on those cells. The determinism discipline is the usual one —
-counts are exact integers, each floating term (an expected frequency, a
-chi-square summand) is quantized to DECIMAL before the cross-cell SUM so
-the statistic is order-independent, and literals/associations mirror the
-oracle exactly.
+Data-quality/fraud screening and inference at warehouse scale reduce to
+exact counts plus closed-form statistics. The determinism discipline is
+shared: counts/ranks are exact integers, each floating term is either a
+single mirrored-association double expression over exact integers or is
+quantized to DECIMAL before a cross-cell SUM, so every statistic is
+order-independent and oracles exactly.
 
 - **Benford**: leading-digit distribution of order totals vs the
   log10(1 + 1/d) law. Real transactional amounts follow it; fabricated
   numbers rarely do.
 - **Chi-square independence**: event_type × day-of-week contingency,
-  integer-scaled summands ``(o·n − rs·cs)² / (n·rs·cs)`` so each term
-  is a single double expression over exact integers.
+  integer-scaled summands ``(o·n − rs·cs)² / (n·rs·cs)``.
+- **Kolmogorov-Smirnov two-sample**: integer D numerator
+  ``max |c1·n2 − c2·n1|`` over one sorted pooled walk.
+- **Bootstrap CI of the mean**: counter-hash resampling (no RNG state),
+  exact integer replica sums, integer-ranked percentile bounds.
+- **Mann-Whitney U**: doubled midranks keep the rank-sum statistic
+  integer-exact; tie-corrected z enters doubles last.
 """
 
 from __future__ import annotations
