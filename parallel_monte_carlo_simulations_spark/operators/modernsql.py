@@ -97,3 +97,53 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args=_PARAMS,
     )
+
+
+_QPIPE_ORACLE = """
+SELECT li.l_returnflag, o.o_orderpriority,
+       CAST(SUM(CAST(ROUND(li.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+WHERE li.l_quantity > 10 AND o.o_orderstatus = 'F'
+GROUP BY li.l_returnflag, o.o_orderpriority
+ORDER BY li.l_returnflag, o.o_orderpriority
+LIMIT 8
+"""
+
+
+@register(
+    "q_sql_pipe_syntax",
+    oracle=_QPIPE_ORACLE,
+    description=(
+        "SQL pipe syntax (FROM ... |> WHERE |> EXTEND |> JOIN |> "
+        "AGGREGATE |> ORDER BY |> LIMIT) — Spark 4's linear query form; "
+        "oracle is the equivalent standard SQL"
+    ),
+    tags=("sql", "pipe-syntax", "spark4"),
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ships the GoogleSQL-style pipe operators: each |> stage
+    consumes the previous relation, so the query reads top-to-bottom in
+    execution order — the linear form analysts increasingly expect. The
+    chain below exercises the main stages (filter, computed-column
+    EXTEND, join, grouped AGGREGATE, order, limit); Catalyst plans it
+    identically to the nested standard form, which is exactly what the
+    standard-SQL DuckDB oracle checks. The LIMIT boundary is
+    deterministic: the ORDER BY covers the full (unique) grouping key."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe_src"
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_src")
+    return spark.sql("""
+    FROM lineitem_pipe_src li
+    |> WHERE l_quantity > 10
+    |> EXTEND CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+    |> JOIN orders_pipe_src o ON o.o_orderkey = li.l_orderkey
+    |> WHERE o.o_orderstatus = 'F'
+    |> AGGREGATE CAST(SUM(cents) AS BIGINT) AS total_cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+       GROUP BY l_returnflag, o.o_orderpriority
+    |> ORDER BY l_returnflag, o_orderpriority
+    |> LIMIT 8
+    """)
