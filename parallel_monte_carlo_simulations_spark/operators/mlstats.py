@@ -123,3 +123,94 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yhat_at_25"
         ),
     ).orderBy("l_returnflag")
+
+
+_QGINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT v,
+         ROW_NUMBER() OVER (ORDER BY v, o_custkey) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(v) OVER () AS tv
+  FROM spend
+),
+agg AS (
+  SELECT CAST(SUM(i * v) AS BIGINT) AS siv,
+         CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX(tv) AS BIGINT) AS tv,
+         CAST(SUM(CASE WHEN i > n - ((n + 99) // 100) THEN v ELSE 0 END)
+              AS BIGINT) AS top1
+  FROM ranked
+)
+SELECT n AS n_customers, tv AS total_cents,
+       ROUND(((2.0e0 * CAST(siv AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(tv AS DOUBLE)))
+             - ((CAST(n AS DOUBLE) + 1.0e0) / CAST(n AS DOUBLE)), 6) AS gini,
+       ROUND((CAST(top1 AS DOUBLE) / CAST(tv AS DOUBLE)) * 100.0e0, 4)
+         AS top1pct_share_pct
+FROM agg
+"""
+
+
+@register(
+    "q_gini_concentration",
+    oracle=_QGINI_ORACLE,
+    description=(
+        "Gini coefficient and top-1% share of customer spend — exact "
+        "integer rank-weighted sums, one sorted window pass"
+    ),
+    tags=("statistics", "gini", "concentration", "curation", "window"),
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration metrics are a dataset-curation staple (how skewed
+    are per-domain/per-author contributions?) as much as an economics
+    one. Gini from the rank formula 2·Σ(i·x_i)/(n·Σx) − (n+1)/n: ranks,
+    rank-weighted sums and the top-ceil(n/100) selection are all exact
+    integers (the threshold is integer (n+99) div 100, never a float
+    percent), so only the two final divisions run in doubles — mirrored
+    association, exact oracle. One sorted window pass over per-customer
+    aggregates — the same envelope as any ranked window."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    from pyspark.sql import Window
+
+    ranked = spend.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("v").over(Window.partitionBy()).alias("tv"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("i") * F.col("v")).cast("long").alias("siv"),
+        F.max("n").cast("long").alias("n"),
+        F.max("tv").cast("long").alias("tv"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.expr("(n + 99) div 100"),
+                F.col("v"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("top1"),
+    )
+    nd, tvd = F.col("n").cast("double"), F.col("tv").cast("double")
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("tv").alias("total_cents"),
+        F.round(
+            ((F.lit(2.0) * F.col("siv").cast("double")) / (nd * tvd))
+            - ((nd + F.lit(1.0)) / nd),
+            6,
+        ).alias("gini"),
+        F.round((F.col("top1").cast("double") / tvd) * 100.0, 4).alias(
+            "top1pct_share_pct"
+        ),
+    )
