@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     joins,
     maps,
     misc,
+    mleval,
     mlstats,
     modernsql,
     profiling,
