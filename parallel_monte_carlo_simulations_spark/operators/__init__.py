@@ -51,6 +51,7 @@ from . import (  # noqa: F401
     stattests,
     subqueries,
     timeseries,
+    timeseries2,
     tpch2,
     tpch3,
     tpch4,
