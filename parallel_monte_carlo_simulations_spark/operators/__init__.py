@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     binned,
     bloom,
     complex_types,
+    dpp,
     drift,
     graph,
     graph2,

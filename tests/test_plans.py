@@ -347,3 +347,17 @@ def test_recursive_cte_compiles_to_union_loop(spark):
     assert "UnionLoop" in plan
     assert "UnionLoopRef" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dynamic_partition_pruning_on_fact_scan(spark):
+    """The year-partitioned fact scan must carry a runtime
+    dynamicpruningexpression from the volume-filtered dim — the scan
+    property that skips unselected partitions entirely at 100 TB."""
+    from parallel_monte_carlo_simulations_spark.operators.dpp import dpp_join
+
+    df = dpp_join(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruningexpression" in plan
+    assert "BroadcastHashJoin" in plan
