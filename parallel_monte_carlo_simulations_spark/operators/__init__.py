@@ -49,6 +49,7 @@ from . import (  # noqa: F401
     setops,
     skew,
     sketches,
+    spatial,
     stattests,
     subqueries,
     timeseries,

@@ -361,3 +361,13 @@ def test_dynamic_partition_pruning_on_fact_scan(spark):
     )
     assert "dynamicpruningexpression" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_spatial_grid_join_is_equi_join(spark):
+    """The radius self-join must plan as a hash equi-join on the cell id
+    (grid bucketing), never a CartesianProduct / BroadcastNestedLoop —
+    the property that makes it survive 100 TB."""
+    plan = _plan(spark, "q_geo_grid_proximity_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
