@@ -47,9 +47,13 @@ from . import (  # noqa: F401
     scalar3,
     scripting,
     setops,
+    featureeng,
+    search,
     skew,
     sketches,
+    skyline,
     spatial,
+    survival,
     stattests,
     subqueries,
     timeseries,

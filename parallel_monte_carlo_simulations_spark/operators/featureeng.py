@@ -1,0 +1,227 @@
+"""Feature-engineering operators for ML training pipelines.
+
+The three encoders every tabular training job needs, each expressed as
+pure aggregations/joins so they run JVM-side and oracle exactly:
+
+- **Smoothed target encoding**: category -> shrunk mean of a binary
+  target, ``(pos + m * prior) / (n + m)``. The prior and the encoding
+  are computed from exact integer counts; the single double expression
+  is mirrored verbatim in the oracle (one association order, rounded
+  once).
+- **Feature hashing (the hashing trick)**: portable md5-derived bucket
+  ``h % B`` with a sign hash, aggregated to signed bucket counts — the
+  fixed-width, vocabulary-free encoding used when the category space is
+  unbounded. Collisions are part of the contract; the signed sum makes
+  them unbiased.
+- **Quantile binning**: ``ntile(10)`` over a deterministic total order
+  (value, key) — equal-frequency discretization with exact bin stats.
+
+Scale: target encoding is one groupBy on the category key plus a
+broadcast of the (tiny) encoding table back onto the fact side;
+feature hashing is a single map-side expression plus one groupBy on
+the 64-bucket key; binning is a range-partitionable window. No
+collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, sql_hash60
+from ..registry import register
+from ..tables import table
+
+#: Smoothing pseudo-count for target encoding.
+SMOOTH_M = 10
+#: Bucket count for the hashing trick.
+HASH_BUCKETS = 64
+
+# --------------------------------------------------------------------------
+# Smoothed target encoding: c_mktsegment -> P(order is high-priority),
+# shrunk toward the global prior.
+# --------------------------------------------------------------------------
+
+_QTENC_ORACLE = f"""
+WITH joined AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS target
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+prior AS (
+  SELECT CAST(SUM(target) AS BIGINT) AS gpos,
+         CAST(COUNT(*) AS BIGINT) AS gn
+  FROM joined
+),
+seg AS (
+  SELECT segment,
+         CAST(SUM(target) AS BIGINT) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM joined
+  GROUP BY segment
+)
+SELECT s.segment,
+       s.n AS n_orders,
+       s.pos AS n_positive,
+       ROUND((CAST(s.pos AS DOUBLE)
+              + {SMOOTH_M}.0e0 * (CAST(p.gpos AS DOUBLE) / CAST(p.gn AS DOUBLE)))
+             / (CAST(s.n AS DOUBLE) + {SMOOTH_M}.0e0), 6) AS encoded
+FROM seg s CROSS JOIN prior p
+ORDER BY s.segment
+"""
+
+
+@register(
+    "q_feat_target_encoding",
+    oracle=_QTENC_ORACLE,
+    description=(
+        "smoothed target encoding: market segment -> shrunk "
+        "high-priority-order rate (pos + m*prior)/(n + m), m=10"
+    ),
+    tags=("feature-engineering", "ml", "encoding", "aggregate", "llm-pipeline"),
+)
+def q_feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("target"),
+    )
+    prior = joined.agg(
+        F.sum("target").alias("gpos"), F.count("*").alias("gn")
+    )
+    seg = joined.groupBy("segment").agg(
+        F.sum("target").alias("pos"), F.count("*").alias("n")
+    )
+    m = float(SMOOTH_M)
+    encoded = F.round(
+        (
+            F.col("pos").cast("double")
+            + F.lit(m) * (F.col("gpos").cast("double") / F.col("gn").cast("double"))
+        )
+        / (F.col("n").cast("double") + F.lit(m)),
+        6,
+    )
+    return (
+        seg.crossJoin(F.broadcast(prior))
+        .select(
+            "segment",
+            F.col("n").alias("n_orders"),
+            F.col("pos").alias("n_positive"),
+            encoded.alias("encoded"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing: (segment, nation) categorical pairs -> 64 signed
+# buckets.
+# --------------------------------------------------------------------------
+
+_FEAT_EXPR = "c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)"
+
+_QHASH_ORACLE = f"""
+WITH feats AS (
+  SELECT {sql_hash60(_FEAT_EXPR)} % {HASH_BUCKETS} AS bucket,
+         CASE WHEN {sql_hash60("'sign:' || " + _FEAT_EXPR)} % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM customer
+)
+SELECT bucket,
+       CAST(SUM(sgn) AS BIGINT) AS signed_count,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM feats
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "q_feat_hashing_trick",
+    oracle=_QHASH_ORACLE,
+    description=(
+        "feature hashing: (segment, nation) pairs into 64 buckets with "
+        "a sign hash — vocabulary-free fixed-width encoding, signed sums "
+        "make collisions unbiased"
+    ),
+    tags=("feature-engineering", "ml", "hashing", "aggregate", "llm-pipeline"),
+)
+def q_feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    feat = F.concat(
+        F.col("c_mktsegment"), F.lit("|"), F.col("c_nationkey").cast("string")
+    )
+    bucket = hash60(feat) % HASH_BUCKETS
+    sgn = F.when(
+        hash60(F.concat(F.lit("sign:"), feat)) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        c.select(bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("sgn").alias("signed_count"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Equal-frequency binning: decile discretization of order totals.
+# --------------------------------------------------------------------------
+
+_QBIN_ORACLE = """
+WITH binned AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (100.0e0 * COUNT(*)), 4) AS mean_price
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register(
+    "q_feat_quantile_binning",
+    oracle=_QBIN_ORACLE,
+    description=(
+        "equal-frequency decile binning of order totals: ntile over a "
+        "deterministic (value, key) order with exact cent-integer bin "
+        "means"
+    ),
+    tags=("feature-engineering", "ml", "binning", "window", "llm-pipeline"),
+)
+def q_feat_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        "o_totalprice", F.ntile(10).over(w).alias("bin")
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(
+                F.sum(cents).cast("double")
+                / (F.lit(100.0) * F.count("*")),
+                4,
+            ).alias("mean_price"),
+        )
+        .orderBy("bin")
+    )

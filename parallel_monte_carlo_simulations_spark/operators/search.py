@@ -1,0 +1,194 @@
+"""Full-text search primitives: positional inverted index, phrase and
+boolean queries.
+
+A search engine over a 100 TB corpus is three relational operations:
+
+- **Index build**: ``posexplode`` the token stream into postings
+  ``(term, doc_id, pos)`` — one narrow shuffle keyed on term. At scale
+  this IS the index: term-partitioned posting lists, exactly what
+  Lucene shards by.
+- **Phrase query**: a self-join of the posting lists of the phrase's
+  words on ``doc_id`` and ``pos_2 = pos_1 + 1`` — an equi-join on
+  (doc, pos+1), never a scan of document text.
+- **Boolean AND**: intersection of posting lists = two semi-joins.
+
+To stay deterministic without hand-picking literals, the query terms
+are data-derived: the corpus's most frequent bigram (ties broken
+lexicographically) for the phrase, the two most frequent distinct
+unigrams for the AND query. Everything is exact integer counts.
+
+Tokenization is the repo-standard literal ``split(text, ' ')`` so the
+DuckDB oracle replays it verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+_POSTINGS_SQL = """
+  SELECT d.doc_id, t.term, CAST(t.pos AS BIGINT) AS pos
+  FROM documents d,
+       LATERAL (SELECT UNNEST(string_split(d.text, ' ')) AS term,
+                       generate_subscripts(string_split(d.text, ' '), 1) AS pos) t
+"""
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, pos) postings; pos is 1-based to match DuckDB's
+    generate_subscripts."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+    ).select("doc_id", "term", (F.col("pos0") + 1).cast("long").alias("pos"))
+
+
+_QPHRASE_ORACLE = f"""
+WITH postings AS ({_POSTINGS_SQL}),
+bigrams AS (
+  SELECT a.term AS w1, b.term AS w2, COUNT(*) AS cnt
+  FROM postings a
+  JOIN postings b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+top_bigram AS (
+  SELECT w1, w2 FROM bigrams
+  ORDER BY cnt DESC, w1, w2 LIMIT 1
+),
+hits AS (
+  SELECT a.doc_id, a.pos
+  FROM postings a
+  JOIN top_bigram q ON a.term = q.w1
+  JOIN postings b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = q.w2
+)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(h.pos) AS first_pos,
+       q.w1 AS phrase_w1, q.w2 AS phrase_w2
+FROM hits h CROSS JOIN top_bigram q
+GROUP BY h.doc_id, q.w1, q.w2
+ORDER BY n_occurrences DESC, h.doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "q_search_phrase",
+    oracle=_QPHRASE_ORACLE,
+    description=(
+        "phrase search over a positional inverted index: most frequent "
+        "corpus bigram located via posting-list self-join on "
+        "(doc_id, pos+1), top matching docs"
+    ),
+    tags=("search", "text", "inverted-index", "join", "llm-pipeline"),
+)
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _postings(spark, sf_dir)
+    p2 = p.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("term").alias("term_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    bigrams = (
+        p.join(
+            p2,
+            (F.col("doc_id_b") == F.col("doc_id"))
+            & (F.col("pos_b") == F.col("pos") + 1),
+        )
+        .groupBy(F.col("term").alias("w1"), F.col("term_b").alias("w2"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    top_bigram = bigrams.orderBy(F.desc("cnt"), "w1", "w2").limit(1).select(
+        "w1", "w2"
+    )
+    # probe side: postings of w1, extended by the (doc, pos+1) join to w2
+    hits = (
+        p.join(F.broadcast(top_bigram), p.term == F.col("w1"))
+        .join(
+            p2,
+            (F.col("doc_id_b") == F.col("doc_id"))
+            & (F.col("pos_b") == F.col("pos") + 1)
+            & (F.col("term_b") == F.col("w2")),
+        )
+        .select("doc_id", "pos", "w1", "w2")
+    )
+    return (
+        hits.groupBy("doc_id", "w1", "w2")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("pos").alias("first_pos"),
+        )
+        .select(
+            "doc_id",
+            "n_occurrences",
+            "first_pos",
+            F.col("w1").alias("phrase_w1"),
+            F.col("w2").alias("phrase_w2"),
+        )
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+        .limit(20)
+    )
+
+
+_QBOOL_ORACLE = f"""
+WITH postings AS ({_POSTINGS_SQL}),
+freq AS (
+  SELECT term, COUNT(*) AS cnt
+  FROM postings GROUP BY term
+),
+top2 AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk
+  FROM freq QUALIFY rk <= 2
+),
+t1 AS (SELECT term FROM top2 WHERE rk = 1),
+t2 AS (SELECT term FROM top2 WHERE rk = 2),
+docs1 AS (SELECT DISTINCT doc_id FROM postings WHERE term IN (SELECT term FROM t1)),
+docs2 AS (SELECT DISTINCT doc_id FROM postings WHERE term IN (SELECT term FROM t2))
+SELECT d1.doc_id,
+       (SELECT term FROM t1) AS term_a,
+       (SELECT term FROM t2) AS term_b
+FROM docs1 d1
+WHERE d1.doc_id IN (SELECT doc_id FROM docs2)
+ORDER BY d1.doc_id
+LIMIT 50
+"""
+
+
+@register(
+    "q_search_boolean_and",
+    oracle=_QBOOL_ORACLE,
+    description=(
+        "boolean AND query: posting-list intersection (semi-join) of the "
+        "two most frequent corpus terms"
+    ),
+    tags=("search", "text", "inverted-index", "semi-join", "llm-pipeline"),
+)
+def q_search_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _postings(spark, sf_dir)
+    freq = p.groupBy("term").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "term")
+    top2 = freq.select("term", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= 2
+    )
+    t1 = top2.where(F.col("rk") == 1).select(F.col("term").alias("term_a"))
+    t2 = top2.where(F.col("rk") == 2).select(F.col("term").alias("term_b"))
+    docs1 = (
+        p.join(F.broadcast(t1), p.term == F.col("term_a"))
+        .select("doc_id", "term_a")
+        .distinct()
+    )
+    docs2 = (
+        p.join(F.broadcast(t2), p.term == F.col("term_b"))
+        .select("doc_id", "term_b")
+        .distinct()
+    )
+    return (
+        docs1.join(docs2, "doc_id")
+        .select("doc_id", "term_a", "term_b")
+        .orderBy("doc_id")
+        .limit(50)
+    )
