@@ -47,7 +47,9 @@ from . import (  # noqa: F401
     scalar3,
     scripting,
     setops,
+    conformal,
     featureeng,
+    logreg,
     search,
     skew,
     sketches,
