@@ -48,7 +48,9 @@ from . import (  # noqa: F401
     scripting,
     setops,
     conformal,
+    dataquality,
     featureeng,
+    sweepline,
     logreg,
     search,
     skew,

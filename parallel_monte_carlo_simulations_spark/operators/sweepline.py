@@ -1,0 +1,131 @@
+"""Interval analytics: concurrency via the sweep-line pattern.
+
+"How many sessions were active at once, and when was the peak?" is the
+canonical interval-overlap question (capacity planning, rate limiting,
+concurrency billing). The naive interval self-join is O(n^2); the
+sweep line is one sort: emit +1 at each interval start and -1 at each
+end, order by time, and the running sum IS the concurrency.
+
+Intervals here are per-event sessions [ts, ts + 10 min) over the events
+table (the same gap rule the sessionizer uses), merged per user first
+so a user's own overlapping windows don't double-count: the merge is
+itself a gaps-and-islands pass — a start strictly greater than the
+running max of prior ends (per user) opens a new island.
+
+Scale: both passes are window functions partitioned by user (parallel),
+and the final global running sum operates on island boundaries only
+(two rows per merged session). Peak-per-hour output keeps the result
+bounded. All arithmetic is exact integer microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+#: Session half-open interval length: 10 minutes in microseconds.
+SESSION_US = 600_000_000
+
+_QSWEEP_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + {SESSION_US} AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island, MIN(s) AS s, MAX(e) AS e
+  FROM islands GROUP BY user_id, island
+),
+pts AS (
+  SELECT s AS t, 1 AS delta FROM merged
+  UNION ALL
+  SELECT e AS t, -1 AS delta FROM merged
+),
+swept AS (
+  SELECT t,
+         SUM(delta) OVER (ORDER BY t, delta
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrency
+  FROM pts
+)
+SELECT CAST((t // 3600000000) AS BIGINT) AS hour_no,
+       CAST(MAX(concurrency) AS BIGINT) AS peak_concurrency
+FROM swept
+GROUP BY (t // 3600000000)
+ORDER BY hour_no
+"""
+
+
+@register(
+    "q_interval_concurrency",
+    oracle=_QSWEEP_ORACLE,
+    description=(
+        "sweep-line interval concurrency: per-user merged 10-min "
+        "sessions -> +1/-1 events -> running-sum peak per hour (no "
+        "interval self-join)"
+    ),
+    tags=("interval", "sweepline", "window", "timeseries", "analytics", "scale"),
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + SESSION_US).alias("e"),
+    )
+    w_prev = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = iv.withColumn("max_e_before", F.max("e").over(w_prev)).select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("max_e_before").isNull()
+            | (F.col("s") > F.col("max_e_before")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    pts = merged.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        merged.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    # Global running sum over island boundaries only — bounded input
+    # (2 rows per merged session), so the single-partition order is safe.
+    w_sweep = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = pts.withColumn("concurrency", F.sum("delta").over(w_sweep))
+    return (
+        swept.groupBy(
+            F.expr("t DIV 3600000000").alias("hour_no")
+        )
+        .agg(F.max("concurrency").alias("peak_concurrency"))
+        .orderBy("hour_no")
+    )
