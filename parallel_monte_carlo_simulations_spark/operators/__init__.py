@@ -47,8 +47,10 @@ from . import (  # noqa: F401
     scalar3,
     scripting,
     setops,
+    causal,
     conformal,
     dataquality,
+    seasonal,
     featureeng,
     sweepline,
     logreg,

@@ -266,3 +266,125 @@ def q_geo_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_points"), "z")
         .limit(25)
     )
+
+
+#: Coarser grid for the bounded-radius NN query (few suppliers -> larger
+#: cells so the 3x3 ring usually contains candidates).
+NN_CELL_MICRO = 250_000
+
+_SUPP_LAT = sql_hash60("'lat:' || CAST(s_suppkey AS VARCHAR)")
+_SUPP_LON = sql_hash60("'lon:' || CAST(s_suppkey AS VARCHAR)")
+
+_QNN_ORACLE = f"""
+WITH cust AS ({_POINTS_SQL}),
+supp AS (
+  SELECT s_suppkey AS sid,
+         {_SUPP_LAT} % {SPAN_MICRO} AS lat,
+         {_SUPP_LON} % {SPAN_MICRO} AS lon
+  FROM supplier
+),
+cust_cells AS (
+  SELECT pid, lat, lon,
+         lat // {NN_CELL_MICRO} AS cy, lon // {NN_CELL_MICRO} AS cx
+  FROM cust
+),
+supp_cells AS (
+  SELECT sid, lat, lon,
+         lat // {NN_CELL_MICRO} AS cy, lon // {NN_CELL_MICRO} AS cx
+  FROM supp
+),
+offsets AS (
+  SELECT dx, dy
+  FROM (VALUES (-1), (0), (1)) ox(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) oy(dy)
+),
+candidates AS (
+  SELECT c.pid, s.sid,
+         (c.lat - s.lat) * (c.lat - s.lat)
+           + (c.lon - s.lon) * (c.lon - s.lon) AS dist_sq
+  FROM cust_cells c
+  CROSS JOIN offsets o
+  JOIN supp_cells s
+    ON s.cx = c.cx + o.dx AND s.cy = c.cy + o.dy
+),
+best AS (
+  SELECT pid, sid, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist_sq, sid) AS rk
+  FROM candidates
+)
+SELECT pid, sid AS nn_suppkey, dist_sq
+FROM best WHERE rk = 1
+ORDER BY pid
+"""
+
+
+@register(
+    "q_geo_grid_knn",
+    oracle=_QNN_ORACLE,
+    description=(
+        "bounded-radius nearest neighbour: nearest supplier point to "
+        "each customer point within one grid ring (3x3 cells), cell "
+        "equi-join + per-point top-1 — the grid-KNN scale pattern"
+    ),
+    tags=("spatial", "knn", "join", "grid", "scale"),
+)
+def q_geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier within the 3x3 cell ring of each customer.
+
+    This is bounded-radius NN (points with an empty ring have no row) —
+    the honest distributed-KNN building block: global KNN at scale is
+    this query plus an expanding-ring retry for the residual points.
+    """
+    cust = _points(spark, sf_dir).select(
+        "pid",
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.expr(f"lat DIV {NN_CELL_MICRO}").alias("cy"),
+        F.expr(f"lon DIV {NN_CELL_MICRO}").alias("cx"),
+    )
+    s = table(spark, sf_dir, "supplier")
+    supp = s.select(
+        F.col("s_suppkey").alias("sid"),
+        (hash60(F.concat(F.lit("lat:"), F.col("s_suppkey").cast("string"))) % SPAN_MICRO).alias("lat_b"),
+        (hash60(F.concat(F.lit("lon:"), F.col("s_suppkey").cast("string"))) % SPAN_MICRO).alias("lon_b"),
+    ).select(
+        "sid",
+        "lat_b",
+        "lon_b",
+        F.expr(f"lat_b DIV {NN_CELL_MICRO}").alias("jy"),
+        F.expr(f"lon_b DIV {NN_CELL_MICRO}").alias("jx"),
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).cast("long").alias("dx"),
+                    F.lit(dy).cast("long").alias("dy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    probe = cust.select("*", offsets.alias("o")).select(
+        "pid",
+        "lat_a",
+        "lon_a",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    dist_sq = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    candidates = probe.join(F.broadcast(supp), on=["jx", "jy"]).select(
+        "pid", "sid", dist_sq.alias("dist_sq")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy("dist_sq", "sid")
+    return (
+        candidates.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("pid", F.col("sid").alias("nn_suppkey"), "dist_sq")
+        .orderBy("pid")
+    )
