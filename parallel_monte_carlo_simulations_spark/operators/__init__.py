@@ -23,8 +23,10 @@ from . import (  # noqa: F401
     complex_types,
     dpp,
     drift,
+    als,
     graph,
     graph2,
+    graph3,
     grouping,
     incremental,
     interp,

@@ -1,0 +1,154 @@
+"""k-core decomposition by iterative peeling (Batagelj-Zaversnik
+semantics, bounded-round distributed variant).
+
+The k-core is the maximal subgraph where every node has degree >= k —
+the standard graph-density filter (community seeding, spam filtering,
+graph sparsification). The distributed algorithm is iterative peeling:
+drop every node with degree < k, recompute degrees (edges to dropped
+nodes vanish), repeat. Each round is one aggregation + one semi-join —
+the same shuffle profile per round as connected components / PageRank.
+
+This query runs a FIXED 4 peeling rounds over the supplier-part
+bipartite graph (same edge derivation as ``q_graph_pagerank``,
+``operators/graph.py:50``) and reports the surviving node/edge counts
+per round — convergence is visible in the output (equal consecutive
+rows == fixpoint reached). Bounded rounds keep the plan a lazy unroll
+(the repo's graph-iteration discipline: no per-round checkpoint, AQE
+right-sizes each exchange) and make the computation exactly
+SQL-replayable: every count is an exact integer.
+
+Reference: the engine under re-implementation has no graph surface
+(331-LoC Beam wrapper); this extends the §2.B capability mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+N_ROUNDS = 4
+_PART_OFFSET = 1_000_000
+
+
+def _oracle() -> str:
+    # k is data-derived: the 60th-percentile initial degree (exact
+    # integer rank, rk = (n*6) DIV 10 clamped to >= 1), fixed for all
+    # rounds. On the bipartite supplier-part graph this lands between
+    # the part-degree and supplier-degree modes, so peeling removes the
+    # sparse parts and converges to a nontrivial dense core.
+    parts = [
+        f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p FROM lineitem
+),
+e0 AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL
+  SELECT p AS src, s AS dst FROM pairs
+),
+deg0 AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY src
+),
+ranked AS (
+  SELECT deg,
+         ROW_NUMBER() OVER (ORDER BY deg, src) AS rk,
+         COUNT(*) OVER () AS n0
+  FROM deg0
+),
+thresh AS (
+  SELECT deg AS k FROM ranked
+  WHERE rk = CASE WHEN (n0 * 6) // 10 < 1 THEN 1 ELSE (n0 * 6) // 10 END
+)"""
+    ]
+    for i in range(1, N_ROUNDS + 1):
+        parts.append(
+            f""",
+keep{i} AS (
+  SELECT src FROM e{i - 1} CROSS JOIN thresh
+  GROUP BY src, thresh.k
+  HAVING COUNT(*) >= MAX(thresh.k)
+),
+e{i} AS (
+  SELECT e.src, e.dst
+  FROM e{i - 1} e
+  WHERE e.src IN (SELECT src FROM keep{i})
+    AND e.dst IN (SELECT src FROM keep{i})
+)"""
+        )
+    rounds_union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS round, "
+        f"(SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e{i}) AS n_nodes, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS n_directed_edges"
+        for i in range(0, N_ROUNDS + 1)
+    )
+    parts.append(f"\n{rounds_union}\nORDER BY round")
+    return "".join(parts)
+
+
+_QKCORE_ORACLE = _oracle()
+
+
+@register(
+    "q_graph_kcore",
+    oracle=_QKCORE_ORACLE,
+    description=(
+        f"k-core decomposition (k = initial mean degree, {N_ROUNDS} "
+        "peeling rounds) of the supplier-part graph: per-round "
+        "surviving node/edge counts, fixpoint visible in the output"
+    ),
+    tags=("graph", "kcore", "iterative", "aggregate", "scale"),
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    pairs = l.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") + _PART_OFFSET).alias("p"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("p").alias("dst")
+    ).unionByName(pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+
+    from pyspark.sql import Window
+
+    deg0 = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranked = deg0.select(
+        "deg",
+        F.row_number().over(Window.orderBy("deg", "src")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n0"),
+    )
+    thresh = ranked.where(
+        F.col("rk")
+        == F.greatest(F.lit(1), F.expr("(n0 * 6) DIV 10"))
+    ).select(F.col("deg").alias("k"))
+
+    rounds = [edges]
+    for _ in range(N_ROUNDS):
+        e = rounds[-1]
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .crossJoin(F.broadcast(thresh))
+            .where(F.col("deg") >= F.col("k"))
+            .select("src")
+        )
+        nxt = (
+            e.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .select("src", "dst")
+        )
+        rounds.append(nxt)
+
+    summaries = None
+    for i, e in enumerate(rounds):
+        s = e.agg(
+            F.lit(i).alias("round"),
+            F.countDistinct("src").alias("n_nodes"),
+            F.count("*").alias("n_directed_edges"),
+        )
+        summaries = s if summaries is None else summaries.unionByName(s)
+    return summaries.orderBy("round")
