@@ -63,6 +63,9 @@ HEADLINE = [
     "q_sink_bucketed_join",
     "q_bloom_join_prune",
     "q_bpe_phrase_merges",
+    "q_geo_grid_proximity_join",
+    "q_recsys_als_rank1",
+    "q_search_phrase",
 ]
 
 
