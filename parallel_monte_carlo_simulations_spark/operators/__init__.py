@@ -38,6 +38,7 @@ from . import (  # noqa: F401
     mlstats,
     modernsql,
     profiling,
+    quadtree,
     pandas_api,
     recursive,
     relational,
