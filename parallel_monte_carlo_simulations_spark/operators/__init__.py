@@ -37,6 +37,7 @@ from . import (  # noqa: F401
     mleval,
     mlstats,
     modernsql,
+    privacy,
     profiling,
     quadtree,
     pandas_api,
