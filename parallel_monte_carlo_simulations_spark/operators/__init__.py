@@ -53,6 +53,7 @@ from . import (  # noqa: F401
     setops,
     causal,
     conformal,
+    crypto,
     dataquality,
     seasonal,
     featureeng,
