@@ -121,3 +121,174 @@ def q_causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did_estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (Deng et al. WSDM 2013): adjust the
+# experiment metric with pre-period covariates.
+# --------------------------------------------------------------------------
+
+_QCUPED_ORACLE = f"""
+WITH per_cust AS (
+  -- thousand-cent (10-dollar) units keep every squared-moment BIGINT
+  -- sum inside 2^63 at any SF
+  SELECT o_custkey AS cust,
+         CAST(SUM(CASE WHEN o_orderdate <  TIMESTAMP '{SPLIT_DATE}'
+                       THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) // 1000 AS pre_m,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{SPLIT_DATE}'
+                       THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) // 1000 AS post_m
+  FROM orders
+  GROUP BY o_custkey
+),
+-- exact integer moments of (pre, post) over all customers
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pre_m) AS BIGINT) AS sx,
+         CAST(SUM(post_m) AS BIGINT) AS sy,
+         CAST(SUM(pre_m * pre_m) AS BIGINT) AS sxx,
+         CAST(SUM(pre_m * post_m) AS BIGINT) AS sxy,
+         CAST(SUM(post_m * post_m) AS BIGINT) AS syy
+  FROM per_cust
+),
+-- theta = cov(pre, post) / var(pre): one mirrored double expression
+-- over exact integers (scale-invariant in cents).
+theta AS (
+  SELECT n, sx, sy,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS th
+  FROM mom
+),
+-- adjusted metric per customer, quantized before cross-row variance
+adj AS (
+  SELECT p.cust,
+         CAST(floor((CAST(p.post_m AS DOUBLE)
+                     - t.th * (CAST(p.pre_m AS DOUBLE)
+                               - CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                    * 10e0 + 0.5e0) AS BIGINT) AS y_adj_e1,
+         p.post_m * 10 AS y_raw_e1
+  FROM per_cust p CROSS JOIN theta t
+),
+var_cmp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y_raw_e1) AS BIGINT) AS sr,
+         CAST(SUM(y_raw_e1 * y_raw_e1) AS BIGINT) AS srr,
+         CAST(SUM(y_adj_e1) AS BIGINT) AS sa,
+         CAST(SUM(y_adj_e1 * y_adj_e1) AS BIGINT) AS saa
+  FROM adj
+)
+SELECT n,
+       ROUND((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+              - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e2), 2)
+         AS var_raw,
+       ROUND((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e2), 2)
+         AS var_cuped,
+       ROUND(1e0 - ((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                       - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))), 6)
+         AS variance_reduction
+FROM var_cmp
+"""
+
+
+@register(
+    "q_causal_cuped",
+    oracle=_QCUPED_ORACLE,
+    description=(
+        "CUPED variance reduction: theta = cov(pre,post)/var(pre) from "
+        "exact integer moments, quantized adjusted metric, measured "
+        "variance reduction vs the raw metric"
+    ),
+    tags=("causal", "ab-testing", "cuped", "statistics", "aggregate"),
+)
+def q_causal_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013): subtracting theta * (pre - mean(pre))
+    from the experiment metric removes the pre-period-explained variance
+    — the standard trick that shrinks A/B confidence intervals without
+    touching the estimand. theta and both variances come from exact
+    integer moment sums (one groupBy + one global agg); the adjusted
+    per-customer metric is floor-quantized at one decimal before the cross-row
+    variance so summation order is irrelevant. (On this synthetic data
+    pre/post spends are nearly independent, so the measured
+    reduction is honestly tiny — the estimator, not the dataset, is
+    what's under test.)"""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{SPLIT_DATE}' "
+            "THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END) "
+            "AS BIGINT) DIV 1000"
+        ).alias("pre_m"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{SPLIT_DATE}' "
+            "THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END) "
+            "AS BIGINT) DIV 1000"
+        ).alias("post_m"),
+    )
+    mom = per_cust.agg(
+        F.count("*").alias("n"),
+        F.sum("pre_m").alias("sx"),
+        F.sum("post_m").alias("sy"),
+        F.sum(F.col("pre_m") * F.col("pre_m")).alias("sxx"),
+        F.sum(F.col("pre_m") * F.col("post_m")).alias("sxy"),
+        F.sum(F.col("post_m") * F.col("post_m")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = mom.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / (d("n") * d("sxx") - d("sx") * d("sx"))
+        ).alias("th"),
+    )
+    adj = per_cust.crossJoin(F.broadcast(theta)).select(
+        F.floor(
+            (
+                d("post_m")
+                - F.col("th") * (d("pre_m") - d("sx") / d("n"))
+            )
+            * F.lit(10.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("y_adj_e1"),
+        (F.col("post_m") * 10).alias("y_raw_e1"),
+    )
+    var_cmp = adj.agg(
+        F.count("*").alias("n"),
+        F.sum("y_raw_e1").alias("sr"),
+        F.sum(F.col("y_raw_e1") * F.col("y_raw_e1")).alias("srr"),
+        F.sum("y_adj_e1").alias("sa"),
+        F.sum(F.col("y_adj_e1") * F.col("y_adj_e1")).alias("saa"),
+    )
+    return var_cmp.select(
+        "n",
+        F.round(
+            (d("n") * d("srr") - d("sr") * d("sr"))
+            / (d("n") * d("n") * F.lit(1e2)),
+            2,
+        ).alias("var_raw"),
+        F.round(
+            (d("n") * d("saa") - d("sa") * d("sa"))
+            / (d("n") * d("n") * F.lit(1e2)),
+            2,
+        ).alias("var_cuped"),
+        F.round(
+            F.lit(1.0)
+            - (
+                (d("n") * d("saa") - d("sa") * d("sa"))
+                / (d("n") * d("srr") - d("sr") * d("sr"))
+            ),
+            6,
+        ).alias("variance_reduction"),
+    )
