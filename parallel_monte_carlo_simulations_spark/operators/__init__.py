@@ -19,6 +19,7 @@ judge can map SURVEY.md §2's inventory line-by-line:
 from . import (  # noqa: F401
     basket,
     binned,
+    bitemporal,
     bloom,
     complex_types,
     dpp,
