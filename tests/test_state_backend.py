@@ -1,0 +1,94 @@
+"""Production state-backend and observability surface.
+
+- RocksDB state store: the provider a 100 TB streaming deployment runs
+  (bounded executor memory, incremental checkpointing). The streaming
+  aggregation must produce identical results under
+  RocksDBStateStoreProvider and the default HDFS-backed provider.
+- df.observe(): Spark's zero-extra-pass metric collection — the
+  numbers it reports must equal a direct aggregation.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+SF = "/root/testdata/sf0.01"
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def _run_stream_counts(spark, provider: str | None):
+    from parallel_monte_carlo_simulations_spark.streaming.confscope import (
+        state_partitions_scope,
+    )
+    from parallel_monte_carlo_simulations_spark.streaming.runtime import (
+        read_events_stream,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    if provider:
+        spark.conf.set(key, provider)
+    try:
+        stream = read_events_stream(spark, SF).select("user_id", "value")
+        agg = stream.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        sink = f"mem_backend_{uuid.uuid4().hex[:12]}"
+        with state_partitions_scope(spark), tempfile.TemporaryDirectory() as ck:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.table(sink).collect()
+        }
+    finally:
+        if provider:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    default_res = _run_stream_counts(spark, None)
+    rocks_res = _run_stream_counts(spark, _ROCKSDB)
+    assert len(default_res) > 0
+    assert rocks_res == default_res
+
+
+def test_observe_metrics_match_direct_aggregation(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    obs = Observation("orders_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderdate").alias("min_date"),
+    )
+    # any action materializes the metrics alongside the job
+    n_out = observed.where(F.col("o_totalprice") > 0).count()
+    got = obs.get
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderdate").alias("min_date"),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n_rows"] == n_out
+    assert got["sum_price"] == direct["sum_price"]
+    assert got["min_date"] == direct["min_date"]
