@@ -206,3 +206,69 @@ def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").alias("n_orders_total"),
     )
     return merged
+
+
+# --------------------------------------------------------------------------
+# Polymorphic UDTF (Spark 4): the output schema is COMPUTED by analyze()
+# from a constant argument — the table-function counterpart of generics.
+# --------------------------------------------------------------------------
+
+_QUDTF_POLY_ORACLE = """
+SELECT doc_id,
+       toks[1] AS c0,
+       toks[2] AS c1,
+       toks[3] AS c2
+FROM (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 20
+)
+"""
+
+
+@register(
+    "q_udtf_polymorphic",
+    oracle=_QUDTF_POLY_ORACLE,
+    description=(
+        "polymorphic Python UDTF: analyze() derives the output schema "
+        "(c0..c{n-1}) from a constant argument at plan time — Spark 4 "
+        "dynamic table-function typing"
+    ),
+    tags=("udf", "udtf", "polymorphic", "spark4"),
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        """First-n tokens as n typed columns; n fixes the schema."""
+
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            assert n.isConstantExpression, "n must be a literal"
+            width = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"c{i}", StringType())
+                        for i in range(width)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")[:n]
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("split_fixed", SplitFixed)
+    table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_udtf_poly"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.c0, t.c1, t.c2
+        FROM documents_udtf_poly d, LATERAL split_fixed(d.text, 3) t
+        WHERE d.doc_id < 20
+        """
+    )
