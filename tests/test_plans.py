@@ -371,3 +371,29 @@ def test_spatial_grid_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_plan_audit_api(spark):
+    """plans.audit: typed scale-property extraction + the safety gate."""
+    from parallel_monte_carlo_simulations_spark.plans import (
+        ScaleSafetyError,
+        assert_scale_safe,
+        audit,
+    )
+
+    df = SPECS["q05_revenue_by_nation"].fn(spark, SF)
+    df.collect()  # finalize THIS df's AQE plan (count() builds its own)
+    a = audit(df)
+    assert a.n_broadcast_hash_joins >= 1
+    assert not a.has_cartesian
+    assert a.n_codegen_spans >= 1
+    assert a.join_count >= 2
+
+    # the safety gate passes a well-shaped star join...
+    assert_scale_safe(SPECS["q05_revenue_by_nation"].fn(spark, SF))
+    # ...and rejects a genuine cartesian product
+    import pytest as _pytest
+
+    bad = spark.range(10).crossJoin(spark.range(10).selectExpr("id AS id2"))
+    with _pytest.raises(ScaleSafetyError):
+        assert_scale_safe(bad)
