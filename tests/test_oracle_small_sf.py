@@ -37,6 +37,15 @@ REPRESENTATIVE = [
     "q_graph_triangles",
     "q_dataset_split",
     "q_contamination_check",
+    # round-5 families
+    "q_geo_grid_proximity_join",
+    "q_survival_kaplan_meier",
+    "q_ml_logistic_irls",
+    "q_pipeline_pretraining_shards",
+    "q_interval_concurrency",
+    "q_skyline_pareto_front",
+    "q_graph_kcore",
+    "q_bitemporal_asof",
 ]
 
 
