@@ -53,6 +53,7 @@ from . import (  # noqa: F401
     scripting,
     setops,
     causal,
+    collation,
     conformal,
     crypto,
     dataquality,
