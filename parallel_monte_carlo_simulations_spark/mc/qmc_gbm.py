@@ -231,3 +231,48 @@ q_mc_gbm_qmc_importance = _register_twin(
     "closed-form likelihood-ratio weights, exactly oracled",
     ("mc", "qmc", "gbm", "variance_reduction", "importance_sampling", "deterministic"),
 )
+
+
+def _greeks_body() -> str:
+    # Pathwise (infinitesimal-perturbation) Greeks on the discretized
+    # path: every per-stratum term is a closed-form literal.
+    #   delta = disc * E[ 1{S_T > K} * S_T / S0 ]          (dS_T/dS0 = S_T/S0)
+    #   vega  = disc * E[ 1{S_T > K} * S_T * (sqrt(T) z - sigma T) ]
+    # with z the stratum conditional mean. Both are unbiased pathwise
+    # estimators for the call (payoff kink has measure zero).
+    sqrt_t = math.sqrt(T)
+    spots = [S0 * math.exp(_DRIFT + _VOL * q) for q in _Q]
+    delta_vals = [
+        _DISC * (s / S0) if s > STRIKE else 0.0 for s in spots
+    ]
+    vega_vals = [
+        _DISC * s * (sqrt_t * q - SIGMA * T) if s > STRIKE else 0.0
+        for s, q in zip(spots, _Q)
+    ]
+    dx = _case_over_k(delta_vals)
+    vx = _case_over_k(vega_vals)
+    mean_d, err_d = _mean_stderr("sx", "sx2", "n")
+    mean_v, err_v = _mean_stderr("sv", "sv2", "n")
+    extra = (
+        f", {_quant(f'SUM({vx})')} AS sv, "
+        f"{_quant(f'SUM(({vx}) * ({vx}))')} AS sv2"
+    )
+    return (
+        f"WITH {_paths_cte()},\n"
+        f"{_moments_cte(dx, 'ks', extra)}\n"
+        f"SELECT CAST(n AS BIGINT) AS n_paths, "
+        f"{_quant(mean_d, 10_000)} AS delta, "
+        f"{_quant(err_d, 10_000)} AS delta_se, "
+        f"{_quant(mean_v, 10_000)} AS vega, "
+        f"{_quant(err_v, 10_000)} AS vega_se FROM m"
+    )
+
+
+q_mc_gbm_qmc_greeks = _register_twin(
+    "q_mc_gbm_qmc_greeks",
+    _greeks_body(),
+    "pathwise Greeks on the stratified-QMC GBM terminal: delta "
+    "(1{ITM} S_T/S0) and vega (1{ITM} S_T (sqrt(T)z - sigma T)), "
+    "exactly oracled",
+    ("mc", "qmc", "gbm", "greeks", "finance", "deterministic"),
+)
