@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     complex_types,
     dpp,
     drift,
+    allocation,
     als,
     graph,
     graph2,
