@@ -124,7 +124,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         == F.greatest(F.lit(1), F.expr("(n0 * 6) DIV 10"))
     ).select(F.col("deg").alias("k"))
 
-    rounds = [edges]
+    # Persist each round's edge set (the graph-iteration discipline of
+    # operators/graph.py): each round references its predecessor three
+    # times (degree agg + two semi-joins), so an unpersisted lineage
+    # recomputes exponentially — measured 77 s vs ~8 s at sf0.001.
+    rounds = [edges.persist()]
     for _ in range(N_ROUNDS):
         e = rounds[-1]
         keep = (
@@ -140,6 +144,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 keep.select(F.col("src").alias("dst")), "dst", "left_semi"
             )
             .select("src", "dst")
+            .persist()
         )
         rounds.append(nxt)
 
