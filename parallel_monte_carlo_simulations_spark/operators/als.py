@@ -113,6 +113,10 @@ def q_recsys_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("item_id"),
         )
         .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("r"))
+        # referenced by v1, u1, v2, AND the final scoring join — persist
+        # once instead of recomputing the fact join 4x (measured 2.0 s ->
+        # 1.5 s steady-state at sf0.1, same JVM)
+        .persist()
     )
 
     def _quant(col):
@@ -138,6 +142,8 @@ def q_recsys_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("u")
         )
+        # u1 feeds both v2 and the final join
+        .persist()
     )
     v2 = (
         ratings.join(u1, "user_id")
