@@ -45,6 +45,7 @@ from . import (  # noqa: F401
     pandas_api,
     recursive,
     relational,
+    robustreg,
     reshape,
     safety,
     sampling2,
