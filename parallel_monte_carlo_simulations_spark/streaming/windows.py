@@ -171,3 +171,75 @@ def q_stream_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic-gap session windows: the gap is an EXPRESSION (per-event), not
+# a constant — Spark's session_window(ts, gap_col) form. Error events
+# close sessions fast (5 min), others linger (15 min).
+# --------------------------------------------------------------------------
+
+_QSESSION_DYN_ORACLE = """
+WITH iv AS (
+  SELECT user_id, ts, value,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CASE WHEN event_type = 'error'
+                             THEN 300000000 ELSE 900000000 END AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, value, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id,
+       strftime(to_timestamp(CAST(MIN(s) AS DOUBLE) / 1000000.0e0),
+                '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(to_timestamp(CAST(MAX(e) AS DOUBLE) / 1000000.0e0),
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM islands
+GROUP BY user_id, island
+"""
+
+
+@register(
+    "q_stream_session_dynamic_gap",
+    oracle=_QSESSION_DYN_ORACLE,
+    description=(
+        "dynamic-gap session windows: per-event gap expression (5 min "
+        "for errors, 15 min otherwise) vs a per-row-deadline "
+        "gaps-and-islands oracle"
+    ),
+    tags=("streaming", "window", "session", "dynamic-gap"),
+)
+def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("5 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), _FMT).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
