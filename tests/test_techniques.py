@@ -236,3 +236,23 @@ def test_sweepline_matches_pointwise_overlap_probe():
     assert set(reported) == set(probe_peak)
     for h, peak in probe_peak.items():
         assert reported[h] == peak, (h, reported[h], peak)
+
+
+def test_boosting_mae_non_increasing():
+    """Each boosting round must not worsen training MAE, and the stump
+    must produce a genuine partition (0 < n_left < n_total)."""
+    from parallel_monte_carlo_simulations_spark.operators.boosting import (
+        _ORACLE as BOOST_ORACLE,
+    )
+
+    con = duckdb_connection(SF)
+    try:
+        rows = con.execute(BOOST_ORACLE).fetchall()
+        n_total, = con.execute("SELECT COUNT(*) FROM lineitem").fetchone()
+    finally:
+        con.close()
+    assert len(rows) == 2
+    (r1, t1, nl1, _ll1, _lr1, mae1), (r2, t2, nl2, _ll2, _lr2, mae2) = rows
+    assert (r1, r2) == (1, 2)
+    assert 0 < nl1 < n_total and 0 < nl2 < n_total
+    assert mae2 <= mae1 + 1e-9
