@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash60, sql_hash60
 from ..registry import register
 from ..tables import table
 
@@ -168,3 +169,165 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         survival.alias("survival"),
     ).orderBy("t")
+
+
+# --------------------------------------------------------------------------
+# Log-rank test: do two cohorts share a survival curve? (Mantel 1966)
+# --------------------------------------------------------------------------
+
+_GRP_HASH_SQL = sql_hash60("'lrk:' || CAST(user_id AS VARCHAR)")
+
+_QLOGRANK_ORACLE = f"""
+WITH subjects AS (
+  SELECT user_id,
+         {_GRP_HASH_SQL} % 2 AS grp,
+         MIN(ts) AS start_ts,
+         MIN(CASE WHEN value > {EVENT_VALUE_THRESHOLD} THEN ts END) AS event_ts,
+         MAX(ts) AS last_ts
+  FROM events
+  GROUP BY user_id
+),
+durations AS (
+  SELECT grp,
+         CASE WHEN event_ts IS NOT NULL
+              THEN datediff('day', start_ts, event_ts)
+              ELSE datediff('day', start_ts, last_ts) END AS t,
+         CASE WHEN event_ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM subjects
+),
+risk AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN grp = 0 THEN observed ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN grp = 1 THEN observed ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM durations GROUP BY t
+),
+atrisk AS (
+  SELECT t, d1, d2,
+         CAST(SUM(c1) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n2
+  FROM risk
+),
+terms AS (
+  SELECT t, d1, d2, n1, n2, (n1 + n2) AS n, (d1 + d2) AS d,
+         CAST(ROUND(CAST((d1 + d2) * n1 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE), 9) AS DECIMAL(18,9)) AS e1,
+         CASE WHEN (n1 + n2) > 1 THEN
+           CAST(ROUND(CAST((d1 + d2) * n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * CAST((n1 + n2) - (d1 + d2) AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                         * CAST((n1 + n2) - 1 AS DOUBLE)), 9)
+                AS DECIMAL(18,9))
+         ELSE CAST(0 AS DECIMAL(18,9)) END AS v1
+  FROM atrisk
+  WHERE (d1 + d2) > 0
+),
+agg AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(e1) AS DOUBLE) AS e1,
+         CAST(SUM(v1) AS DOUBLE) AS v1
+  FROM terms
+)
+SELECT o1,
+       ROUND(e1, 4) AS e1,
+       ROUND((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v1, 4)
+         AS chi2
+FROM agg
+"""
+
+
+@register(
+    "q_survival_logrank",
+    oracle=_QLOGRANK_ORACLE,
+    description=(
+        "log-rank test between two hash-split user cohorts: exact "
+        "integer risk tables, quantized hypergeometric E/V terms, "
+        "chi-square statistic"
+    ),
+    tags=("survival", "statistics", "logrank", "ab-testing", "window"),
+)
+def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel log-rank: at each event time, the observed group-0
+    events d1 vs their hypergeometric expectation d*n1/n, variance
+    d*n1*n2*(n-d)/(n^2*(n-1)); chi2 = (O-E)^2/V. Term-quantized to
+    DECIMAL(18,9) before the cross-time sums so both engines agree
+    bit-for-bit."""
+    e = table(spark, sf_dir, "events")
+    subjects = e.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.min(
+            F.when(F.col("value") > EVENT_VALUE_THRESHOLD, F.col("ts"))
+        ).alias("event_ts"),
+        F.max("ts").alias("last_ts"),
+    ).select(
+        (
+            hash60(F.concat(F.lit("lrk:"), F.col("user_id").cast("string")))
+            % 2
+        ).alias("grp"),
+        "start_ts",
+        "event_ts",
+        "last_ts",
+    )
+    durations = subjects.select(
+        "grp",
+        F.when(
+            F.col("event_ts").isNotNull(), F.datediff("event_ts", "start_ts")
+        )
+        .otherwise(F.datediff("last_ts", "start_ts"))
+        .alias("t"),
+        F.when(F.col("event_ts").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("observed"),
+    )
+    risk = durations.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("observed")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("observed")).otherwise(0)).alias("d2"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    atrisk = risk.select(
+        "t",
+        "d1",
+        "d2",
+        F.sum("c1").over(w_desc).alias("n1"),
+        F.sum("c2").over(w_desc).alias("n2"),
+    )
+    d = F.col("d1") + F.col("d2")
+    n = F.col("n1") + F.col("n2")
+    e1 = F.round(
+        (d * F.col("n1")).cast("double") / n.cast("double"), 9
+    ).cast("decimal(18,9)")
+    v1 = F.when(
+        n > 1,
+        F.round(
+            (d * F.col("n1")).cast("double")
+            * F.col("n2").cast("double")
+            * (n - d).cast("double")
+            / (n.cast("double") * n.cast("double") * (n - 1).cast("double")),
+            9,
+        ).cast("decimal(18,9)"),
+    ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    terms = atrisk.where(d > 0).select(
+        F.col("d1"), e1.alias("e1"), v1.alias("v1")
+    )
+    agg = terms.agg(
+        F.sum("d1").alias("o1"),
+        F.sum("e1").cast("double").alias("e1"),
+        F.sum("v1").cast("double").alias("v1"),
+    )
+    return agg.select(
+        "o1",
+        F.round("e1", 4).alias("e1"),
+        F.round(
+            (F.col("o1").cast("double") - F.col("e1"))
+            * (F.col("o1").cast("double") - F.col("e1"))
+            / F.col("v1"),
+            4,
+        ).alias("chi2"),
+    )
