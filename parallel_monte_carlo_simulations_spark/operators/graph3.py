@@ -95,9 +95,10 @@ _QKCORE_ORACLE = _oracle()
     "q_graph_kcore",
     oracle=_QKCORE_ORACLE,
     description=(
-        f"k-core decomposition (k = initial mean degree, {N_ROUNDS} "
-        "peeling rounds) of the supplier-part graph: per-round "
-        "surviving node/edge counts, fixpoint visible in the output"
+        f"k-core decomposition (k = 60th-percentile initial degree, "
+        f"{N_ROUNDS} peeling rounds) of the supplier-part graph: "
+        "per-round surviving node/edge counts, fixpoint visible in the "
+        "output"
     ),
     tags=("graph", "kcore", "iterative", "aggregate", "scale"),
 )
