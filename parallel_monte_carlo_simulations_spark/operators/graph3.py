@@ -12,9 +12,9 @@ This query runs a FIXED 4 peeling rounds over the supplier-part
 bipartite graph (same edge derivation as ``q_graph_pagerank``,
 ``operators/graph.py:50``) and reports the surviving node/edge counts
 per round — convergence is visible in the output (equal consecutive
-rows == fixpoint reached). Bounded rounds keep the plan a lazy unroll
-(the repo's graph-iteration discipline: no per-round checkpoint, AQE
-right-sizes each exchange) and make the computation exactly
+rows == fixpoint reached). The edge set is persisted once and each
+round shrinks only a broadcastable alive-node set (per-round state
+O(V), see the inline note), and the computation is exactly
 SQL-replayable: every count is an exact integer.
 
 Reference: the engine under re-implementation has no graph surface
