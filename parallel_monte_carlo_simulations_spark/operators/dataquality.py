@@ -213,3 +213,103 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fail"))
         .alias("status"),
     ).orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# Financial reconciliation: header totals vs line-level recomputation.
+# --------------------------------------------------------------------------
+
+_QRECON_ORACLE = """
+WITH lines AS (
+  SELECT l_orderkey AS okey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS line_cents
+  FROM lineitem
+  GROUP BY l_orderkey
+),
+recon AS (
+  SELECT o.o_orderkey,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS header_cents,
+         COALESCE(l.line_cents, 0) AS line_cents
+  FROM orders o LEFT JOIN lines l ON l.okey = o.o_orderkey
+),
+scored AS (
+  SELECT *,
+         ABS(header_cents - line_cents) AS delta_cents,
+         CASE WHEN line_cents = 0 THEN 'no_lines'
+              WHEN ABS(header_cents - line_cents) * 100
+                     <= header_cents THEN 'within_1pct'
+              ELSE 'mismatch' END AS bucket
+  FROM recon
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(delta_cents) AS DOUBLE) / 100.0e0, 2)
+         AS total_abs_delta,
+       ROUND(CAST(MAX(delta_cents) AS DOUBLE) / 100.0e0, 2) AS max_abs_delta
+FROM scored
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "q_dq_reconciliation",
+    oracle=_QRECON_ORACLE,
+    description=(
+        "financial reconciliation audit: order header totals vs "
+        "line-level recomputation (sum of discounted extended prices), "
+        "bucketed by within-1%/mismatch/no-lines — exact cent deltas"
+    ),
+    tags=("data-quality", "reconciliation", "audit", "join", "aggregate"),
+)
+def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The double-entry check every billing warehouse runs nightly: the
+    denormalized header amount must re-derive from its lines. Exact
+    cent-integer arithmetic; the integer cross-multiplied 1% band
+    (delta*100 <= header) avoids float rates. One groupBy on the order
+    key + one broadcast-free equi-join keyed the same way."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    lines = l.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        ).alias("line_cents")
+    )
+    recon = o.join(lines, o.o_orderkey == F.col("okey"), "left").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "header_cents"
+        ),
+        F.coalesce(F.col("line_cents"), F.lit(0)).alias("line_cents"),
+    )
+    scored = recon.select(
+        "*",
+        F.abs(F.col("header_cents") - F.col("line_cents")).alias(
+            "delta_cents"
+        ),
+    ).select(
+        "*",
+        F.when(F.col("line_cents") == 0, F.lit("no_lines"))
+        .when(
+            F.col("delta_cents") * 100 <= F.col("header_cents"),
+            F.lit("within_1pct"),
+        )
+        .otherwise(F.lit("mismatch"))
+        .alias("bucket"),
+    )
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum("delta_cents").cast("double") / F.lit(100.0), 2
+            ).alias("total_abs_delta"),
+            F.round(
+                F.max("delta_cents").cast("double") / F.lit(100.0), 2
+            ).alias("max_abs_delta"),
+        )
+        .orderBy("bucket")
+    )

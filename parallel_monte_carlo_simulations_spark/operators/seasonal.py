@@ -134,3 +134,90 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("weekday", "n_weeks", "seasonal_dev", "mean_seasonal")
         .orderBy("weekday")
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast evaluation: seasonal-naive vs naive baselines, exact
+# integer error arithmetic (MAE / MASE).
+# --------------------------------------------------------------------------
+
+_QFCEVAL_ORACLE = f"""
+WITH daily AS (
+  SELECT datediff('day', TIMESTAMP '{ANCHOR}', o_orderdate) AS day_no,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  GROUP BY day_no
+),
+lagged AS (
+  SELECT day_no, cents,
+         LAG(cents, 1) OVER (ORDER BY day_no) AS naive_prev,
+         LAG(cents, 7) OVER (ORDER BY day_no) AS snaive_prev
+  FROM daily
+),
+scored AS (
+  SELECT day_no, cents,
+         ABS(cents - naive_prev) AS e_naive,
+         ABS(cents - snaive_prev) AS e_snaive
+  FROM lagged
+  WHERE naive_prev IS NOT NULL AND snaive_prev IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(e_naive) AS DOUBLE) / (100.0e0 * COUNT(*)), 2)
+         AS mae_naive,
+       ROUND(CAST(SUM(e_snaive) AS DOUBLE) / (100.0e0 * COUNT(*)), 2)
+         AS mae_seasonal_naive,
+       ROUND(CAST(SUM(e_snaive) AS DOUBLE) / CAST(SUM(e_naive) AS DOUBLE), 6)
+         AS mase
+FROM scored
+"""
+
+
+@register(
+    "q_ts_forecast_eval",
+    oracle=_QFCEVAL_ORACLE,
+    description=(
+        "forecast-accuracy evaluation: seasonal-naive (t-7) vs naive "
+        "(t-1) daily-revenue baselines — exact integer MAE and the MASE "
+        "ratio (< 1 means weekly seasonality carries signal)"
+    ),
+    tags=("timeseries", "forecasting", "evaluation", "window", "mase"),
+)
+def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(ANCHOR).cast("timestamp")).alias(
+            "day_no"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("day_no")
+    lagged = daily.select(
+        "day_no",
+        "cents",
+        F.lag("cents", 1).over(w).alias("naive_prev"),
+        F.lag("cents", 7).over(w).alias("snaive_prev"),
+    )
+    scored = lagged.where(
+        F.col("naive_prev").isNotNull() & F.col("snaive_prev").isNotNull()
+    ).select(
+        F.abs(F.col("cents") - F.col("naive_prev")).alias("e_naive"),
+        F.abs(F.col("cents") - F.col("snaive_prev")).alias("e_snaive"),
+    )
+    return scored.agg(
+        F.count("*").alias("n_days"),
+        F.round(
+            F.sum("e_naive").cast("double") / (F.lit(100.0) * F.count("*")), 2
+        ).alias("mae_naive"),
+        F.round(
+            F.sum("e_snaive").cast("double") / (F.lit(100.0) * F.count("*")),
+            2,
+        ).alias("mae_seasonal_naive"),
+        F.round(
+            F.sum("e_snaive").cast("double") / F.sum("e_naive").cast("double"),
+            6,
+        ).alias("mase"),
+    )
