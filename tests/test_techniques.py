@@ -256,3 +256,23 @@ def test_boosting_mae_non_increasing():
     assert (r1, r2) == (1, 2)
     assert 0 < nl1 < n_total and 0 < nl2 < n_total
     assert mae2 <= mae1 + 1e-9
+
+
+def test_neyman_allocation_properties():
+    """Largest-remainder apportionment must (a) sum exactly to the
+    budget, (b) respect weight order within one unit (no Alabama-style
+    inversion beyond the +1 remainder grant)."""
+    from parallel_monte_carlo_simulations_spark.operators.allocation import (
+        BUDGET,
+        _QNEYMAN_ORACLE,
+    )
+
+    con = duckdb_connection(SF)
+    try:
+        rows = con.execute(_QNEYMAN_ORACLE).fetchall()
+    finally:
+        con.close()
+    assert sum(r[3] for r in rows) == BUDGET
+    weighted = sorted(rows, key=lambda r: r[1] * r[2], reverse=True)
+    for (hi, lo) in zip(weighted, weighted[1:]):
+        assert hi[3] >= lo[3] - 1, (hi, lo)
