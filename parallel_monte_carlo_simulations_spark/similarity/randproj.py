@@ -1,0 +1,223 @@
+"""Johnson-Lindenstrauss random projection — dimensionality reduction
+with measured distance preservation, exactly oracled.
+
+The JL lemma says a random +-1 projection to k dimensions preserves
+pairwise distances within (1 +- eps) with high probability — the
+workhorse trick for shrinking embedding tables before ANN indexing
+(Achlioptas 2003 database-friendly variant). This query:
+
+1. projects every embedding to K=16 dims with a DETERMINISTIC +-1
+   matrix (sign = portable md5 hash of (k, dim) — no RNG state, the
+   repo's hash-derived-randomness discipline);
+2. verifies the lemma on data: for hash-sampled vector pairs, the
+   ratio ||p(a)-p(b)||^2 * (d/k) / ||a-b||^2 is reported — clustering
+   near 1.0 IS the JL guarantee, measured not assumed.
+
+Exactness: each projection term sign(k,dim) * v[dim] is quantized to
+DECIMAL(18,9) before the per-(vector,k) sum, so projections are
+order-independent exact decimals; squared distances divide exact
+decimals cast to double (IEEE-identical), rounded once.
+
+Scale: the projection is a posexplode + groupBy((vec, k)) — a skinny
+shuffle of n_vectors x d rows, map-side combinable; K controls the
+output width. The verification joins a bounded hash-sampled pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, sql_hash60
+from ..registry import register
+from ..tables import table
+
+K_DIMS = 16
+#: pair sample: vec pairs whose combined hash lands below this per-mille.
+PAIR_PERMILLE = 2
+
+_SIGN_SQL = (
+    "CASE WHEN "
+    + sql_hash60("'jl:' || CAST(k AS VARCHAR) || ':' || CAST(dim AS VARCHAR)")
+    + " % 2 = 0 THEN 1 ELSE -1 END"
+)
+_PAIR_HASH = sql_hash60(
+    "'jlpair:' || CAST(a.vec_id AS VARCHAR) || ':' || CAST(b.vec_id AS VARCHAR)"
+)
+
+_QJL_ORACLE = f"""
+WITH dims AS (
+  SELECT e.vec_id, i.i AS dim,
+         CAST(e.embedding[i.i + 1] AS DOUBLE) AS v,
+         len(e.embedding) AS d
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(0, len(e.embedding))) AS i) i
+),
+proj AS (
+  SELECT vec_id, ks.k,
+         CAST(SUM(CAST(ROUND(({_SIGN_SQL}) * v, 9) AS DECIMAL(18,9)))
+              AS DOUBLE) AS p,
+         MAX(d) AS d
+  FROM dims CROSS JOIN (SELECT unnest(range(0, {K_DIMS})) AS k) ks
+  GROUP BY vec_id, ks.k
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_PAIR_HASH} % 1000 < {PAIR_PERMILLE}
+),
+orig AS (
+  SELECT p.va, p.vb,
+         CAST(SUM(CAST(ROUND((da.v - db.v) * (da.v - db.v), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS dist2
+  FROM pairs p
+  JOIN dims da ON da.vec_id = p.va
+  JOIN dims db ON db.vec_id = p.vb AND db.dim = da.dim
+  GROUP BY p.va, p.vb
+),
+projected AS (
+  SELECT p.va, p.vb,
+         CAST(SUM(CAST(ROUND((pa.p - pb.p) * (pa.p - pb.p), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS pdist2
+  FROM pairs p
+  JOIN proj pa ON pa.vec_id = p.va
+  JOIN proj pb ON pb.vec_id = p.vb AND pb.k = pa.k
+  GROUP BY p.va, p.vb
+)
+SELECT o.va AS vec_a, o.vb AS vec_b,
+       ROUND(o.dist2, 6) AS dist2,
+       ROUND(pr.pdist2 / {K_DIMS}.0e0, 6) AS proj_dist2_scaled,
+       ROUND((pr.pdist2 / {K_DIMS}.0e0) / o.dist2, 4) AS jl_ratio
+FROM orig o JOIN projected pr ON pr.va = o.va AND pr.vb = o.vb
+WHERE o.dist2 > 0
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "q_embedding_random_projection",
+    oracle=_QJL_ORACLE,
+    description=(
+        f"Johnson-Lindenstrauss +-1 projection to {K_DIMS} dims with "
+        "measured distance preservation on hash-sampled pairs "
+        "(jl_ratio ~ 1.0) — deterministic hash-sign matrix, quantized "
+        "projection terms"
+    ),
+    tags=("similarity", "embedding", "jl", "projection", "llm-pipeline"),
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim", "v0"),
+    ).select(
+        "vec_id", "dim", F.col("v0").cast("double").alias("v")
+    )
+    ks = spark.range(K_DIMS).select(F.col("id").alias("k"))
+    sign = F.when(
+        hash60(
+            F.concat(
+                F.lit("jl:"),
+                F.col("k").cast("string"),
+                F.lit(":"),
+                F.col("dim").cast("string"),
+            )
+        )
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    proj = (
+        dims.crossJoin(F.broadcast(ks))
+        .select(
+            "vec_id",
+            "k",
+            F.round(sign * F.col("v"), 9).cast("decimal(18,9)").alias("t"),
+        )
+        .groupBy("vec_id", "k")
+        .agg(F.sum("t").cast("double").alias("p"))
+    )
+    a = e.select(F.col("vec_id").alias("va"))
+    b = e.select(F.col("vec_id").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("va") < F.col("vb"))
+        .where(
+            hash60(
+                F.concat(
+                    F.lit("jlpair:"),
+                    F.col("va").cast("string"),
+                    F.lit(":"),
+                    F.col("vb").cast("string"),
+                )
+            )
+            % 1000
+            < PAIR_PERMILLE
+        )
+    )
+    da = dims.select(
+        F.col("vec_id").alias("va"), "dim", F.col("v").alias("v_a")
+    )
+    db = dims.select(
+        F.col("vec_id").alias("vb_d"),
+        F.col("dim").alias("dim_b"),
+        F.col("v").alias("v_b"),
+    )
+    orig = (
+        pairs.join(da, "va")
+        .join(
+            db,
+            (F.col("vb") == F.col("vb_d")) & (F.col("dim") == F.col("dim_b")),
+        )
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("v_a") - F.col("v_b"))
+                    * (F.col("v_a") - F.col("v_b")),
+                    9,
+                ).cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("dist2")
+        )
+    )
+    pa = proj.select(F.col("vec_id").alias("va"), "k", F.col("p").alias("p_a"))
+    pb = proj.select(
+        F.col("vec_id").alias("vb_p"),
+        F.col("k").alias("k_b"),
+        F.col("p").alias("p_b"),
+    )
+    projected = (
+        pairs.join(pa, "va")
+        .join(
+            pb,
+            (F.col("vb") == F.col("vb_p")) & (F.col("k") == F.col("k_b")),
+        )
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("p_a") - F.col("p_b"))
+                    * (F.col("p_a") - F.col("p_b")),
+                    9,
+                ).cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("pdist2")
+        )
+    )
+    return (
+        orig.join(projected, ["va", "vb"])
+        .where(F.col("dist2") > 0)
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            F.round("dist2", 6).alias("dist2"),
+            F.round(F.col("pdist2") / K_DIMS, 6).alias("proj_dist2_scaled"),
+            F.round((F.col("pdist2") / K_DIMS) / F.col("dist2"), 4).alias(
+                "jl_ratio"
+            ),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
