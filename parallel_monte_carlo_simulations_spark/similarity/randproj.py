@@ -221,3 +221,159 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Recall of search in the projected space: does 16-dim JL preserve the
+# full-dimension L2 top-k?
+# --------------------------------------------------------------------------
+
+from .brute import N_QUERIES, TOP_K  # noqa: E402
+from .metrics import _topk_oracle, _Q, _C  # noqa: E402
+from ..functions.vectors import sql_dist2  # noqa: E402
+
+_JL_TOPK_SQL = f"""
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT qp.vec_id AS query_id, cp.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY qp.vec_id
+             ORDER BY SUM(CAST(ROUND((qp.p - cp.p) * (qp.p - cp.p), 9)
+                               AS DECIMAL(18,9))), cp.vec_id
+           ) AS INTEGER) AS rk
+    FROM proj qp JOIN proj cp
+      ON qp.k = cp.k AND qp.vec_id < {N_QUERIES}
+     AND cp.vec_id <> qp.vec_id
+    GROUP BY qp.vec_id, cp.vec_id
+  ) WHERE rk <= {TOP_K}
+"""
+
+_QJL_RECALL_ORACLE = f"""
+WITH dims AS (
+  SELECT e.vec_id, i.i AS dim,
+         CAST(e.embedding[i.i + 1] AS DOUBLE) AS v
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(0, len(e.embedding))) AS i) i
+),
+proj AS (
+  SELECT vec_id, ks.k,
+         CAST(SUM(CAST(ROUND(({_SIGN_SQL}) * v, 9) AS DECIMAL(18,9)))
+              AS DOUBLE) AS p
+  FROM dims CROSS JOIN (SELECT unnest(range(0, {K_DIMS})) AS k) ks
+  GROUP BY vec_id, ks.k
+),
+truth AS ({_topk_oracle(sql_dist2(_Q, _C), "ASC", "l2_sq")}),
+approx AS ({_JL_TOPK_SQL}),
+matches AS (
+  SELECT t.query_id, COUNT(*) AS n_match
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+       ROUND(COALESCE(m.n_match, 0) / {TOP_K}.0, 4) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM truth) q
+LEFT JOIN matches m ON q.query_id = m.query_id
+ORDER BY q.query_id
+"""
+
+
+@register(
+    "q_ann_recall_eval_jl",
+    oracle=_QJL_RECALL_ORACLE,
+    description=(
+        f"recall@{TOP_K} of L2 search in the {K_DIMS}-dim JL-projected "
+        "space vs full-dimension brute force — measures how much of the "
+        "neighbourhood survives 4x dimensionality reduction. On this "
+        "synthetic near-uniform corpus the neighbour margins are tiny, "
+        "so measured recall is honestly low (~0.1-0.3): JL bounds "
+        "DISTANCE distortion, and when all distances nearly tie even "
+        "small distortion reshuffles top-k — exactly what the harness "
+        "is for (clustered real corpora fare far better)"
+    ),
+    tags=("similarity", "ann", "jl", "evaluation", "composition"),
+)
+def q_ann_recall_eval_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .metrics import q_sim_l2_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "v0")
+    ).select("vec_id", "dim", F.col("v0").cast("double").alias("v"))
+    ks = spark.range(K_DIMS).select(F.col("id").alias("k"))
+    sign = F.when(
+        hash60(
+            F.concat(
+                F.lit("jl:"),
+                F.col("k").cast("string"),
+                F.lit(":"),
+                F.col("dim").cast("string"),
+            )
+        )
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    proj = (
+        dims.crossJoin(F.broadcast(ks))
+        .select(
+            "vec_id",
+            "k",
+            F.round(sign * F.col("v"), 9).cast("decimal(18,9)").alias("t"),
+        )
+        .groupBy("vec_id", "k")
+        .agg(F.sum("t").cast("double").alias("p"))
+    )
+    qp = proj.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "k", F.col("p").alias("pq")
+    )
+    cp = proj.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("k").alias("k_c"),
+        F.col("p").alias("pc"),
+    )
+    from pyspark.sql import Window
+
+    approx = (
+        qp.join(
+            cp,
+            (F.col("k") == F.col("k_c"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("pq") - F.col("pc")) * (F.col("pq") - F.col("pc")),
+                    9,
+                ).cast("decimal(18,9)")
+            ).alias("d2")
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+            ),
+        )
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    truth = q_sim_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    matches = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(matches, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
+            F.round(
+                F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
