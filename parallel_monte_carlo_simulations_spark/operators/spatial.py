@@ -388,3 +388,146 @@ def q_geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pid", F.col("sid").alias("nn_suppkey"), "dist_sq")
         .orderBy("pid")
     )
+
+
+#: Finer grid for the expanding-ring query: ring 1 (3x3) deliberately
+#: misses ~10% of points so the second ring has real work.
+EXP_CELL_MICRO = 100_000
+
+_QEXP_ORACLE = f"""
+WITH cust AS ({_POINTS_SQL}),
+supp AS (
+  SELECT s_suppkey AS sid,
+         {_SUPP_LAT} % {SPAN_MICRO} AS lat,
+         {_SUPP_LON} % {SPAN_MICRO} AS lon
+  FROM supplier
+),
+cc AS (
+  SELECT pid, lat, lon,
+         lat // {EXP_CELL_MICRO} AS cy, lon // {EXP_CELL_MICRO} AS cx
+  FROM cust
+),
+sc AS (
+  SELECT sid, lat, lon,
+         lat // {EXP_CELL_MICRO} AS cy, lon // {EXP_CELL_MICRO} AS cx
+  FROM supp
+),
+ring1 AS (
+  SELECT c.pid, s.sid,
+         (c.lat - s.lat) * (c.lat - s.lat)
+           + (c.lon - s.lon) * (c.lon - s.lon) AS dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY c.pid ORDER BY
+           (c.lat - s.lat) * (c.lat - s.lat)
+             + (c.lon - s.lon) * (c.lon - s.lon), s.sid) AS rk
+  FROM cc c JOIN sc s
+    ON s.cx BETWEEN c.cx - 1 AND c.cx + 1
+   AND s.cy BETWEEN c.cy - 1 AND c.cy + 1
+),
+m1 AS (SELECT pid, sid, dist_sq FROM ring1 WHERE rk = 1),
+missed AS (
+  SELECT cc.* FROM cc
+  WHERE NOT EXISTS (SELECT 1 FROM m1 WHERE m1.pid = cc.pid)
+),
+ring2 AS (
+  SELECT c.pid, s.sid,
+         (c.lat - s.lat) * (c.lat - s.lat)
+           + (c.lon - s.lon) * (c.lon - s.lon) AS dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY c.pid ORDER BY
+           (c.lat - s.lat) * (c.lat - s.lat)
+             + (c.lon - s.lon) * (c.lon - s.lon), s.sid) AS rk
+  FROM missed c JOIN sc s
+    ON s.cx BETWEEN c.cx - 2 AND c.cx + 2
+   AND s.cy BETWEEN c.cy - 2 AND c.cy + 2
+),
+m2 AS (SELECT pid, sid, dist_sq FROM ring2 WHERE rk = 1),
+phases AS (
+  SELECT 1 AS ring, pid, sid, dist_sq FROM m1
+  UNION ALL
+  SELECT 2 AS ring, pid, sid, dist_sq FROM m2
+)
+SELECT ring,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(sid) AS BIGINT) AS sid_checksum,
+       CAST(MAX(dist_sq) AS BIGINT) AS max_dist_sq
+FROM phases
+GROUP BY ring
+ORDER BY ring
+"""
+
+
+@register(
+    "q_geo_knn_expanding",
+    oracle=_QEXP_ORACLE,
+    description=(
+        "expanding-ring nearest neighbour: 3x3 ring first, the ~10% of "
+        "points with an empty ring retried at 5x5 — the iterative "
+        "refinement that completes grid-KNN into full coverage"
+    ),
+    tags=("spatial", "knn", "join", "grid", "iterative", "scale"),
+)
+def q_geo_knn_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase grid KNN. Phase 2's input is only the ring-1 misses —
+    the anti-join keeps the expensive wider probe proportional to the
+    miss rate, which is the property that holds at any scale (each ring
+    r costs (2r+1)^2 cell lookups on a geometrically shrinking point
+    set). BETWEEN range conditions on cell ids stay equi-joinable via
+    the 9/25-offset explode in the physical plan; here the ranges are
+    expressed directly and Catalyst plans a hash join on the coarse key
+    plus residual — at production scale use the offset-explode form of
+    q_geo_grid_proximity_join."""
+    cust = _points(spark, sf_dir).select(
+        "pid",
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.expr(f"lat DIV {EXP_CELL_MICRO}").alias("cy"),
+        F.expr(f"lon DIV {EXP_CELL_MICRO}").alias("cx"),
+    )
+    s = table(spark, sf_dir, "supplier")
+    supp = s.select(
+        F.col("s_suppkey").alias("sid"),
+        (hash60(F.concat(F.lit("lat:"), F.col("s_suppkey").cast("string"))) % SPAN_MICRO).alias("lat_b"),
+        (hash60(F.concat(F.lit("lon:"), F.col("s_suppkey").cast("string"))) % SPAN_MICRO).alias("lon_b"),
+    ).select(
+        "sid",
+        "lat_b",
+        "lon_b",
+        F.expr(f"lat_b DIV {EXP_CELL_MICRO}").alias("sy"),
+        F.expr(f"lon_b DIV {EXP_CELL_MICRO}").alias("sx"),
+    )
+    from pyspark.sql import Window
+
+    dist_sq = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+
+    def ring(src: DataFrame, radius: int) -> DataFrame:
+        w = Window.partitionBy("pid").orderBy("dist_sq", "sid")
+        return (
+            src.join(
+                F.broadcast(supp),
+                F.col("sx").between(F.col("cx") - radius, F.col("cx") + radius)
+                & F.col("sy").between(
+                    F.col("cy") - radius, F.col("cy") + radius
+                ),
+            )
+            .select("pid", "sid", dist_sq.alias("dist_sq"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("pid", "sid", "dist_sq")
+        )
+
+    m1 = ring(cust, 1)
+    missed = cust.join(m1.select("pid"), "pid", "left_anti")
+    m2 = ring(missed, 2)
+    phases = m1.select(F.lit(1).alias("ring"), "pid", "sid", "dist_sq").unionByName(
+        m2.select(F.lit(2).alias("ring"), "pid", "sid", "dist_sq")
+    )
+    return (
+        phases.groupBy("ring")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.sum("sid").alias("sid_checksum"),
+            F.max("dist_sq").alias("max_dist_sq"),
+        )
+        .orderBy("ring")
+    )
