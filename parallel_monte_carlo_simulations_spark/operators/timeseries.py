@@ -560,3 +560,97 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         (F.sum("cents").cast("double") / 100).alias("attributed_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV: cumulative value per signup cohort over week offsets — the
+# revenue counterpart of q_cohort_retention.
+# --------------------------------------------------------------------------
+
+_QLTV_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(FLOOR(datediff('day', TIMESTAMP '2024-01-01', MIN(ts)) / 7.0)
+              AS INTEGER) AS cohort_week
+  FROM events GROUP BY user_id
+),
+weekly AS (
+  SELECT f.cohort_week,
+         CAST(FLOOR(datediff('day', TIMESTAMP '2024-01-01', e.ts) / 7.0)
+              AS INTEGER) - f.cohort_week AS week_offset,
+         CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  GROUP BY f.cohort_week, week_offset
+),
+sized AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY cohort_week
+)
+SELECT w.cohort_week, w.week_offset, s.cohort_users,
+       ROUND(CAST(SUM(w.cents) OVER (PARTITION BY w.cohort_week
+                 ORDER BY w.week_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / (100.0e0 * s.cohort_users), 4)
+         AS cum_ltv_per_user
+FROM weekly w JOIN sized s ON w.cohort_week = s.cohort_week
+ORDER BY w.cohort_week, w.week_offset
+"""
+
+
+@register(
+    "q_cohort_ltv",
+    oracle=_QLTV_ORACLE,
+    description=(
+        "cohort LTV curve: cumulative per-user value by signup cohort "
+        "and week offset (exact cent running sums) — the revenue "
+        "counterpart of the retention matrix"
+    ),
+    tags=("timeseries", "cohort", "ltv", "window", "analytics"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp")) / 7.0
+    ).cast("int")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("first_ts"), F.lit("2024-01-01").cast("timestamp"))
+            / 7.0
+        )
+        .cast("int")
+        .alias("cohort_week"),
+    )
+    weekly = (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (week - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        weekly.join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            F.round(
+                F.sum("cents").over(w).cast("double")
+                / (F.lit(100.0) * F.col("cohort_users")),
+                4,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
