@@ -162,6 +162,11 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         emb_col="qemb",
     )
+    # NOTE (measured dead end, round 5): deduplicating on the narrow
+    # (query_id, vec_id) pair and re-joining the embeddings afterwards
+    # — to avoid hashing the 64-double arrays in this distinct — ran
+    # ~15% SLOWER same-JVM at sf0.1 (4.9 s vs 5.6 s): the two extra
+    # joins cost more than the wide distinct saves. Keep the wide form.
     cand = (
         F.broadcast(queries)
         .join(corpus, ["table_id", "bucket"])
