@@ -654,3 +654,70 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Path-depth transitions: what users do 1st -> 2nd -> 3rd, the Sankey
+# feed (depth-indexed, unlike the stationary Markov transition matrix).
+# --------------------------------------------------------------------------
+
+_QPATHDEPTH_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS depth
+  FROM events
+),
+steps AS (
+  SELECT o.user_id, o.depth AS from_depth,
+         o.event_type AS from_type,
+         n.event_type AS to_type
+  FROM ordered o JOIN ordered n
+    ON n.user_id = o.user_id AND n.depth = o.depth + 1
+  WHERE o.depth <= 3
+)
+SELECT from_depth, from_type, to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM steps
+GROUP BY from_depth, from_type, to_type
+HAVING COUNT(*) >= 2
+ORDER BY from_depth, from_type, to_type
+"""
+
+
+@register(
+    "q_path_depth_transitions",
+    oracle=_QPATHDEPTH_ORACLE,
+    description=(
+        "depth-indexed path transitions (Sankey feed): event-type flows "
+        "at session positions 1->2, 2->3, 3->4 — unlike the stationary "
+        "Markov matrix, transitions vary by depth"
+    ),
+    tags=("timeseries", "path", "sankey", "window", "analytics"),
+)
+def q_path_depth_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("depth")
+    )
+    nxt = ordered.select(
+        F.col("user_id").alias("uid_n"),
+        F.col("event_type").alias("to_type"),
+        F.col("depth").alias("depth_n"),
+    )
+    steps = ordered.where(F.col("depth") <= 3).join(
+        nxt,
+        (F.col("uid_n") == F.col("user_id"))
+        & (F.col("depth_n") == F.col("depth") + 1),
+    )
+    return (
+        steps.groupBy(
+            F.col("depth").alias("from_depth"),
+            F.col("event_type").alias("from_type"),
+            "to_type",
+        )
+        .agg(F.count("*").alias("n_users"))
+        .where(F.col("n_users") >= 2)
+        .orderBy("from_depth", "from_type", "to_type")
+    )
