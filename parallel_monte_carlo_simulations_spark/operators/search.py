@@ -192,3 +192,86 @@ def q_search_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(50)
     )
+
+
+_QPROX_ORACLE = f"""
+WITH postings AS ({_POSTINGS_SQL}),
+freq AS (
+  SELECT term, COUNT(*) AS cnt FROM postings GROUP BY term
+),
+top2 AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk
+  FROM freq QUALIFY rk <= 2
+),
+t1 AS (SELECT term FROM top2 WHERE rk = 1),
+t2 AS (SELECT term FROM top2 WHERE rk = 2),
+hits AS (
+  SELECT a.doc_id,
+         CAST(MIN(ABS(a.pos - b.pos)) AS BIGINT) AS min_gap,
+         CAST(COUNT(*) AS BIGINT) AS n_windows
+  FROM postings a
+  JOIN postings b
+    ON b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos - 3 AND a.pos + 3
+   AND b.pos <> a.pos
+  WHERE a.term IN (SELECT term FROM t1)
+    AND b.term IN (SELECT term FROM t2)
+  GROUP BY a.doc_id
+)
+SELECT h.doc_id, h.min_gap, h.n_windows,
+       (SELECT term FROM t1) AS term_a,
+       (SELECT term FROM t2) AS term_b
+FROM hits h
+ORDER BY h.n_windows DESC, h.doc_id
+LIMIT 25
+"""
+
+
+@register(
+    "q_search_proximity",
+    oracle=_QPROX_ORACLE,
+    description=(
+        "proximity search (NEAR/3): top term pair co-occurring within "
+        "3 token positions, per-doc window counts and min gap — a "
+        "banded position join, never a per-doc scan"
+    ),
+    tags=("search", "text", "inverted-index", "proximity", "llm-pipeline"),
+)
+def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-operator semantics on the positional index: candidate rows
+    are the two terms' posting lists joined on doc_id with a +-3
+    position band — the join is keyed on doc_id with a residual range
+    predicate, so it scales with posting-list length, not document
+    text."""
+    p = _postings(spark, sf_dir)
+    freq = p.groupBy("term").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "term")
+    top2 = freq.select("term", F.row_number().over(w).alias("rk")).where(
+        F.col("rk") <= 2
+    )
+    t1 = top2.where(F.col("rk") == 1).select(F.col("term").alias("term_a"))
+    t2 = top2.where(F.col("rk") == 2).select(F.col("term").alias("term_b"))
+    pa = p.join(F.broadcast(t1), p.term == F.col("term_a")).select(
+        "doc_id", F.col("pos").alias("pos_a"), "term_a"
+    )
+    pb = p.join(F.broadcast(t2), p.term == F.col("term_b")).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "term_b"
+    )
+    hits = (
+        pa.join(
+            pb,
+            (F.col("doc_b") == F.col("doc_id"))
+            & F.col("pos_b").between(F.col("pos_a") - 3, F.col("pos_a") + 3)
+            & (F.col("pos_b") != F.col("pos_a")),
+        )
+        .groupBy("doc_id", "term_a", "term_b")
+        .agg(
+            F.min(F.abs(F.col("pos_a") - F.col("pos_b"))).alias("min_gap"),
+            F.count("*").alias("n_windows"),
+        )
+    )
+    return (
+        hits.select("doc_id", "min_gap", "n_windows", "term_a", "term_b")
+        .orderBy(F.desc("n_windows"), "doc_id")
+        .limit(25)
+    )
