@@ -225,3 +225,57 @@ def q_feat_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-WIDTH histogram via width_bucket — the complement of the
+# equi-frequency ntile binning above.
+# --------------------------------------------------------------------------
+
+_QWIDTH_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+),
+binned AS (
+  -- DuckDB has no width_bucket; replay Spark's (Postgres) semantics:
+  -- floor((x - lo) / ((hi - lo) / n)) + 1, with x = hi landing in n+1
+  SELECT CAST(FLOOR((o.o_totalprice - b.lo) / ((b.hi - b.lo) / 20.0e0))
+              AS BIGINT) + 1 AS bin
+  FROM orders o CROSS JOIN bounds b
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register(
+    "q_feat_equiwidth_histogram",
+    oracle=_QWIDTH_ORACLE,
+    description=(
+        "equi-width 20-bin histogram of order totals via width_bucket "
+        "over the data-derived [min, max] range — the complement of "
+        "equi-frequency ntile binning"
+    ),
+    tags=("feature-engineering", "histogram", "width_bucket", "aggregate"),
+)
+def q_feat_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.width_bucket(
+                F.col("o_totalprice"), F.col("lo"), F.col("hi"), F.lit(20)
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("bin")
+    )
