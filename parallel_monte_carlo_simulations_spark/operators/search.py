@@ -275,3 +275,138 @@ def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_windows"), "doc_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Sparse TF-IDF cosine: most similar document pairs via a term-keyed
+# sparse-vector join (no dense vectors, no cartesian).
+# --------------------------------------------------------------------------
+
+_QTFIDFCOS_ORACLE = f"""
+WITH postings AS ({_POSTINGS_SQL}),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM postings GROUP BY doc_id, term
+),
+stats AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+wts AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROUND(tf.tf * ln((s.n_docs + 1.0e0) / (df.df + 1.0e0)), 9)
+              AS DECIMAL(18,9)) AS w
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+),
+norms AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ROUND(CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS n2
+  FROM wts GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(CAST(ROUND(CAST(a.w AS DOUBLE) * CAST(b.w AS DOUBLE), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS dot
+  FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b,
+       ROUND(d.dot / SQRT(na.n2 * nb.n2), 6) AS cos_sim
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+ORDER BY cos_sim DESC, d.doc_a, d.doc_b
+LIMIT 20
+"""
+
+
+@register(
+    "q_text_tfidf_cosine_pairs",
+    oracle=_QTFIDFCOS_ORACLE,
+    description=(
+        "sparse TF-IDF cosine similarity: top-20 most similar document "
+        "pairs via a term-keyed sparse join (pairs only materialize "
+        "where terms overlap — no dense vectors, no cartesian)"
+    ),
+    tags=("search", "text", "tfidf", "similarity", "sparse", "llm-pipeline"),
+)
+def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IR-classic document-similarity join: weights live in the
+    inverted index, so the pairwise dot product is a self-join keyed on
+    TERM — pair (a, b) only appears if they share a term, and the
+    shuffle is sized by posting-list lengths, not |docs|^2. Quantized
+    ln/product terms keep the decimal sums order-independent
+    cross-engine. At 100 TB add a df ceiling (drop stop-terms) to bound
+    the hottest posting lists — the same skew story as every term join."""
+    p = _postings(spark, sf_dir)
+    tf = p.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    wts = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs").cast("double") + 1.0)
+                    / (F.col("df") + F.lit(1.0))
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("w"),
+        )
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sum(
+            F.round(
+                F.col("w").cast("double") * F.col("w").cast("double"), 9
+            ).cast("decimal(18,9)")
+        )
+        .cast("double")
+        .alias("n2")
+    )
+    b = wts.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("term").alias("term_b"),
+        F.col("w").alias("w_b"),
+    )
+    dots = (
+        wts.join(
+            b,
+            (F.col("term_b") == F.col("term"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("w").cast("double") * F.col("w_b").cast("double"),
+                    9,
+                ).cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
+        .limit(20)
+    )
