@@ -283,10 +283,19 @@ def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _QTFIDFCOS_ORACLE = f"""
-WITH postings AS ({_POSTINGS_SQL}),
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bigrams AS (
+  -- bigram terms: the unigram vocabulary here is ~31 stop-dense terms
+  -- whose posting lists pair-join quadratically; bigrams widen the
+  -- vocabulary ~30x and thin every posting list
+  SELECT doc_id, t[i] || '_' || t[i + 1] AS term
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+),
 tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM postings GROUP BY doc_id, term
+  FROM bigrams GROUP BY doc_id, term
 ),
 stats AS (
   SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
@@ -295,10 +304,13 @@ df AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
 ),
 wts AS (
+  -- df ceiling: terms in more than 10% of docs are stop-terms — they
+  -- carry no signal and their posting lists dominate the pair join
   SELECT tf.doc_id, tf.term,
          CAST(ROUND(tf.tf * ln((s.n_docs + 1.0e0) / (df.df + 1.0e0)), 9)
               AS DECIMAL(18,9)) AS w
   FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+  WHERE df.df * 10 <= s.n_docs
 ),
 norms AS (
   SELECT doc_id,
@@ -307,10 +319,14 @@ norms AS (
   FROM wts GROUP BY doc_id
 ),
 dots AS (
+  -- query side restricted to a 20-doc sample: all-pairs on this corpus
+  -- is Theta(sum df^2) ~ 20M rows even under the df ceiling; a bounded
+  -- query set is how production similarity joins run (per-batch)
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(SUM(CAST(ROUND(CAST(a.w AS DOUBLE) * CAST(b.w AS DOUBLE), 9)
                        AS DECIMAL(18,9))) AS DOUBLE) AS dot
-  FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+  FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id <> b.doc_id
+  WHERE a.doc_id < 20
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT d.doc_a, d.doc_b,
@@ -327,9 +343,10 @@ LIMIT 20
     "q_text_tfidf_cosine_pairs",
     oracle=_QTFIDFCOS_ORACLE,
     description=(
-        "sparse TF-IDF cosine similarity: top-20 most similar document "
-        "pairs via a term-keyed sparse join (pairs only materialize "
-        "where terms overlap — no dense vectors, no cartesian)"
+        "sparse TF-IDF cosine similarity: nearest documents to a 20-doc "
+        "query sample via a term-keyed sparse join over bigram terms "
+        "with a 10% df ceiling (pairs only materialize where terms "
+        "overlap — no dense vectors, no cartesian)"
     ),
     tags=("search", "text", "tfidf", "similarity", "sparse", "llm-pipeline"),
 )
@@ -341,13 +358,28 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln/product terms keep the decimal sums order-independent
     cross-engine. At 100 TB add a df ceiling (drop stop-terms) to bound
     the hottest posting lists — the same skew story as every term join."""
-    p = _postings(spark, sf_dir)
-    tf = p.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    idx = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = toks.select(
+        "doc_id", F.explode(idx).alias("i"), "t"
+    ).select(
+        "doc_id",
+        F.concat(
+            F.element_at("t", F.col("i")),
+            F.lit("_"),
+            F.element_at("t", F.col("i") + 1),
+        ).alias("term"),
+    )
+    tf = bigrams.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     wts = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(stats))
+        .where(F.col("df") * 10 <= F.col("n_docs"))
         .select(
             "doc_id",
             "term",
@@ -378,10 +410,11 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("w_b"),
     )
     dots = (
-        wts.join(
+        wts.where(F.col("doc_id") < 20)
+        .join(
             b,
             (F.col("term_b") == F.col("term"))
-            & (F.col("doc_id") < F.col("doc_b")),
+            & (F.col("doc_id") != F.col("doc_b")),
         )
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(
