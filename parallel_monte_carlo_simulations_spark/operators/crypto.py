@@ -96,3 +96,77 @@ def q_scalar_crypto_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# String-function parity sweep: the portable subset, checksummed.
+# --------------------------------------------------------------------------
+
+_QSTRPAR_ORACLE = """
+WITH s AS (
+  SELECT c_mktsegment AS segment,
+         c_name AS name,
+         upper(c_name) AS u,
+         lower(c_name) AS l,
+         reverse(c_name) AS r,
+         lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+         replace(c_name, '0', '#') AS repl,
+         levenshtein(c_name, reverse(c_name)) AS lev
+  FROM customer
+)
+SELECT segment,
+       CAST(SUM(length(u) + length(l) + length(r)) AS BIGINT) AS len_sum,
+       CAST(SUM(lev) AS BIGINT) AS lev_sum,
+       CAST(COUNT(DISTINCT substr(r, 1, 4)) AS BIGINT) AS rev_prefixes,
+       MIN(padded) AS min_padded,
+       CAST(SUM(length(repl) - length(replace(repl, '#', ''))) AS BIGINT)
+         AS hash_marks
+FROM s
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register(
+    "q_scalar_string_parity",
+    oracle=_QSTRPAR_ORACLE,
+    description=(
+        "portable string-function sweep: upper/lower/reverse/lpad/"
+        "replace/levenshtein checksummed per segment — the cross-engine "
+        "string surface in one oracled pass"
+    ),
+    tags=("scalar", "string", "levenshtein", "aggregate"),
+)
+def q_scalar_string_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    s = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.upper("c_name").alias("u"),
+        F.lower("c_name").alias("l"),
+        F.reverse(F.col("c_name")).alias("r"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.replace(
+            F.col("c_name"), F.lit("0"), F.lit("#")
+        ).alias("repl"),
+        F.levenshtein(F.col("c_name"), F.reverse(F.col("c_name"))).alias(
+            "lev"
+        ),
+    )
+    return (
+        s.groupBy("segment")
+        .agg(
+            (
+                F.sum(
+                    F.length("u") + F.length("l") + F.length("r")
+                )
+            ).alias("len_sum"),
+            F.sum("lev").alias("lev_sum"),
+            F.countDistinct(F.substring("r", 1, 4)).alias("rev_prefixes"),
+            F.min("padded").alias("min_padded"),
+            F.sum(
+                F.length("repl")
+                - F.length(F.replace(F.col("repl"), F.lit("#"), F.lit("")))
+            ).alias("hash_marks"),
+        )
+        .orderBy("segment")
+    )
