@@ -171,3 +171,81 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         summaries = s if summaries is None else summaries.unionByName(s)
     return summaries.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Link prediction: neighbour-set Jaccard between supplier pairs on the
+# bipartite supplier-part graph.
+# --------------------------------------------------------------------------
+
+_QLINKPRED_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+deg AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY s
+),
+co AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM pairs a JOIN pairs b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT co.s1, co.s2, co.inter,
+       (d1.d + d2.d - co.inter) AS uni,
+       ROUND(CAST(co.inter AS DOUBLE)
+             / CAST(d1.d + d2.d - co.inter AS DOUBLE), 6) AS jaccard
+FROM co
+JOIN deg d1 ON d1.s = co.s1
+JOIN deg d2 ON d2.s = co.s2
+ORDER BY jaccard DESC, co.s1, co.s2
+LIMIT 20
+"""
+
+
+@register(
+    "q_graph_link_prediction",
+    oracle=_QLINKPRED_ORACLE,
+    description=(
+        "link prediction by neighbour-set Jaccard: supplier pairs "
+        "ranked by shared-part overlap via a part-keyed co-occurrence "
+        "join (exact integer intersection/union, no pairwise scan)"
+    ),
+    tags=("graph", "link-prediction", "jaccard", "join", "aggregate"),
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-occurrence formulation: |N(a) n N(b)| materializes only
+    for pairs sharing at least one part (the join is keyed on the part,
+    so work is sum-of-squared part degrees, not |suppliers|^2), and
+    union comes from the degree table by inclusion-exclusion."""
+    l = table(spark, sf_dir, "lineitem")
+    pairs = l.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = pairs.groupBy("s").agg(F.count("*").alias("d"))
+    b = pairs.select(F.col("s").alias("s2"), F.col("p").alias("p2"))
+    co = (
+        pairs.join(b, (F.col("p2") == F.col("p")) & (F.col("s") < F.col("s2")))
+        .groupBy(F.col("s").alias("s1"), "s2")
+        .agg(F.count("*").alias("inter"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("deg1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("deg2"))
+    return (
+        co.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "inter",
+            (F.col("deg1") + F.col("deg2") - F.col("inter")).alias("uni"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "s1", "s2")
+        .limit(20)
+    )

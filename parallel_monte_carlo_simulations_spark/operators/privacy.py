@@ -184,3 +184,66 @@ def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Pseudonymization: stable surrogate keys with a verified bijection.
+# --------------------------------------------------------------------------
+
+_QPSEUDO_ORACLE = f"""
+WITH mapped AS (
+  SELECT c_custkey,
+         c_mktsegment AS segment,
+         DENSE_RANK() OVER (
+           ORDER BY {sql_hash60("'pseud:' || CAST(c_custkey AS VARCHAR)")},
+                    c_custkey
+         ) AS pseudonym
+  FROM customer
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT pseudonym) AS BIGINT) AS n_pseudonyms,
+       CAST(MIN(pseudonym) AS BIGINT) AS min_pseudonym,
+       CAST(MAX(pseudonym) AS BIGINT) AS max_pseudonym
+FROM mapped
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register(
+    "q_privacy_pseudonymize",
+    oracle=_QPSEUDO_ORACLE,
+    description=(
+        "pseudonymization: dense surrogate keys in hash order (stable, "
+        "unlinkable without the salt), per-segment bijection audit "
+        "(n_users == n_pseudonyms)"
+    ),
+    tags=("privacy", "pseudonymization", "governance", "window"),
+)
+def q_privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key issuance for data sharing: ranking customers by a
+    salted portable hash yields dense ids whose order carries no
+    business meaning; the per-segment distinct-count equality IS the
+    bijection proof. At 100 TB the dense_rank becomes a two-pass
+    zipWithIndex-style assignment (per-partition counts + offset), the
+    standard surrogate-key pattern; the hash ordering is identical."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(
+        hash60(F.concat(F.lit("pseud:"), F.col("c_custkey").cast("string"))),
+        "c_custkey",
+    )
+    mapped = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.dense_rank().over(w).alias("pseudonym"),
+    )
+    return (
+        mapped.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.countDistinct("pseudonym").alias("n_pseudonyms"),
+            F.min("pseudonym").cast("long").alias("min_pseudonym"),
+            F.max("pseudonym").cast("long").alias("max_pseudonym"),
+        )
+        .orderBy("segment")
+    )
