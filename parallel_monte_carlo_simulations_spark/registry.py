@@ -87,7 +87,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     )
     from .functions import pipeline  # noqa: F401  (after dedup: composes it)
     from .functions import pipeline2  # noqa: F401  (after similarity: composes it)
-    from .mc import bridge, hashrng, lsmc, qmc_gbm, qmc_walk, risk, sobol, queries as mc_queries  # noqa: F401
+    from .mc import bridge, hashrng, lsmc, qmc_barrier, qmc_gbm, qmc_walk, risk, sobol, queries as mc_queries  # noqa: F401
 
     return _driver_order(REGISTRY)
 

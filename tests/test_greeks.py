@@ -42,3 +42,19 @@ def test_qmc_greeks_match_black_scholes():
     assert abs(delta - bs_delta) < 0.01 + 4 * delta_se, (delta, bs_delta)
     assert abs(vega - bs_vega) < 0.5 + 4 * vega_se, (vega, bs_vega)
     assert n > 0 and delta_se >= 0 and vega_se >= 0
+
+
+def test_barrier_dominated_by_vanilla():
+    """Knock-out must only ever DISCOUNT the option: UOC <= vanilla,
+    strictly when any path is knocked."""
+    from parallel_monte_carlo_simulations_spark.registry import load_all_queries
+
+    spec = load_all_queries()["q_mc_qmc_barrier"]
+    con = duckdb_connection("/root/testdata/sf0.01")
+    try:
+        n, uoc, vanilla, se, knocked = con.execute(spec.oracle).fetchone()
+    finally:
+        con.close()
+    assert 0 < knocked < n
+    assert uoc < vanilla
+    assert uoc >= 0 and se >= 0
