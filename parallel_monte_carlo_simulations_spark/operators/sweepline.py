@@ -129,3 +129,156 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("concurrency").alias("peak_concurrency"))
         .orderBy("hour_no")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap JOIN: which session pairs (across users) overlap, and
+# for how long — the pair-enumerating counterpart of the sweep line.
+# --------------------------------------------------------------------------
+
+#: hour buckets: an interval joins every bucket it touches, so a
+#: candidate pair must share a bucket (sessions are <= 1h after merge
+#: at this gap on this data; longer intervals just span more buckets).
+_BUCKET_US = 3_600_000_000
+
+_QIVJOIN_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + {SESSION_US} AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island, MIN(s) AS s, MAX(e) AS e
+  FROM islands GROUP BY user_id, island
+),
+binned AS (
+  SELECT m.user_id, m.island, m.s, m.e, b.b AS bucket
+  FROM merged m,
+       LATERAL (SELECT unnest(range(m.s // {_BUCKET_US},
+                                    (m.e - 1) // {_BUCKET_US} + 1)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT a.user_id AS user_a, a.island AS island_a,
+         b.user_id AS user_b, b.island AS island_b,
+         GREATEST(a.s, b.s) AS os, LEAST(a.e, b.e) AS oe
+  FROM binned a JOIN binned b
+    ON a.bucket = b.bucket AND a.user_id < b.user_id
+  WHERE a.s < b.e AND b.s < a.e
+)
+SELECT user_a, user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_overlapping_sessions,
+       CAST(SUM(oe - os) AS BIGINT) AS total_overlap_us
+FROM pairs
+GROUP BY user_a, user_b
+ORDER BY total_overlap_us DESC, user_a, user_b
+LIMIT 20
+"""
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle=_QIVJOIN_ORACLE,
+    description=(
+        "interval-overlap join: cross-user session pairs that overlap "
+        "in time, via hour-bucket candidate join + exact residual — "
+        "top pairs by total shared microseconds (no interval cross "
+        "product)"
+    ),
+    tags=("interval", "join", "binning", "sweepline", "scale"),
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval join by bucketing: an interval registers in
+    every hour bucket it touches, candidates must share a bucket, the
+    exact overlap predicate filters residuals, and DISTINCT collapses
+    multi-bucket duplicates. Work scales with overlap density x bucket
+    count — never |sessions|^2."""
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + SESSION_US).alias("e"),
+    )
+    w_prev = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = iv.withColumn("max_e_before", F.max("e").over(w_prev)).select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("max_e_before").isNull()
+            | (F.col("s") > F.col("max_e_before")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    merged = (
+        flagged.withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    binned = merged.select(
+        "user_id",
+        "island",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s DIV {_BUCKET_US}"),
+                F.expr(f"(e - 1) DIV {_BUCKET_US}"),
+            )
+        ).alias("bucket"),
+    )
+    b = binned.select(
+        F.col("user_id").alias("user_b"),
+        F.col("island").alias("island_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = (
+        binned.join(
+            b,
+            (F.col("bucket_b") == F.col("bucket"))
+            & (F.col("user_id") < F.col("user_b")),
+        )
+        .where((F.col("s") < F.col("e_b")) & (F.col("s_b") < F.col("e")))
+        .select(
+            F.col("user_id").alias("user_a"),
+            F.col("island").alias("island_a"),
+            "user_b",
+            "island_b",
+            F.greatest(F.col("s"), F.col("s_b")).alias("os"),
+            F.least(F.col("e"), F.col("e_b")).alias("oe"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count("*").alias("n_overlapping_sessions"),
+            F.sum(F.col("oe") - F.col("os")).alias("total_overlap_us"),
+        )
+        .orderBy(F.desc("total_overlap_us"), "user_a", "user_b")
+        .limit(20)
+    )
