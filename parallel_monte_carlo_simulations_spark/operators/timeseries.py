@@ -721,3 +721,70 @@ def q_path_depth_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_users") >= 2)
         .orderBy("from_depth", "from_type", "to_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps & islands over a key sequence: contiguous runs and missing ranges
+# — the sequence-integrity audit (id allocation, ingestion gaps).
+# --------------------------------------------------------------------------
+
+_QGAPS_ORACLE = """
+WITH keys AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+),
+grouped AS (
+  SELECT k,
+         k - ROW_NUMBER() OVER (ORDER BY k) AS grp
+  FROM keys
+),
+islands AS (
+  SELECT MIN(k) AS island_start, MAX(k) AS island_end,
+         CAST(COUNT(*) AS BIGINT) AS island_len
+  FROM grouped GROUP BY grp
+)
+SELECT island_start, island_end, island_len,
+       LEAD(island_start) OVER (ORDER BY island_start) - island_end - 1
+         AS gap_after
+FROM islands
+ORDER BY island_len DESC, island_start
+LIMIT 25
+"""
+
+
+@register(
+    "q_gaps_islands_key_ranges",
+    oracle=_QGAPS_ORACLE,
+    description=(
+        "gaps-and-islands over the F-status order-key sequence: longest "
+        "contiguous runs and the gap following each — the k - "
+        "row_number() grouping trick, exact integers"
+    ),
+    tags=("window", "gaps-islands", "data-quality", "analytics"),
+)
+def q_gaps_islands_key_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    keys = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("k")
+    )
+    w = Window.orderBy("k")
+    grouped = keys.select(
+        "k", (F.col("k") - F.row_number().over(w)).alias("grp")
+    )
+    islands = grouped.groupBy("grp").agg(
+        F.min("k").alias("island_start"),
+        F.max("k").alias("island_end"),
+        F.count("*").alias("island_len"),
+    )
+    wi = Window.orderBy("island_start")
+    return (
+        islands.select(
+            "island_start",
+            "island_end",
+            "island_len",
+            (
+                F.lead("island_start").over(wi) - F.col("island_end") - 1
+            ).alias("gap_after"),
+        )
+        .orderBy(F.desc("island_len"), "island_start")
+        .limit(25)
+    )
