@@ -249,3 +249,97 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "s1", "s2")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity: do high-degree nodes link to high-degree nodes?
+# (Newman 2002) — Pearson correlation of endpoint degrees over edges.
+# --------------------------------------------------------------------------
+
+_QASSORT_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p FROM lineitem
+),
+e AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL
+  SELECT p AS src, s AS dst FROM pairs
+),
+deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src
+),
+ends AS (
+  SELECT ds.d AS dx, dd.d AS dy
+  FROM e
+  JOIN deg ds ON ds.src = e.src
+  JOIN deg dd ON dd.src = e.dst
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM ends
+)
+SELECT m AS n_directed_edges,
+       ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS assortativity
+FROM mom
+"""
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=_QASSORT_ORACLE,
+    description=(
+        "degree assortativity (Newman r): Pearson correlation of "
+        "endpoint degrees over the directed edge list — exact integer "
+        "moments, one mirrored expression (bipartite graphs come out "
+        "disassortative by construction)"
+    ),
+    tags=("graph", "assortativity", "statistics", "aggregate"),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    pairs = l.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") + _PART_OFFSET).alias("p"),
+    ).distinct()
+    e = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    ds = deg.select(F.col("src").alias("j_src"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("src").alias("j_dst"), F.col("d").alias("dy"))
+    ends = (
+        e.join(F.broadcast(ds), e.src == F.col("j_src"))
+        .join(F.broadcast(dd), e.dst == F.col("j_dst"))
+        .select("dx", "dy")
+    )
+    mom = ends.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return mom.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(
+            (d("m") * d("sxy") - d("sx") * d("sy"))
+            / (
+                F.sqrt(d("m") * d("sxx") - d("sx") * d("sx"))
+                * F.sqrt(d("m") * d("syy") - d("sy") * d("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
