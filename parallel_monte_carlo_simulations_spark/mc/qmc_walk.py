@@ -34,7 +34,6 @@ from .lsmc import _radical_inverse, _stratum_means
 N_PATHS = 1024
 N_STEPS = 32
 N_STRATA = 8
-_DIGITS = 15  # covers N_PATHS * N_STEPS = 32768 indices
 _Q = _stratum_means(N_STRATA)
 
 

@@ -32,8 +32,8 @@ _QNEYMAN_ORACLE = f"""
 WITH strata AS (
   SELECT c.c_mktsegment AS segment,
          CAST(COUNT(*) AS BIGINT) AS n_s,
-         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
-           AS sx,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) // 100)
+              AS BIGINT) AS sx_d,
          CAST(SUM((CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) // 100)
                   * (CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) // 100))
               AS BIGINT) AS sxx_d
@@ -41,12 +41,12 @@ WITH strata AS (
   GROUP BY c.c_mktsegment
 ),
 weights AS (
-  -- sigma in whole dollars from exact dollar-integer moments; weight
-  -- w_s = floor(N_s * sigma) is the Neyman numerator, integerized
+  -- sigma in whole dollars from exact dollar-integer moments of the SAME
+  -- floored-dollar series (so n*sxx - sx^2 >= 0 by Cauchy-Schwarz, even
+  -- for a constant stratum); weight w_s = floor(N_s * sigma), integerized
   SELECT segment, n_s,
          CAST(floor(sqrt((CAST(n_s AS DOUBLE) * CAST(sxx_d AS DOUBLE)
-                          - (CAST(sx AS DOUBLE) / 100e0)
-                            * (CAST(sx AS DOUBLE) / 100e0))
+                          - CAST(sx_d AS DOUBLE) * CAST(sx_d AS DOUBLE))
                          / (CAST(n_s AS DOUBLE)
                             * (CAST(n_s AS DOUBLE) - 1e0)))) AS BIGINT)
            AS sigma_d
@@ -89,7 +89,6 @@ ORDER BY segment
 def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     dollars = F.expr(
         "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DIV 100"
     )
@@ -97,16 +96,14 @@ def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment")
     ).agg(
         F.count("*").alias("n_s"),
-        F.sum(cents).alias("sx"),
+        F.sum(dollars).alias("sx_d"),
         F.sum(dollars * dollars).alias("sxx_d"),
     )
     d = lambda col: F.col(col).cast("double")  # noqa: E731
+    # moments of the same floored-dollar series: radicand >= 0 always
     sigma_d = F.floor(
         F.sqrt(
-            (
-                d("n_s") * d("sxx_d")
-                - (d("sx") / F.lit(100.0)) * (d("sx") / F.lit(100.0))
-            )
+            (d("n_s") * d("sxx_d") - d("sx_d") * d("sx_d"))
             / (d("n_s") * (d("n_s") - F.lit(1.0)))
         )
     ).cast("long")

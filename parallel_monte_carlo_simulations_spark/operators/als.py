@@ -115,7 +115,13 @@ def q_recsys_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("r"))
         # referenced by v1, u1, v2, AND the final scoring join — persist
         # once instead of recomputing the fact join 4x (measured 2.0 s ->
-        # 1.5 s steady-state at sf0.1, same JVM)
+        # 1.5 s steady-state at sf0.1, same JVM). Deliberately NOT
+        # unpersisted here: the returned DataFrame is lazy, so releasing
+        # before the caller materializes would defeat the cache. Blocks
+        # are MEMORY_AND_DISK (LRU-evictable); harnesses that sweep many
+        # queries in one session release them via catalog.clearCache()
+        # after materializing (bench.py per-query, tests/conftest.py
+        # autouse fixture).
         .persist()
     )
 

@@ -133,7 +133,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-round state is O(V) instead of O(E) — the version that
     # survives 100 TB edge sets. The un-persisted predecessor (every
     # round lazily recomputing all prior rounds) measured 77 s at
-    # sf0.001 — do not remove the persists.
+    # sf0.001 — do not remove the persists. They are deliberately not
+    # unpersisted in-function (the result is lazy; releasing early would
+    # recompute every round): sweep harnesses clearCache() per query
+    # (bench.py, tests/conftest.py autouse fixture).
     edges = edges.persist()
     alive = edges.select("src").distinct()
     rounds = [edges]

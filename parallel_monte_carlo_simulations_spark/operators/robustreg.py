@@ -68,7 +68,7 @@ WITH pts AS (
            / 100e0 AS y
   FROM lineitem
 ),
-m0 AS ({_mom('', '1e0', 'pts').replace('SELECT ', 'SELECT ', 1)}),
+m0 AS ({_mom('', '1e0', 'pts')}),
 w1t AS (
   SELECT pts.x, pts.y, {w1} AS w
   FROM pts CROSS JOIN m0
@@ -88,11 +88,6 @@ SELECT ROUND((SELECT {a2.replace('m2.', '')} FROM m2), 4) AS intercept,
 """
 
 
-def _spark_body() -> str:
-    # identical text modulo nothing — both engines parse the same SQL
-    return _body()
-
-
 _ORACLE = _body()
 
 
@@ -109,4 +104,4 @@ _ORACLE = _body()
 )
 def q_ml_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_spark_body())
+    return spark.sql(_ORACLE)

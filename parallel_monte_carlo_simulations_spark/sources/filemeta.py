@@ -28,7 +28,7 @@ from .roundtrip import _tmpdir
 N_FILES = 4
 
 _QMETA_ORACLE = f"""
-SELECT CAST({N_FILES} AS BIGINT) AS n_files,
+SELECT TRUE AS n_files_in_bounds,
        CAST(COUNT(*) AS BIGINT) AS total_rows,
        MIN(o_orderkey) AS min_key,
        MAX(o_orderkey) AS max_key,
@@ -42,8 +42,8 @@ FROM orders
     oracle=_QMETA_ORACLE,
     description=(
         "_metadata hidden column: per-file provenance of an explicit "
-        "4-file range layout, reduced to the layout invariants (file "
-        "count, totals, pairwise-disjoint key ranges)"
+        "range layout, reduced to the layout invariants (file-count "
+        "bounds, totals, pairwise-disjoint key ranges)"
     ),
     tags=("source", "metadata", "lineage", "layout"),
 )
@@ -72,8 +72,14 @@ def q_source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok",
         F.col("prev_max").isNull() | (F.col("min_key") > F.col("prev_max")),
     )
+    # file count is reported as a BOUNDS check, not an exact value:
+    # repartitionByRange's reservoir sampler may draw an empty partition
+    # on tiny/skewed key sets, and Spark writes no file for it — the
+    # guaranteed invariant is 1 <= n_files <= N_FILES, never == N_FILES
     return flagged.agg(
-        F.count("*").alias("n_files"),
+        (
+            (F.count("*") >= F.lit(1)) & (F.count("*") <= F.lit(N_FILES))
+        ).alias("n_files_in_bounds"),
         F.sum("n_rows").alias("total_rows"),
         F.min("min_key").alias("min_key"),
         F.max("max_key").alias("max_key"),

@@ -29,6 +29,25 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _drop_caches_between_tests(request):
+    """Unpersist everything a query cached once its test is done.
+
+    Iterative queries (ALS, graph delta-iterations) persist intermediate
+    frames and cannot unpersist them before returning — the caller has
+    not materialized the result yet. Releasing here bounds cached-block
+    accumulation across the full registry sweep in one long-lived
+    session (the blocks are MEMORY_AND_DISK and LRU-evictable anyway,
+    but an explicit release keeps the storage tab honest).
+    """
+    yield
+    if "spark" in request.fixturenames:
+        try:
+            request.getfixturevalue("spark").catalog.clearCache()
+        except Exception:
+            pass
+
+
 @pytest.hookimpl(hookwrapper=True)
 def pytest_runtest_call(item):
     if TEST_TIMEOUT_S <= 0 or not hasattr(signal, "SIGALRM"):
