@@ -155,7 +155,7 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QREXALL_ORACLE = """
 SELECT doc_id,
-       regexp_extract_all(text, '[0-9]+') AS nums,
+       COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '') AS nums,
        CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums
 FROM documents
 WHERE doc_id < 100
@@ -169,9 +169,16 @@ WHERE doc_id < 100
     tags=("scalar", "regexp", "array"),
 )
 def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flattened with array_join: the driver's canonicalizer hashes values
+    # through pandas sort_values, which cannot hash raw array columns
+    # (registry.py column discipline — top-level outputs must be atomic).
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     nums = F.regexp_extract_all("text", F.lit("[0-9]+"))
-    return d.select("doc_id", nums.alias("nums"), F.size(nums).alias("n_nums"))
+    return d.select(
+        "doc_id",
+        F.array_join(nums, ",").alias("nums"),
+        F.size(nums).alias("n_nums"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -255,7 +262,9 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QARRAYAGG_ORACLE = """
 SELECT c_custkey,
-       list(strftime(o_orderdate, '%Y-%m-%d') ORDER BY o_orderdate) AS order_dates
+       array_to_string(list(strftime(o_orderdate, '%Y-%m-%d') ORDER BY o_orderdate), ',')
+         AS order_dates,
+       CAST(COUNT(*) AS INTEGER) AS n_orders
 FROM customer JOIN orders ON c_custkey = o_custkey
 WHERE c_custkey < 200
 GROUP BY c_custkey
@@ -265,7 +274,10 @@ GROUP BY c_custkey
 @register(
     "q_array_agg_ordered",
     oracle=_QARRAYAGG_ORACLE,
-    description="array_agg into a sorted array column (collect_list + sort_array)",
+    description=(
+        "array_agg into a sorted array column (collect_list + sort_array),"
+        " flattened with array_join per the registry column discipline"
+    ),
     tags=("aggregate", "array", "collect"),
 )
 def q_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,13 +285,15 @@ def q_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey"
     )
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    dates = F.sort_array(
+        F.collect_list(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_custkey")
         .agg(
-            F.sort_array(
-                F.collect_list(F.date_format("o_orderdate", "yyyy-MM-dd"))
-            ).alias("order_dates")
+            F.array_join(dates, ",").alias("order_dates"),
+            F.count("*").cast("int").alias("n_orders"),
         )
     )
 
