@@ -275,14 +275,47 @@ def main() -> None:
     ratio = REF_CALIBRATION_SEC / cal if cal > 0 else 1.0
     out["calibration_ratio_vs_r4"] = round(ratio, 4)
     # per-query normalized values are ratio * queries[k] — derivable, so
-    # not repeated here (they doubled the line past the driver's 2000-byte
-    # tail buffer in round 5 and the whole bench line was lost)
+    # not repeated on the driver line (they doubled the line past the
+    # driver's 2000-byte tail buffer in round 5 and the whole bench line
+    # was lost). Full detail goes to a committed BENCH_DETAIL_r{N}.json
+    # instead, so round-over-round comparison needs no reconstruction.
     out["value_normalized"] = round(out["value"] * ratio, 3)
+    detail = dict(out)
+    detail["queries_normalized"] = {
+        k: round(v * ratio, 3) for k, v in times.items()
+    }
+    _write_detail(detail)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # hard guard: stay inside the driver's tail buffer
-        out.pop("queries", None)
-        line = json.dumps(out, separators=(",", ":"))
+        # drop fields cheapest-information-first until the line fits;
+        # re-check after EVERY pop (round 6 advice: a single unchecked pop
+        # could still overflow on a future long field)
+        for field in ("queries", "load_warning", "metric"):
+            out.pop(field, None)
+            line = json.dumps(out, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+        assert len(line) <= 1900, f"bench line still {len(line)} bytes"
     print(line)
+
+
+def _write_detail(detail: dict) -> None:
+    """Commit-ready full bench record: BENCH_DETAIL_r{N}.json where N is
+    one past the newest driver-recorded BENCH_r*.json (this round)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n = (max(rounds) + 1) if rounds else 0
+    path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
+    with open(path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"detail -> {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

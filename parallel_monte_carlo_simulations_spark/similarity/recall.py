@@ -122,3 +122,55 @@ def q_ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+from .pq import _QPQ_ORACLE, q_sim_pq_topk  # noqa: E402
+
+_QPQ_RECALL_ORACLE = f"""
+WITH truth AS ({_QBRUTE_ORACLE}),
+approx AS ({_QPQ_ORACLE}),
+matches AS (
+  SELECT t.query_id, COUNT(*) AS n_match
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(m.n_match, 0) AS BIGINT)          AS n_match,
+       ROUND(COALESCE(m.n_match, 0) / {TOP_K}.0, 4)    AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM truth) q
+LEFT JOIN matches m ON q.query_id = m.query_id
+"""
+
+
+@register(
+    "q_ann_recall_eval_pq",
+    oracle=_QPQ_RECALL_ORACLE,
+    description=(
+        f"ANN eval harness over the PQ index: recall@{TOP_K} vs the "
+        "brute-force ground truth per query vector — with the nDCG/MRR/"
+        "MAP rows this completes the recall+ranking matrix for all "
+        "three ANN scale paths"
+    ),
+    tags=("similarity", "ann", "evaluation", "pq", "composition"),
+)
+def q_ann_recall_eval_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = q_sim_brute_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_sim_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    matches = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(matches, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
+            F.round(
+                F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K)), 4
+            ).alias("recall_at_k"),
+        )
+    )

@@ -397,3 +397,34 @@ def test_plan_audit_api(spark):
     bad = spark.range(10).crossJoin(spark.range(10).selectExpr("id AS id2"))
     with _pytest.raises(ScaleSafetyError):
         assert_scale_safe(bad)
+
+
+def test_er_blocking_no_cartesian(spark):
+    """Sorted-neighborhood ER must pair via the (key, rn) equi-join —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    plan = _plan(spark, "q_er_blocked_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_winnow_overlap_no_cartesian(spark):
+    """Winnowed-fingerprint overlap is an equi-join on the hash."""
+    plan = _plan(spark, "q_winnow_overlap_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_semantic_adaptive_no_cartesian_and_partial_agg(spark):
+    """Sign-projection semantic dedup: bucket pairing is an equi-join;
+    the projection aggregate must have a map-side partial."""
+    plan = _plan(spark, "q_dedup_semantic_adaptive")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_changepoint_single_window_sort_per_stage(spark):
+    """CUSUM runs on O(days) rows; no nested-loop artifacts."""
+    plan = _plan(spark, "q_changepoint_cusum")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
