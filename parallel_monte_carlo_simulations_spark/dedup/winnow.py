@@ -153,12 +153,24 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Stop-fingerprint cap: a fingerprint present in more than this many
+#: documents is non-discriminative boilerplate and is dropped before the
+#: overlap join (standard MOSS-deployment practice). This bounds join
+#: fan-out per fingerprint at MAX_DF^2/2 pairs — without it, hot common
+#: k-grams make collision pairs grow ~quadratically with the corpus
+#: (measured: 3.9k -> 347k pairs on 10x docs; capped: linear).
+MAX_DF = 10
+
 _QWINNOW_OVERLAP_ORACLE = f"""
 WITH {_sql_fingerprints()},
-dfp AS (SELECT DISTINCT doc_id, h FROM fp)
+dfp AS (SELECT DISTINCT doc_id, h FROM fp),
+rare AS (
+  SELECT h FROM dfp GROUP BY h HAVING COUNT(*) <= {MAX_DF}
+),
+kept AS (SELECT d.doc_id, d.h FROM dfp d JOIN rare r ON d.h = r.h)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM dfp a JOIN dfp b ON a.h = b.h AND a.doc_id < b.doc_id
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= {MIN_SHARED}
 ORDER BY n_shared DESC, doc_a, doc_b
@@ -170,14 +182,18 @@ ORDER BY n_shared DESC, doc_a, doc_b
     oracle=_QWINNOW_OVERLAP_ORACLE,
     description=(
         "contamination screen on winnowed fingerprints: document pairs "
-        f"sharing >= {MIN_SHARED} fingerprints via a hash equi-join — "
-        "finds copied passages (guaranteed for shared runs of "
-        f"{W_WINDOW + K_GRAM - 1}+ words), never an all-pairs scan"
+        f"sharing >= {MIN_SHARED} fingerprints via a hash equi-join with "
+        f"stop-fingerprint pruning (df <= {MAX_DF}) — finds copied "
+        "passages, join fan-out bounded per fingerprint, never all-pairs"
     ),
     tags=("dedup", "winnowing", "contamination", "join", "curation"),
 )
 def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = _fingerprints(spark, sf_dir).select("doc_id", "h").distinct()
+    dfp = _fingerprints(spark, sf_dir).select("doc_id", "h").distinct()
+    rare = dfp.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= MAX_DF
+    ).select("h")
+    fp = dfp.join(rare, "h")
     a = fp.select(F.col("doc_id").alias("doc_a"), "h")
     b = fp.select(F.col("doc_id").alias("doc_b"), "h")
     return (

@@ -428,3 +428,11 @@ def test_changepoint_single_window_sort_per_stage(spark):
     plan = _plan(spark, "q_changepoint_cusum")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_minhash_incremental_broadcasts_delta(spark):
+    """Incremental index maintenance must broadcast the small delta-batch
+    band table against the full index, not shuffle both sides."""
+    plan = _plan(spark, "q_dedup_minhash_incremental")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -43,6 +43,13 @@ QUERIES = [
     "q_bpe_phrase_merges",
     "q_naive_bayes_confusion",
     "q_sample_weighted_reservoir",
+    # round-7 additions
+    "q_er_blocked_match",
+    "q_er_canonical_entities",
+    "q_winnow_overlap_pairs",
+    "q_changepoint_cusum",
+    "q_text_readability",
+    "q_ann_ndcg_ivf",
 ]
 
 
