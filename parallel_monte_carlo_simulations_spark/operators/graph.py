@@ -143,6 +143,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached-nodes join resets each iteration's probe side to an
     # InMemoryTableScan, which this runtime schedules far better than
     # the purely chained agg->join pipeline. Keep the nodes join.
+    #
+    # Also measured (r7): eager localCheckpoint on ranks every 2
+    # iterations (the clusters.py lineage-cut that won 6x there) is
+    # noise-level here — 10.75 vs 11.25 s median at sf0.1 — because the
+    # unroll is compiled ONCE (no per-round driver analysis growth, the
+    # thing checkpointing fixes). Not worth the materialization coupling.
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(N_ITERS):
         contrib = (
