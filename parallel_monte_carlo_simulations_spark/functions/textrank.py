@@ -119,14 +119,25 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(adj.select(F.col("b"), F.col("a")))
         .distinct()
-        .persist()
+        # Eager localCheckpoint, not persist: vocabulary state is TINY
+        # (distinct content words), so materialization is free while the
+        # lineage cut collapses the 10-iteration plan depth — measured
+        # 3x same-JVM (3.6 s vs 10.7 s at sf0.1, identical output). The
+        # OPPOSITE call from operators/graph.py's PageRank, whose
+        # per-node state is large and whose lazy unroll measured faster;
+        # the deciding variable is state size vs plan-compile overhead.
+        .localCheckpoint(eager=True)
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    edges_deg = edges.join(outdeg, "src")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(N_ITERS):
+    for i in range(N_ITERS):
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .groupBy("dst")
@@ -141,6 +152,8 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))
             ).alias("rank"),
         )
+        if (i + 1) % 2 == 0 and i < N_ITERS - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     wr = Window.orderBy(F.desc("score"), F.asc("word"))
     return (
         ranks.select(
