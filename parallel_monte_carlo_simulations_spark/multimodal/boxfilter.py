@@ -122,3 +122,113 @@ def q_multimodal_box_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bs").cast("long").alias("box_total"),
         F.max("bs").cast("long").alias("box_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram equalization: per-image tone mapping as relational ops.
+# ---------------------------------------------------------------------------
+
+_QHISTEQ_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, 8 + (doc_id % 9) AS w, 6 + (doc_id % 7) AS h
+  FROM documents WHERE doc_id % 4 = 3
+),
+px AS (
+  SELECT d.doc_id, d.w * d.h AS n_px,
+         (d.doc_id + 7 * x.x + 13 * y.y) % 256 AS r
+  FROM docs d,
+       LATERAL (SELECT unnest(range(0, d.w)) AS x) x,
+       LATERAL (SELECT unnest(range(0, d.h)) AS y) y
+),
+hist AS (
+  SELECT doc_id, n_px, r, COUNT(*) AS c
+  FROM px GROUP BY doc_id, n_px, r
+),
+cdf0 AS (
+  SELECT doc_id, n_px, r, c,
+         SUM(c) OVER (PARTITION BY doc_id ORDER BY r) AS cum
+  FROM hist
+),
+cdf AS (
+  SELECT doc_id, n_px, r, c, cum,
+         MIN(cum) OVER (PARTITION BY doc_id) AS cdf_min
+  FROM cdf0
+),
+mapped AS (
+  SELECT doc_id, r, c,
+         CASE WHEN n_px = cdf_min THEN 0
+              ELSE ((cum - cdf_min) * 255 * 2 + (n_px - cdf_min))
+                   // (2 * (n_px - cdf_min)) END AS new_val
+  FROM cdf
+)
+SELECT doc_id,
+       CAST(SUM(c * new_val) AS BIGINT) AS eq_sum,
+       CAST(MIN(new_val) AS BIGINT) AS eq_min,
+       CAST(MAX(new_val) AS BIGINT) AS eq_max,
+       CAST(COUNT(*) AS BIGINT) AS n_levels
+FROM mapped
+GROUP BY doc_id
+"""
+
+
+@register(
+    "q_multimodal_hist_equalization",
+    oracle=_QHISTEQ_ORACLE,
+    description=(
+        "histogram equalization over REAL-decoded pixels as relational "
+        "ops: per-image histogram groupBy, CDF window cumsum, half-up "
+        "integer tone map ((cum-cdfmin)*255 / (n-cdfmin)) — per-image "
+        "equalized checksums, integer-exact both engines"
+    ),
+    tags=("multimodal", "image", "histogram", "window", "mapInPandas"),
+)
+def q_multimodal_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tone-mapping normalization every vision preprocessing stack
+    applies, expressed without an imaging library: histogram = groupBy,
+    CDF = one ordered window per image, the 0..255 remap = pure integer
+    half-up division (the changepoint.py div discipline — decimal/double
+    ROUND ties disagree cross-engine). State per image is O(256 levels),
+    never O(pixels), after the first groupBy."""
+    d = table(spark, sf_dir, "documents")
+    imgs = d.filter(F.col("doc_id") % 4 == 3).select("doc_id")
+    px = imgs.mapInPandas(_red_batch, schema="doc_id long, r int")
+    counts = px.groupBy("doc_id").agg(F.count("*").alias("n_px"))
+    hist = (
+        px.groupBy("doc_id", "r")
+        .agg(F.count("*").alias("c"))
+        .join(counts, "doc_id")
+    )
+    wc = Window.partitionBy("doc_id").orderBy("r")
+    wdoc = Window.partitionBy("doc_id")
+    cdf = hist.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "cdf_min", F.min("cum").over(wdoc)
+    )
+    mapped = cdf.withColumn(
+        "new_val",
+        F.when(F.col("n_px") == F.col("cdf_min"), F.lit(0)).otherwise(
+            F.expr(
+                "((cum - cdf_min) * 255 * 2 + (n_px - cdf_min))"
+                " div (2 * (n_px - cdf_min))"
+            )
+        ),
+    )
+    return mapped.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("new_val")).cast("long").alias("eq_sum"),
+        F.min("new_val").cast("long").alias("eq_min"),
+        F.max("new_val").cast("long").alias("eq_max"),
+        F.count("*").cast("long").alias("n_levels"),
+    )
+
+
+def _red_batch(batches: Iterator) -> Iterator:
+    """Real decode, red channel only — one row per pixel."""
+    import pandas as pd
+
+    from .bmp import decode_bmp, synth_bmp
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            w, h, pixels = decode_bmp(synth_bmp(int(doc_id)))
+            rows.extend((int(doc_id), p[0]) for p in pixels)
+        yield pd.DataFrame(rows, columns=["doc_id", "r"])
