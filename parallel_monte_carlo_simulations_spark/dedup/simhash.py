@@ -135,3 +135,126 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pigeonhole recall audit: prove the blocking guarantee on data.
+# ---------------------------------------------------------------------------
+
+_QSIMHASH_AUDIT_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SH}) AS shingle FROM documents
+),
+hashed AS (
+  SELECT doc_id, {sql_hash60('shingle')} AS h FROM sh
+),
+bitsums AS (
+  SELECT doc_id,
+    {_BITSUMS_SQL}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, {_COMBINE_SQL} AS simhash FROM bitsums
+),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+),
+pieces AS (
+  SELECT doc_id, simhash, unnest([{_PIECES_SQL}]) AS piece FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM pieces a JOIN pieces b
+    ON a.piece = b.piece AND a.doc_id < b.doc_id
+),
+found AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE bit_count(xor(sig_a, sig_b)) <= {MAX_HAMMING}
+),
+missed AS (
+  SELECT t.doc_a FROM truth t
+  LEFT JOIN found f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+  WHERE f.doc_a IS NULL
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)  AS n_truth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM found)  AS n_found,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM missed) AS n_missed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)   AS n_candidates
+"""
+
+
+@register(
+    "q_dedup_simhash_recall_audit",
+    oracle=_QSIMHASH_AUDIT_ORACLE,
+    description=(
+        "SimHash pigeonhole recall audit: ALL-pairs Hamming truth vs the "
+        f"{N_PIECES}-piece blocked index — n_missed MUST be 0 (<= "
+        f"{MAX_HAMMING} bit errors cannot corrupt every piece), measured "
+        "on data, plus the candidate-efficiency count"
+    ),
+    tags=("dedup", "simhash", "evaluation", "audit"),
+)
+def q_dedup_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion of ``minhash_eval`` for the SimHash path: MinHash's
+    banding is probabilistic (missed pairs are expected and measured),
+    but pigeonhole blocking carries a PROOF — with 4 pieces and at most
+    3 differing bits, some piece is untouched, so every true pair
+    shares a block. This query measures that guarantee instead of
+    assuming it: n_missed is computed from the data and hash-verified
+    to be the same number (zero) in both engines, alongside the price
+    paid (candidate pairs vs true pairs).
+
+    The all-pairs truth join runs on the SIGNATURE table (one bigint
+    per doc), not the corpus — at production scale this is the audit-
+    sample path: sample doc ids, all-pairs their signatures, never the
+    corpus text."""
+    sig = simhash_signatures(shingle_sets(spark, sf_dir)).persist()
+    a = sig.alias("a")
+    b = sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    found_full = q_dedup_simhash(spark, sf_dir)
+    found = found_full.select("doc_a", "doc_b")
+    # candidate count: re-derive the blocked pairs pre-verification
+    piece_cols = [
+        F.concat_ws(
+            ":",
+            F.lit(str(p)),
+            F.shiftright("simhash", p * PIECE_BITS).bitwiseAND(
+                F.lit((1 << PIECE_BITS) - 1)
+            ),
+        )
+        for p in range(N_PIECES)
+    ]
+    pieces = sig.select("doc_id", F.explode(F.array(*piece_cols)).alias("piece"))
+    cand = (
+        pieces.alias("pa")
+        .join(
+            pieces.alias("pb"),
+            (F.col("pa.piece") == F.col("pb.piece"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    missed = truth.join(found, ["doc_a", "doc_b"], "left_anti")
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_found = found.agg(F.count("*").cast("long").alias("n_found"))
+    n_missed = missed.agg(F.count("*").cast("long").alias("n_missed"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_missed))
+        .crossJoin(F.broadcast(n_cand))
+    )
