@@ -50,6 +50,10 @@ QUERIES = [
     "q_changepoint_cusum",
     "q_text_readability",
     "q_ann_ndcg_ivf",
+    "q_text_textrank_keywords",
+    "q_multimodal_box_filter",
+    "q_dedup_minhash_incremental",
+    "q_markov_stationary",
 ]
 
 
