@@ -54,6 +54,15 @@ QUERIES = [
     "q_multimodal_box_filter",
     "q_dedup_minhash_incremental",
     "q_markov_stationary",
+    # round-7 third batch
+    "q_er_jaro_winkler",
+    "q_stat_kendall_tau",
+    "q_ts_holt_linear",
+    "q_ml_isotonic_pava",
+    "q_dq_functional_deps",
+    "q_dq_candidate_keys",
+    "q_stat_theil_sen",
+    "q_multimodal_adpcm_roundtrip",
 ]
 
 
