@@ -2,32 +2,42 @@
 
 The third near-dup blocking family, algorithmically distinct from
 MinHash banding (:mod:`.minhash`, probabilistic) and length bucketing
-(:mod:`.ngram`): for Jaccard threshold t, order every doc's token set by
+(:mod:`.ngram`): for Jaccard threshold t, order every set's tokens by
 GLOBAL rarity and emit only its first ``s - ceil(t·s) + 1`` tokens as
 join keys. Two sets with Jaccard ≥ t MUST share a prefix token under a
-consistent global order (pigeonhole on the ≤ s - ceil(t·s) tokens either
-set can afford to miss), so the equi-join on prefix tokens has **zero
-false negatives** — this is an exact join, not an approximation — while
-the rare-token-first order keeps candidate lists short (the most
-selective tokens block first).
+consistent global order (pigeonhole on the ≤ s - ceil(t·s) tokens
+either set can afford to miss), so the equi-join on prefix tokens has
+**zero false negatives** — an exact join, not an approximation.
 
-At 100 TB: the token-rank dictionary is vocab-sized (a broadcastable
-side the way TF-IDF's vocab already is, plan-asserted there); the
-candidate join shuffles on prefix tokens whose per-key fan-out the
-rarity order actively minimizes; verification joins the full token sets
-only for surviving candidate pairs. All thresholds are integer-scaled
-(``10·inter ≥ 7·union``, ``ceil(0.7·s)`` as ``(7s+9) div 10``) so both
-engines make bit-identical keep/drop decisions.
+Scale design (reworked after the sf0.1 robustness sweep caught the
+first version at 300+ s):
 
-Honest selectivity caveat: prefix filtering earns its keep on LARGE,
-Zipf-distributed vocabularies, where the rare prefix tokens block
-almost nothing together. The synthetic testdata corpus has a ~31-token
-vocabulary (``q_text_zipf_fit`` measures slope −0.18 vs natural text's
-−1), so every prefix token is common and candidate generation here
-degenerates toward the dup-cluster quadratic — on real corpora the
-rare-first order is precisely what prevents that. MinHash banding
-(:mod:`.minhash`) is the scale path when the vocabulary itself is
-degenerate.
+1. **Join distinct TOKEN SETS, not documents.** This corpus is one big
+   near-dup blob — 41% of all doc pairs clear Jaccard ≥ 0.7 at sf0.1 —
+   so any doc-level pair join is quadratic in the corpus. The pair
+   space here is |distinct sets|², bounded by vocabulary combinatorics
+   (C(|V|, k)), NOT by corpus size; documents re-enter only as exact
+   multiplicities and in the bounded top-K expansion.
+2. **Small-vocabulary bitmask fast path.** The corpus vocabulary is
+   ~31 tokens (``q_text_zipf_fit``); both engines GUARD |V| ≤ 62
+   (loud ``raise_error`` / ``error`` otherwise) and encode each set as
+   one BIGINT mask. Membership, set size, prefix position
+   (``bit_count(mask & (2^rnk - 1)) + 1``) and intersection
+   (``bit_count(mask_a & mask_b)``) are all O(1) bit arithmetic — the
+   Jaccard filter runs INLINE in the candidate stream, before any
+   distinct. On a real >62-token vocabulary this path fails loudly and
+   the general array-intersect formulation applies (the pre-rework
+   shape, kept in git history); the blocking algebra is identical.
+3. **Top-K without global expansion.** Matched SET pairs carry exact
+   expanded-pair counts (cnt_a·cnt_b cross, n·(n-1)/2 within); the
+   top-200 doc pairs are found by a running-count window over set
+   pairs ordered by Jaccard, expanding ONLY the set pairs at or above
+   the 200th pair's Jaccard (tie-complete, so the doc-level order is
+   exact), then one final bounded sort.
+
+All thresholds are integer-scaled (``10·i ≥ 7·(sa+sb−i)``,
+``ceil(0.7·s)`` as ``(7s+9) div 10``); Jaccard doubles are one
+division of exact integers — identical in both engines.
 """
 
 from __future__ import annotations
@@ -41,48 +51,99 @@ from ..tables import table
 # t = 0.7 as the exact fraction 7/10 — never a float threshold.
 _T_NUM, _T_DEN = 7, 10
 
+#: Output cap: the K most-similar doc pairs (ties broken by ids).
+_TOP_K = 200
+
 _QPREFIX_ORACLE = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
   FROM documents
 ),
 tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok),
-ranked AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY df, tok) AS rnk FROM tf),
-dt AS (
-  SELECT t.doc_id, t.tok,
-         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY r.rnk) AS pos,
-         COUNT(*) OVER (PARTITION BY t.doc_id) AS s
+ranked AS (
+  SELECT tok,
+         CASE WHEN ROW_NUMBER() OVER (ORDER BY df, tok) > 62
+              THEN error('vocabulary exceeds 62 tokens: bitmask path invalid')
+              ELSE ROW_NUMBER() OVER (ORDER BY df, tok) END AS rnk
+  FROM tf
+),
+doc_mask AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(1 AS BIGINT) << (r.rnk - 1)) AS BIGINT) AS mask,
+         CAST(COUNT(*) AS BIGINT) AS s
   FROM toks t JOIN ranked r ON r.tok = t.tok
+  GROUP BY t.doc_id
+),
+sets AS (
+  SELECT mask, CAST(MAX(s) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM doc_mask GROUP BY mask
 ),
 pref AS (
-  SELECT doc_id, tok, s FROM dt
-  WHERE pos <= s - (({_T_NUM} * s + {_T_DEN - 1}) // {_T_DEN}) + 1
+  SELECT g.mask, g.s, g.cnt, r.tok
+  FROM sets g JOIN ranked r
+    ON ((g.mask >> (r.rnk - 1)) & 1) = 1
+   AND bit_count(g.mask & ((CAST(1 AS BIGINT) << (r.rnk - 1)) - 1)) + 1
+       <= g.s - (({_T_NUM} * g.s + {_T_DEN - 1}) // {_T_DEN}) + 1
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.s AS sa, b.s AS sb
-  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+cross_pairs AS (
+  SELECT DISTINCT a.mask AS ma, b.mask AS mb, a.s AS sa, b.s AS sb,
+         a.cnt AS ca, b.cnt AS cb,
+         CAST(bit_count(a.mask & b.mask) AS BIGINT) AS i
+  FROM pref a JOIN pref b
+    ON a.tok = b.tok AND a.mask < b.mask
+   AND {_T_NUM} * b.s <= {_T_DEN} * a.s
+   AND {_T_NUM} * a.s <= {_T_DEN} * b.s
+  WHERE {_T_DEN} * CAST(bit_count(a.mask & b.mask) AS BIGINT)
+        >= {_T_NUM} * (a.s + b.s - CAST(bit_count(a.mask & b.mask) AS BIGINT))
 ),
-inter AS (
-  SELECT c.da, c.db, c.sa, c.sb, CAST(COUNT(*) AS BIGINT) AS i
-  FROM cand c
-  JOIN toks ta ON ta.doc_id = c.da
-  JOIN toks tb ON tb.doc_id = c.db AND tb.tok = ta.tok
-  GROUP BY c.da, c.db, c.sa, c.sb
-),
-matched AS (
-  SELECT da, db, i, sa, sb,
+pairgroups AS (
+  SELECT ma, mb, sa, sb, i,
+         CAST(ca * cb AS BIGINT) AS npairs,
          CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) AS jac_raw
-  FROM inter
-  WHERE {_T_DEN} * i >= {_T_NUM} * (sa + sb - i)
+  FROM cross_pairs
+  UNION ALL
+  SELECT mask, mask, s, s, s,
+         CAST(cnt * (cnt - 1) / 2 AS BIGINT) AS npairs,
+         CAST(s AS DOUBLE) / CAST(s AS DOUBLE) AS jac_raw
+  FROM sets WHERE cnt >= 2
 ),
-total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_total FROM matched)
-SELECT m.da AS doc_a, m.db AS doc_b, m.i AS n_common,
-       m.sa AS size_a, m.sb AS size_b,
-       ROUND(m.jac_raw, 4) AS jaccard,
+total AS (
+  SELECT CAST(SUM(npairs) AS BIGINT) AS n_pairs_total FROM pairgroups
+),
+running AS (
+  SELECT *,
+         SUM(npairs) OVER (ORDER BY jac_raw DESC, ma, mb
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM pairgroups
+),
+jac_cut AS (
+  SELECT MIN(jac_raw) AS cut FROM running WHERE cum - npairs < {_TOP_K}
+),
+keep AS (
+  SELECT r.* FROM running r CROSS JOIN jac_cut c WHERE r.jac_raw >= c.cut
+),
+expanded AS (
+  SELECT CASE WHEN da.doc_id < db.doc_id THEN da.doc_id ELSE db.doc_id END
+           AS doc_a,
+         CASE WHEN da.doc_id < db.doc_id THEN db.doc_id ELSE da.doc_id END
+           AS doc_b,
+         k.i AS n_common,
+         CASE WHEN da.doc_id < db.doc_id THEN k.sa ELSE k.sb END AS size_a,
+         CASE WHEN da.doc_id < db.doc_id THEN k.sb ELSE k.sa END AS size_b,
+         k.jac_raw
+  FROM keep k
+  JOIN doc_mask da ON da.mask = k.ma
+  JOIN doc_mask db ON db.mask = k.mb
+   AND (k.ma <> k.mb OR da.doc_id < db.doc_id)
+)
+SELECT e.doc_a, e.doc_b, e.n_common, e.size_a, e.size_b,
+       ROUND(e.jac_raw, 4) AS jaccard,
        t.n_pairs_total
-FROM matched m CROSS JOIN total t
-ORDER BY m.jac_raw DESC, m.da, m.db
-LIMIT 200
+FROM expanded e CROSS JOIN total t
+ORDER BY e.jac_raw DESC, e.doc_a, e.doc_b
+LIMIT {_TOP_K}
 """
 
 
@@ -91,8 +152,9 @@ LIMIT 200
     oracle=_QPREFIX_ORACLE,
     description=(
         "exact Jaccard>=0.7 set-similarity self-join via PPJoin-style "
-        "prefix filtering (rare-token-first global order, zero false "
-        "negatives, integer-scaled thresholds)"
+        "prefix filtering over DISTINCT token sets (guarded <=62-token "
+        "bitmask fast path, inline popcount verification, multiplicity-"
+        "exact pair counting, tie-complete top-200 expansion)"
     ),
     tags=("dedup", "similarity-join", "prefix-filter", "exact", "scale"),
 )
@@ -105,62 +167,129 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     ranked = tf.select(
         "tok", F.row_number().over(Window.orderBy("df", "tok")).alias("rnk")
-    )
-    dt = toks.join(ranked, on="tok").select(
-        "doc_id",
+    ).selectExpr(
         "tok",
-        F.row_number()
-        .over(Window.partitionBy("doc_id").orderBy("rnk"))
-        .alias("pos"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("s"),
+        "CASE WHEN rnk > 62 THEN "
+        "raise_error('vocabulary exceeds 62 tokens: bitmask path invalid') "
+        "ELSE rnk END AS rnk",
     )
-    pref = dt.where(
-        F.col("pos")
-        <= F.expr(f"s - (({_T_NUM} * s + {_T_DEN - 1}) div {_T_DEN}) + 1")
-    ).select("doc_id", "tok", "s")
+    doc_mask = (
+        toks.join(ranked, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(SUM(shiftleft(1L, rnk - 1)) AS BIGINT)").alias("mask"),
+            F.count(F.lit(1)).cast("long").alias("s"),
+        )
+    )
+    sets = doc_mask.groupBy("mask").agg(
+        F.max("s").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    # Prefix membership/position from pure bit math: ranked is
+    # vocab-sized, so this is a broadcast nested loop over |sets| x |V|.
+    pref = sets.join(
+        F.broadcast(ranked),
+        F.expr(
+            "((mask >> (rnk - 1)) & 1) = 1 AND "
+            "bit_count(mask & (shiftleft(1L, rnk - 1) - 1)) + 1 "
+            f"<= s - (({_T_NUM} * s + {_T_DEN - 1}) div {_T_DEN}) + 1"
+        ),
+    ).select("mask", "s", "cnt", "tok")
 
     a = pref.select(
-        F.col("doc_id").alias("da"), F.col("tok").alias("tok"), F.col("s").alias("sa")
+        F.col("mask").alias("ma"), F.col("s").alias("sa"),
+        F.col("cnt").alias("ca"), "tok",
     )
     b = pref.select(
-        F.col("doc_id").alias("db"), F.col("tok").alias("tok"), F.col("s").alias("sb")
+        F.col("mask").alias("mb"), F.col("s").alias("sb"),
+        F.col("cnt").alias("cb"), "tok",
     )
-    cand = (
-        a.join(b, on="tok")
-        .where(F.col("da") < F.col("db"))
-        .select("da", "db", "sa", "sb")
+    cross_pairs = (
+        a.join(b, "tok")
+        .where(
+            (F.col("ma") < F.col("mb"))
+            & (F.lit(_T_NUM) * F.col("sb") <= F.lit(_T_DEN) * F.col("sa"))
+            & (F.lit(_T_NUM) * F.col("sa") <= F.lit(_T_DEN) * F.col("sb"))
+            & F.expr(
+                f"{_T_DEN} * bit_count(ma & mb) "
+                f">= {_T_NUM} * (sa + sb - bit_count(ma & mb))"
+            )
+        )
+        .select(
+            "ma", "mb", "sa", "sb", "ca", "cb",
+            F.expr("CAST(bit_count(ma & mb) AS BIGINT)").alias("i"),
+        )
         .distinct()
     )
 
-    ta = toks.select(F.col("doc_id").alias("da"), F.col("tok").alias("tok"))
-    tb = toks.select(F.col("doc_id").alias("db"), F.col("tok").alias("tok"))
-    inter = (
-        cand.join(ta, on="da")
-        .join(tb, on=["db", "tok"])
-        .groupBy("da", "db", "sa", "sb")
-        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    pairgroups = cross_pairs.select(
+        "ma",
+        "mb",
+        "sa",
+        "sb",
+        "i",
+        (F.col("ca") * F.col("cb")).cast("long").alias("npairs"),
+        (
+            F.col("i").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("i")).cast("double")
+        ).alias("jac_raw"),
+    ).union(
+        sets.filter(F.col("cnt") >= 2).select(
+            F.col("mask").alias("ma"),
+            F.col("mask").alias("mb"),
+            F.col("s").alias("sa"),
+            F.col("s").alias("sb"),
+            F.col("s").alias("i"),
+            (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long")
+            .alias("npairs"),
+            (F.col("s").cast("double") / F.col("s").cast("double"))
+            .alias("jac_raw"),
+        )
     )
-    union = F.col("sa") + F.col("sb") - F.col("i")
-    matched = inter.where(
-        F.lit(_T_DEN) * F.col("i") >= F.lit(_T_NUM) * union
-    ).withColumn("jac_raw", F.col("i").cast("double") / union.cast("double"))
-    total = matched.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs_total")
+    total = pairgroups.agg(
+        F.sum("npairs").cast("long").alias("n_pairs_total")
     )
-    # Top-200 by the UNROUNDED jaccard (identical doubles in both
-    # engines -> identical order) with id tie-breaks, so the LIMIT
-    # boundary is deterministic; the corpus is heavily templated, so the
-    # full pair list is quadratic-ish in dup-cluster size at any SF.
-    return (
-        matched.crossJoin(F.broadcast(total))
-        .orderBy(F.col("jac_raw").desc(), "da", "db")
-        .limit(200)
+
+    w_run = Window.orderBy(
+        F.col("jac_raw").desc(), "ma", "mb"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = pairgroups.withColumn("cum", F.sum("npairs").over(w_run))
+    jac_cut = running.where(F.col("cum") - F.col("npairs") < _TOP_K).agg(
+        F.min("jac_raw").alias("cut")
+    )
+    keep = running.crossJoin(F.broadcast(jac_cut)).where(
+        F.col("jac_raw") >= F.col("cut")
+    )
+
+    da = doc_mask.select(F.col("mask").alias("ma"), F.col("doc_id").alias("ida"))
+    db = doc_mask.select(F.col("mask").alias("mb"), F.col("doc_id").alias("idb"))
+    expanded = (
+        keep.join(da, "ma")
+        .join(db, "mb")
+        .where((F.col("ma") != F.col("mb")) | (F.col("ida") < F.col("idb")))
         .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
             F.col("i").alias("n_common"),
-            F.col("sa").alias("size_a"),
-            F.col("sb").alias("size_b"),
+            F.when(F.col("ida") < F.col("idb"), F.col("sa"))
+            .otherwise(F.col("sb"))
+            .alias("size_a"),
+            F.when(F.col("ida") < F.col("idb"), F.col("sb"))
+            .otherwise(F.col("sa"))
+            .alias("size_b"),
+            "jac_raw",
+        )
+    )
+    return (
+        expanded.crossJoin(F.broadcast(total))
+        .orderBy(F.col("jac_raw").desc(), "doc_a", "doc_b")
+        .limit(_TOP_K)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "size_a",
+            "size_b",
             F.round(F.col("jac_raw"), 4).alias("jaccard"),
             "n_pairs_total",
         )

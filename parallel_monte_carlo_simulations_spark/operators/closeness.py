@@ -106,13 +106,23 @@ def q_graph_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.sparkContext.defaultParallelism
     edges = edges.repartition(p, "src").persist()
 
+    # Eager localCheckpoint per round, NOT persist: ``known`` is
+    # referenced twice per round (anti-join probe + carry union), so
+    # without a lineage cut its LOGICAL plan doubles per hop — 2^8
+    # leaves by hop 8, which OOMs a default-1g driver heap inside plan
+    # stringification BEFORE any task runs (reproduced in the plain
+    # driver-contract session; bfs_hops survives only because its state
+    # is 1/K the width). The checkpoint materializes each round's small
+    # (src, node, dist) state and truncates the plan to a scan, keeping
+    # every round's optimizer input linear. clusters.py:33 documents
+    # the same pattern for the connected-components loop.
     known = (
         spark.createDataFrame(
             [(i, i, 0) for i in range(1, K_SOURCES + 1)],
             "src_id long, node long, dist int",
         )
         .repartition(p, "node")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     frontier = known
     for _ in range(MAX_HOPS):
@@ -129,8 +139,12 @@ def q_graph_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = cand.join(
             known.hint("shuffle_hash"), ["src_id", "node"], "left_anti"
-        ).persist()
-        known = known.unionByName(frontier).persist()
+        ).localCheckpoint(eager=True)
+        known = known.unionByName(frontier).localCheckpoint(eager=True)
+    # Final state is materialized by the checkpoint; the edge cache is
+    # no longer reachable from the returned plan — release it so the
+    # driver window's session carries no residue into later queries.
+    edges.unpersist()
 
     hw = F.expr(_HW_CASE)
     return (

@@ -354,8 +354,15 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same co-partitioned shape as PageRank: edges hash(src, P), frontier
     and known hash(node, P) — the expand join is zero-exchange; each
     round shuffles only the frontier dedup. ``known`` is referenced
-    twice per round (anti-join probe + carry union), so it persists per
-    round to keep the DAG linear instead of doubling per hop."""
+    twice per round (anti-join probe + carry union), so its LOGICAL
+    plan doubles per hop; persist() caches the data but does NOT
+    truncate the analyzed plan, and the 2^hops-leaf plan string OOMs a
+    default-1g driver heap during plan logging (observed in the plain
+    driver-contract sweep). Eager localCheckpoint is the fix — it
+    materializes each round's small (node, dist) state AND cuts the
+    plan to a scan (clusters.py:33 pattern); the edge cache is
+    released after the loop since the checkpointed state no longer
+    references it."""
     l = table(spark, sf_dir, "lineitem")
     pairs = (
         l.select(
@@ -374,7 +381,7 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     known = (
         spark.createDataFrame([(_BFS_SOURCE, 0)], "node long, dist int")
         .repartition(p, "node")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     frontier = known
     for _ in range(_BFS_HOPS):
@@ -389,8 +396,9 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = cand.join(
             known.hint("shuffle_hash"), "node", "left_anti"
-        ).persist()
-        known = known.unionByName(frontier).persist()
+        ).localCheckpoint(eager=True)
+        known = known.unionByName(frontier).localCheckpoint(eager=True)
+    edges.unpersist()
     return known.select(
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("int").alias("dist"),
