@@ -133,11 +133,22 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-round state is O(V) instead of O(E) — the version that
     # survives 100 TB edge sets. The un-persisted predecessor (every
     # round lazily recomputing all prior rounds) measured 77 s at
-    # sf0.001 — do not remove the persists. They are deliberately not
-    # unpersisted in-function (the result is lazy; releasing early would
-    # recompute every round): sweep harnesses clearCache() per query
-    # (bench.py, tests/conftest.py autouse fixture).
-    edges = edges.persist()
+    # sf0.001 — do not drop the materialization. ``alive`` is eager-
+    # localCheckpointed per round, not persisted: each round references
+    # the previous alive set TWICE (both semi-joins), so without a
+    # lineage cut the logical plan doubles per round — in the plain
+    # driver-contract session (1g heap, default confs) the persist()
+    # version measured 138 s at sf0.01 and risks the plan-logging OOM
+    # that killed the BFS queries (graph.py:357); checkpointed it is
+    # ~4 s. The edge cache stays for the final per-round summary scans.
+    # Repartition to defaultParallelism BEFORE caching: without it the
+    # cached union carries 2x the session's shuffle-partition count
+    # (400 in a default session), and every one of the ~N_ROUNDS x 3
+    # passes over the cache pays that task count again — measured 114 s
+    # vs ~30 s at sf0.01 in the plain driver-contract session. p tracks
+    # cluster size, so the cached layout scales with the executor count.
+    p = spark.sparkContext.defaultParallelism
+    edges = edges.repartition(p, "src").persist()
     alive = edges.select("src").distinct()
     rounds = [edges]
     for _ in range(N_ROUNDS):
@@ -155,7 +166,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(thresh))
             .where(F.col("deg") >= F.col("k"))
             .select("src")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         rounds.append(
             edges.join(F.broadcast(alive), "src", "left_semi").join(
