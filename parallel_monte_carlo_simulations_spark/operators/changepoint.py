@@ -61,16 +61,15 @@ best AS (
 SELECT event_type,
        CAST(n AS BIGINT) AS n_days,
        strftime(day, '%Y-%m-%d') AS cp_day,
-       ((ABS(c_scaled) // (n * 100)) * 10000
-        + ((ABS(c_scaled) % (n * 100)) * 20000 + n * 100) // (2 * n * 100))
-         / 10000.0 AS cusum_stat,
-       ((prefix // (i * 100)) * 10000
-        + ((prefix % (i * 100)) * 20000 + i * 100) // (2 * i * 100))
-         / 10000.0 AS mean_before,
-       (((total - prefix) // ((n - i) * 100)) * 10000
-        + (((total - prefix) % ((n - i) * 100)) * 20000 + (n - i) * 100)
-          // (2 * (n - i) * 100))
-         / 10000.0 AS mean_after
+       CAST(ABS(c_scaled) // (n * 100) AS DOUBLE)
+        + CAST(((ABS(c_scaled) % (n * 100)) * 20000 + n * 100)
+               // (2 * n * 100) AS DOUBLE) / 10000.0 AS cusum_stat,
+       CAST(prefix // (i * 100) AS DOUBLE)
+        + CAST(((prefix % (i * 100)) * 20000 + i * 100)
+               // (2 * i * 100) AS DOUBLE) / 10000.0 AS mean_before,
+       CAST((total - prefix) // ((n - i) * 100) AS DOUBLE)
+        + CAST((((total - prefix) % ((n - i) * 100)) * 20000 + (n - i) * 100)
+               // (2 * (n - i) * 100) AS DOUBLE) / 10000.0 AS mean_after
 FROM best
 ORDER BY event_type
 """
@@ -122,10 +121,21 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Final divisions rounded half-up in PURE INTEGER arithmetic
     # (quotients can tie exactly at the 5th decimal, where double ROUND
     # and the engines' decimal-division scales both disagree —
-    # observed: 3031.9388 vs .9387): value = whole*1e4 + round4(frac),
-    # every term BIGINT via the SQL `div` operator (`//` in DuckDB), one
-    # exact /1e4 at the end. The remainder-split form keeps the scaled
-    # numerator < 2e4 * den — no overflow however large the totals grow.
+    # observed: 3031.9388 vs .9387). SPLIT form, r8 fix: the old
+    # (whole*1e4 + frac)/1e4 double division double-rounds once the
+    # scaled integer exceeds 2^53 (num ~ 9e11 already breaks it:
+    # 14411518807587.002 != 14411518807587.0). Instead keep whole and
+    # the half-up 4-digit fraction as SEPARATE BIGINTs and combine as
+    # double(whole) + double(frac)/1e4 — correctly rounded (== float of
+    # the Decimal ROUND_HALF_UP quantization) for every quotient below
+    # 2^53 ~ 9.0e15, because decimal fractions k/1e4 that are not
+    # exactly representable sit >= 1/(1e4*2^j) ~ 1e-7 away from any
+    # half-ulp boundary, 9 orders above the 1e-16 division error
+    # (property-tested in tests/test_changepoint.py; DECIMAL output was
+    # rejected because DuckDB evaluates decimal division and
+    # decimal->double casts through doubles, which double-rounds).
+    # Beyond 2^53 both engines still agree bit-for-bit: the IEEE op
+    # sequence is identical.
     staged = best.select(
         "event_type",
         F.col("n").cast("long").alias("n_days"),
@@ -140,10 +150,10 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _rdiv(num: str, den: str):
         return F.expr(
-            f"(({num} div {den}) * 10000"
-            f" + (({num} % {den}) * 20000 + {den}) div (2 * {den}))"
-            " / 10000.0"
-        ).cast("double")
+            f"cast({num} div {den} as double)"
+            f" + cast((({num} % {den}) * 20000 + {den}) div (2 * {den})"
+            "        as double) / 10000.0"
+        )
 
     return staged.select(
         "event_type",
