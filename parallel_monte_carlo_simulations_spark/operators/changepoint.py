@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -148,12 +149,7 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n") - F.col("i")) * 100).cast("long").alias("den_a"),
     )
 
-    def _rdiv(num: str, den: str):
-        return F.expr(
-            f"cast({num} div {den} as double)"
-            f" + cast((({num} % {den}) * 20000 + {den}) div (2 * {den})"
-            "        as double) / 10000.0"
-        )
+    _rdiv = rdiv_halfup_expr
 
     return staged.select(
         "event_type",

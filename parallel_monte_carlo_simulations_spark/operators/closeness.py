@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import guard_exact_bigint
 from ..registry import register
 from ..tables import table
 from .graph import _PART_OFFSET
@@ -152,7 +153,13 @@ def q_graph_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_id")
         .agg(
             F.count("*").cast("long").alias("n_reached"),
-            F.sum(hw).cast("long").alias("harmonic_u"),
+            # 2^53 fence: the per-source sum of round(1e6/d) weights is
+            # bounded by 1e6 * reachable-set size; on a 100 TB graph
+            # with > ~9e9 reachable nodes the final /1e6 would silently
+            # double-round — fail loudly instead (functions/microunit).
+            guard_exact_bigint(
+                F.sum(hw).cast("long"), "closeness.harmonic_u"
+            ).alias("harmonic_u"),
             F.round(F.sum(hw) / 1000000.0, 4).alias("harmonic"),
         )
         .select(F.col("src_id").cast("long").alias("src_id"), "n_reached", "harmonic_u", "harmonic")

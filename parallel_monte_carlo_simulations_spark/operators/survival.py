@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, sql_hash60
+from ..functions.microunit import guard_abs_lt
 from ..registry import register
 from ..tables import table
 
@@ -159,8 +160,16 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_asc = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # The cumulative DECIMAL(_,9) log-sum is exact as a decimal; its one
+    # cast to double is correctly rounded only while |sum|*1e9 < 2^53
+    # (|sum| < ~9.0e6 — risk tables are thousands of rows with |ln| <=
+    # ~20, so the headroom is ~4 orders). Fence it (functions/microunit)
+    # so growth past the exact range fails loudly, never silently.
+    lnsum = guard_abs_lt(
+        F.sum("lnterm").over(w_asc), 9.0e6, "survival.km_lnsum"
+    )
     survival = F.when(F.sum("hits_zero").over(w_asc) > 0, F.lit(0.0)).otherwise(
-        F.round(F.exp(F.sum("lnterm").over(w_asc).cast("double")), 6)
+        F.round(F.exp(lnsum.cast("double")), 6)
     )
     return terms.select(
         "t",

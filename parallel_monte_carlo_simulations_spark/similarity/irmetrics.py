@@ -57,6 +57,15 @@ _IDCG_CASE = "CASE n_truth " + " ".join(
     f"WHEN {n} THEN {w}" for n, w in _CUM_W.items()
 ) + " ELSE 0 END"
 
+# 2^53 fence (functions/microunit.py): every micro-unit aggregate here
+# is bounded STATICALLY — per-query DCG/AP sums run over at most TOP_K
+# ranks of <= 1e6-unit terms, so the worst case is TOP_K * 1e6, five
+# orders below the exactly-representable double range. Enforced at
+# import so a future TOP_K/unit-scale bump cannot silently reintroduce
+# double-rounding in the final /1e6 conversions.
+assert TOP_K * 1_000_000 < 2**53, "irmetrics micro-unit sums not double-exact"
+assert max(_CUM_W.values()) < 2**53
+
 
 def _ir_oracle(approx_cte: str) -> str:
     """The shared metric SQL, parameterized by the approx index CTE."""
