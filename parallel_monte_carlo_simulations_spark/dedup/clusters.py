@@ -68,9 +68,21 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
             .localCheckpoint(eager=True)
         )
         changed = new_labels.agg(F.max("chg")).first()[0] or 0
+        # new_labels is materialized (eager checkpoint) and no longer
+        # reads the previous round's blocks — release them now, or every
+        # round's non-replicated localCheckpoint RDD stays resident
+        # until driver GC (r7 advice). Trade-off, documented: an
+        # executor loss mid-iteration loses checkpointed blocks with no
+        # lineage to recompute from and fails the query — acceptable for
+        # a bounded MAX_ROUNDS batch job; a resumable variant would use
+        # reliable checkpoint() to a cluster FS instead.
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    # The returned plan reads only the final checkpointed labels; the
+    # edge blocks are no longer reachable from it — release them too.
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

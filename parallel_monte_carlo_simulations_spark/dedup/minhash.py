@@ -29,7 +29,13 @@ from .ngram import shingle_sets
 N_HASHES = 8
 BAND_ROWS = 2  # 4 bands x 2 rows
 N_BANDS = N_HASHES // BAND_ROWS
-VERIFY_THRESHOLD = 0.5
+#: Verify gate threshold as an exact RATIO (p/q = 1/2): the keep/drop
+#: decision is evaluated in pure integers, q*n_common >= p*union, so it
+#: never touches floats in either engine — the repo-wide integer-scaled
+#: threshold convention (see prefixjoin's 10*i >= 7*union). The float
+#: constant remains for display/round reporting only.
+VERIFY_NUM, VERIFY_DEN = 1, 2
+VERIFY_THRESHOLD = VERIFY_NUM / VERIFY_DEN
 
 _SH = sql_shingles("text", 3)
 _MINS_SQL = ",\n    ".join(
@@ -76,7 +82,7 @@ SELECT
 FROM verified v
 JOIN counts ca ON ca.doc_id = v.doc_a
 JOIN counts cb ON cb.doc_id = v.doc_b
-WHERE v.n_common * 1.0 / (ca.n + cb.n - v.n_common) >= {VERIFY_THRESHOLD}
+WHERE {VERIFY_DEN} * v.n_common >= {VERIFY_NUM} * (ca.n + cb.n - v.n_common)
 """
 
 
@@ -139,11 +145,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = counts.alias("ca")
     cb = counts.alias("cb")
-    jac = F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    union = F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    jac = F.col("n_common") / union
     return (
         verified.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac >= VERIFY_THRESHOLD)
+        .filter(VERIFY_DEN * F.col("n_common") >= VERIFY_NUM * union)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -233,10 +240,11 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = counts.alias("ca")
     cb = counts.alias("cb")
-    jac = F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    union = F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    jac = F.col("n_common") / union
     return (
         verified.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac >= VERIFY_THRESHOLD)
+        .filter(VERIFY_DEN * F.col("n_common") >= VERIFY_NUM * union)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

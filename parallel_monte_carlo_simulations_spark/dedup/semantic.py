@@ -207,12 +207,16 @@ def q_dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
     import os
 
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     corpus = _corpus(spark, sf_dir).select("vec_id", "emb")
-    # n from the parquet footer (what COUNT(*) returns) — a driver-side
-    # metadata read instead of a separate Spark count job per invocation.
-    n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    # n via pyarrow.dataset so the count matches COUNT(*) for ANY
+    # physical layout — a single file OR an engine-written multi-file
+    # directory (r7 advice: read_metadata on a hard-coded single path
+    # undercounts or fails on directory datasets). Footer-only reads,
+    # no Spark job, no data pages touched.
+    emb_ds = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb_ds.count_rows()
     b = max(1, min(MAX_BITS, math.ceil(math.log2(n / TARGET_CLUSTER_SIZE))))
 
     # All b sign bits in ONE pass over the n*d posexploded rows: b
@@ -229,14 +233,17 @@ def q_dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the values are identical by construction).
     import hashlib
 
-    # embedding width from the first parquet row (driver-side single-row
-    # read, no Spark job; the corpus is rectangular by construction)
+    # Embedding width from the dataset (first fragment's first row —
+    # works for multi-file layouts too), cross-checked against the
+    # SCHEMA when it carries the width (fixed_size_list) so a ragged
+    # corpus fails loudly instead of silently hashing short vectors.
     first_batch = next(
-        pq.ParquetFile(
-            os.path.join(sf_dir, "embeddings.parquet")
-        ).iter_batches(batch_size=1, columns=["embedding"])
+        emb_ds.to_batches(batch_size=1, columns=["embedding"])
     )
     d = len(first_batch.column("embedding")[0])
+    emb_type = emb_ds.schema.field("embedding").type
+    if hasattr(emb_type, "list_size") and emb_type.list_size is not None:
+        assert emb_type.list_size == d, (emb_type.list_size, d)
 
     def _sign(k: int, dim: int) -> int:
         h = int(
