@@ -98,7 +98,7 @@ def bench_mc(spark, vectorized: bool = False) -> float:
     return time.time() - t0
 
 
-def bench_skew(spark) -> dict[str, float]:
+def bench_skew(spark, salted_only: bool = False) -> dict[str, float]:
     """Quantify the salting win on a deliberately skewed join.
 
     95% of a 20M-row generated fact lands on ONE join key; the dim side
@@ -134,12 +134,13 @@ def bench_skew(spark) -> dict[str, float]:
                 cols.append((F.col("id") % n_salts).cast("int").alias("_salt"))
             return spark.range(n_rows).select(*cols)
 
-        t0 = time.time()
-        _noop_write(
-            fact(False).join(dim, "k").groupBy("k")
-            .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
-        )
-        out["skew_join_unsalted"] = round(time.time() - t0, 3)
+        if not salted_only:
+            t0 = time.time()
+            _noop_write(
+                fact(False).join(dim, "k").groupBy("k")
+                .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+            )
+            out["skew_join_unsalted"] = round(time.time() - t0, 3)
 
         dim_s = dim.withColumn(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -245,9 +246,40 @@ def main() -> None:
         # isolate measurements: drop persisted frames the query created
         spark.catalog.clearCache()
 
-    times["mc_demo_workload1"] = round(bench_mc(spark), 3)
+    # The two historically flaky-band entries (r6->r7 flagged ~1.2x
+    # swings that were pure run-to-run variance) are measured as 8-rep
+    # MEDIANS; their rep spread goes to the detail file so a future
+    # "regression" can be checked against the noise band instead of a
+    # single draw. Everything else stays single-shot — their r1-r7
+    # variance never tripped a review.
+    rep_detail: dict[str, dict[str, float]] = {}
+
+    def _median_reps(label: str, run, reps: int = 8) -> float:
+        samples = sorted(round(run(), 3) for _ in range(reps))
+        mid = len(samples) // 2
+        med = round(
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2.0,
+            3,
+        )
+        rep_detail[label] = {
+            "median": med,
+            "min": samples[0],
+            "max": samples[-1],
+            "reps": float(reps),
+        }
+        return med
+
+    times["mc_demo_workload1"] = _median_reps(
+        "mc_demo_workload1", lambda: bench_mc(spark)
+    )
     times["mc_demo_workload1_vectorized"] = round(bench_mc(spark, vectorized=True), 3)
     times.update(bench_skew(spark))
+    times["skew_join_salted"] = _median_reps(
+        "skew_join_salted",
+        lambda: bench_skew(spark, salted_only=True)["skew_join_salted"],
+    )
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -284,6 +316,7 @@ def main() -> None:
     detail["queries_normalized"] = {
         k: round(v * ratio, 3) for k, v in times.items()
     }
+    detail["rep_detail"] = rep_detail
     _write_detail(detail)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # hard guard: stay inside the driver's tail buffer

@@ -13,6 +13,7 @@ amortize). Results are recorded in SCALING.md per round.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -63,6 +64,25 @@ QUERIES = [
     "q_dq_candidate_keys",
     "q_stat_theil_sen",
     "q_multimodal_adpcm_roundtrip",
+    # round-8 additions
+    "q_er_pipeline",
+]
+
+#: The 10 most expensive registry queries per BENCH_DETAIL_r07 — the
+#: sf1.0 ladder extension (judge round-8 item 8b). Measured against the
+#: 10x-tiled .scale/sf1.0 dataset from tools/gen_sf1.py with
+#: `python tools/scale_study.py --sf1`.
+TOP10_SF1 = [
+    "q_graph_pagerank",
+    "q_bpe_phrase_merges",
+    "q_sim_lsh_topk",
+    "q_multimodal_jpeg_color",
+    "q_recsys_als_rank1",
+    "q_dedup_minhash_lsh",
+    "q_mc_american_lsmc",
+    "q_sink_bucketed_join",
+    "q_pipeline_llm_curation",
+    "q_multimodal_gif_frames",
 ]
 
 
@@ -79,15 +99,25 @@ def main() -> None:
     specs["q_filter_project"].fn(spark, SFS[1]).count()
     spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
 
+    sf1_mode = "--sf1" in sys.argv
+    if sf1_mode:
+        sf1_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale", "sf1.0",
+        )
+        names, sfs, lo, hi = TOP10_SF1, [SFS[2], sf1_dir], "0.1", "1.0"
+    else:
+        names, sfs, lo, hi = QUERIES, SFS, "0.01", "0.1"
+
     out: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in names:
         out[name] = {}
-        for sf_dir in SFS:
+        for sf_dir in sfs:
             t0 = time.time()
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[name][sf_dir.rsplit("sf", 1)[1]] = round(time.time() - t0, 2)
             spark.catalog.clearCache()
-        a, b = out[name]["0.01"], out[name]["0.1"]
+        a, b = out[name][lo], out[name][hi]
         out[name]["ratio_10x"] = round(b / a, 2) if a else None
         print(name, out[name], flush=True)
     print(json.dumps(out))
