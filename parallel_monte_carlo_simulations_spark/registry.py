@@ -92,6 +92,13 @@ def load_all_queries() -> dict[str, QuerySpec]:
     return _driver_order(REGISTRY)
 
 
+#: Judge-named verification asks for the CURRENT round: hoisted to the
+#: head of the tier-0 backlog (they are already-waiting backlog members,
+#: so this reorders within the tier, never jumps new work over it).
+#: Round 8 (VERDICT item 6): the ANN ranking-matrix completions.
+_ROUND_ASKS = ("q_ann_ndcg_ivf", "q_ann_ndcg_pq", "q_er_canonical_entities")
+
+
 def _driver_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     try:
         from .coverage import DRIVER_COVERED
@@ -124,4 +131,8 @@ def _driver_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
             for n in chain.from_iterable(zip_longest(*module_lists))
             if n is not None
         )
-    return {n: registry[n] for n in ordered}
+    # Hoist the round's judge-named asks (backlog members only) to the
+    # very front so the 50-query window can't round-robin them out.
+    asks = [n for n in _ROUND_ASKS if n in ordered and DRIVER_COVERED.get(n, 0) == 0]
+    rest = [n for n in ordered if n not in asks]
+    return {n: registry[n] for n in asks + rest}
