@@ -90,8 +90,14 @@ def main() -> None:
     from parallel_monte_carlo_simulations_spark.registry import load_all_queries
     from parallel_monte_carlo_simulations_spark.session import get_spark
 
+    # 64g heap: the JVM default (1/4 RAM = 32g) gives 32 concurrent
+    # local tasks ~600 MB of execution memory each — the sf1.0 ladder
+    # (10x payloads through Arrow + shuffle-heavy iterative queries in
+    # ONE long session) OOM'd it. Real clusters provision 4-8 GB/core;
+    # 2 GB/thread locally is still conservative.
     spark = get_spark(app_name="scale-study", master="local[32]",
-                      shuffle_partitions=32)
+                      shuffle_partitions=32,
+                      extra_conf={"spark.driver.memory": "64g"})
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all_queries()
 
