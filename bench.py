@@ -226,6 +226,12 @@ def main() -> None:
         app_name="pmcs-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
+        # 64g: the JVM's 1/4-RAM default gives 32 concurrent local
+        # tasks ~600 MB execution memory each; the 8-rep median pass
+        # plus the 20M-row skew pair in one long session OOM'd it
+        # (round 8). Matches tools/scale_study.py's provisioning note:
+        # 2 GB/thread is still below real-cluster 4-8 GB/core.
+        extra_conf={"spark.driver.memory": "64g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all_queries()
@@ -271,15 +277,18 @@ def main() -> None:
         }
         return med
 
-    times["mc_demo_workload1"] = _median_reps(
-        "mc_demo_workload1", lambda: bench_mc(spark)
-    )
-    times["mc_demo_workload1_vectorized"] = round(bench_mc(spark, vectorized=True), 3)
+    # Skew pair FIRST, MC reps after: the 20M-row unsalted join is the
+    # bench's peak-memory stage and 8 preceding Arrow-heavy MC reps
+    # fragment the heap enough to OOM it (observed round 8).
     times.update(bench_skew(spark))
     times["skew_join_salted"] = _median_reps(
         "skew_join_salted",
         lambda: bench_skew(spark, salted_only=True)["skew_join_salted"],
     )
+    times["mc_demo_workload1"] = _median_reps(
+        "mc_demo_workload1", lambda: bench_mc(spark)
+    )
+    times["mc_demo_workload1_vectorized"] = round(bench_mc(spark, vectorized=True), 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
