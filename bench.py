@@ -222,16 +222,16 @@ def main() -> None:
         )
 
     calibration_start = _cpu_calibration()
+    # Heap stays at the JVM default (1/4 RAM = 32g): an A/B on this box
+    # measured a 64g heap running memory-heavy queries ~2x SLOWER
+    # (minhash 5.5 -> 11.7 s, reproducibly) — the host VM punishes
+    # large resident heaps. The round-8 OOM (8 Arrow-heavy MC reps
+    # fragmenting the heap before the 20M-row skew join) is fixed by
+    # ordering instead: the skew pair runs first.
     spark = get_spark(
         app_name="pmcs-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
-        # 64g: the JVM's 1/4-RAM default gives 32 concurrent local
-        # tasks ~600 MB execution memory each; the 8-rep median pass
-        # plus the 20M-row skew pair in one long session OOM'd it
-        # (round 8). Matches tools/scale_study.py's provisioning note:
-        # 2 GB/thread is still below real-cluster 4-8 GB/core.
-        extra_conf={"spark.driver.memory": "64g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all_queries()

@@ -86,18 +86,69 @@ TOP10_SF1 = [
 ]
 
 
-def main() -> None:
+def _run_one(name: str, sf_dir: str) -> None:
+    """Time ONE query in this process (fresh JVM, default heap) and
+    print `ONE <seconds>`. Used by --sf1 so every measurement starts
+    from an unfragmented heap: the sf1.0 ladder OOM'd a long shared
+    session (Arrow-heavy multimodal reps fragmenting the heap before
+    shuffle-heavy iteration), and the obvious fix — a 64g heap — was
+    A/B-measured ~2x SLOWER on this host (large resident heaps are
+    punished; see SCALING.md). Fresh-JVM-per-query keeps the default
+    heap sufficient AND removes cross-query interference."""
     from parallel_monte_carlo_simulations_spark.registry import load_all_queries
     from parallel_monte_carlo_simulations_spark.session import get_spark
 
-    # 64g heap: the JVM default (1/4 RAM = 32g) gives 32 concurrent
-    # local tasks ~600 MB of execution memory each — the sf1.0 ladder
-    # (10x payloads through Arrow + shuffle-heavy iterative queries in
-    # ONE long session) OOM'd it. Real clusters provision 4-8 GB/core;
-    # 2 GB/thread locally is still conservative.
+    spark = get_spark(app_name="scale-one", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all_queries()
+    # warm JVM + python workers so the measurement is steady-state
+    specs["q_filter_project"].fn(spark, SFS[1]).count()
+    spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
+    t0 = time.time()
+    specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    print(f"ONE {time.time() - t0:.2f}", flush=True)
+
+
+def _sf1_main() -> None:
+    import re
+    import subprocess
+
+    sf1_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf1.0",
+    )
+    out: dict[str, dict[str, float]] = {}
+    for name in TOP10_SF1:
+        out[name] = {}
+        for sf_dir in (SFS[2], sf1_dir):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name, sf_dir],
+                capture_output=True, text=True, timeout=1800,
+            )
+            m = re.search(r"^ONE ([0-9.]+)$", r.stdout, re.M)
+            sec = float(m.group(1)) if m else None
+            out[name][sf_dir.rsplit("sf", 1)[1]] = sec
+        a, b = out[name]["0.1"], out[name]["1.0"]
+        out[name]["ratio_10x"] = round(b / a, 2) if a and b else None
+        print(name, out[name], flush=True)
+    print(json.dumps(out))
+
+
+def main() -> None:
+    if "--one" in sys.argv:
+        i = sys.argv.index("--one")
+        _run_one(sys.argv[i + 1], sys.argv[i + 2])
+        return
+    if "--sf1" in sys.argv:
+        _sf1_main()
+        return
+
+    from parallel_monte_carlo_simulations_spark.registry import load_all_queries
+    from parallel_monte_carlo_simulations_spark.session import get_spark
+
     spark = get_spark(app_name="scale-study", master="local[32]",
-                      shuffle_partitions=32,
-                      extra_conf={"spark.driver.memory": "64g"})
+                      shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all_queries()
 
@@ -105,25 +156,15 @@ def main() -> None:
     specs["q_filter_project"].fn(spark, SFS[1]).count()
     spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
 
-    sf1_mode = "--sf1" in sys.argv
-    if sf1_mode:
-        sf1_dir = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".scale", "sf1.0",
-        )
-        names, sfs, lo, hi = TOP10_SF1, [SFS[2], sf1_dir], "0.1", "1.0"
-    else:
-        names, sfs, lo, hi = QUERIES, SFS, "0.01", "0.1"
-
     out: dict[str, dict[str, float]] = {}
-    for name in names:
+    for name in QUERIES:
         out[name] = {}
-        for sf_dir in sfs:
+        for sf_dir in SFS:
             t0 = time.time()
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[name][sf_dir.rsplit("sf", 1)[1]] = round(time.time() - t0, 2)
             spark.catalog.clearCache()
-        a, b = out[name][lo], out[name][hi]
+        a, b = out[name]["0.01"], out[name]["0.1"]
         out[name]["ratio_10x"] = round(b / a, 2) if a else None
         print(name, out[name], flush=True)
     print(json.dumps(out))
