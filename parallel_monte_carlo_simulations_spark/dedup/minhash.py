@@ -131,8 +131,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidates(minhash_signatures(sh))
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    # The shingle frame is CORPUS-sized but Catalyst's static estimate
+    # stays anchored to the (tiny) parquet scan it derives from — the
+    # explode that multiplies rows ~200x is invisible to the size
+    # estimate, so without a hint the planner auto-broadcasts sh's
+    # deserialized strings and dies building the table (found by the
+    # round-8 sf1.0 ladder: notEnoughMemoryToBuildAndBroadcastTable at
+    # 10x docs; the identical plan at 100 TB is a guaranteed OOM).
+    # A merge hint pins the spill-safe strategy: sort-merge join's
+    # external sorters degrade to disk under memory pressure, where a
+    # hash build (broadcast OR shuffled-hash — both were tried, both
+    # fail with cannotAcquireMemory at 10x) has a hard in-memory floor.
+    sa = sh.alias("sa").hint("merge")
+    sb = sh.alias("sb").hint("merge")
     verified = (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(
@@ -226,8 +237,11 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    # Same scale fix as q_dedup_minhash_lsh: never let the planner
+    # broadcast (or hash-build) the corpus-sized shingle frame — its
+    # post-explode size is invisible to the static estimate.
+    sa = sh.alias("sa").hint("merge")
+    sb = sh.alias("sb").hint("merge")
     verified = (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(

@@ -43,6 +43,25 @@ DEFAULT_CONF: dict[str, str] = {
     # reader rejects unless nanos are surfaced as longs (converted to
     # micros by tables._events with exact integer division).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Round-8 finding (sf1.0 ladder): spark-submit ALWAYS passes
+    # -Xmx${spark.driver.memory}, default 1g — the JVM's 1/4-RAM
+    # ergonomic heap never applies, so every local[32] session had been
+    # running 32 executor threads in ONE GIGABYTE of heap (confirmed by
+    # -Xlog:gc capacity lines). Spill-to-disk kept sf<=0.1 alive; 10x
+    # data OOM'd. 8g was A/B'd equal-or-faster at sf0.1 and fixes
+    # sf1.0; 64g measured ~2x SLOWER on this host (large resident
+    # heaps are punished — lazily-backed VM memory), so bigger is not
+    # better here. On a real cluster, spark-submit sizing overrides.
+    "spark.driver.memory": "8g",
+    # JDK-8192647 class of spurious OOM: with 32 concurrent tasks in
+    # JNI critical sections (snappy/parquet/Arrow), a thread whose 1 MB
+    # allocation triggers a GCLocker-stalled GC retries only
+    # GCLockerRetryAllocationCount (default 2!) times before throwing
+    # OutOfMemoryError WITH FREE HEAP ("Retried waiting for GCLocker
+    # too often" in -Xlog:gc,alloc). Observed repeatedly at sf1.0.
+    "spark.driver.extraJavaOptions": (
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=1000"
+    ),
     # Deeply-unrolled iterative plans (BFS/PageRank cached unions) have
     # MULTI-GIGABYTE plan strings; AQE's onUpdatePlan renders the plan
     # to a string on every re-plan for its change log, and an unbounded
