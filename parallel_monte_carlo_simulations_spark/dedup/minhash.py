@@ -105,8 +105,13 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
         for b in range(N_BANDS)
     ]
     bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band_key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # bands is CORPUS-sized (N_BANDS rows per doc) but post-explode, so
+    # its static size estimate is tiny and the planner broadcasts one
+    # side of the self-join — unbounded at 100 TB (round-8 plan guard:
+    # tests/test_plans.py::test_minhash_verify_never_broadcasts_corpus).
+    # Pin the spill-safe sort-merge strategy on the band equi-key.
+    a = bands.alias("a").hint("merge")
+    b = bands.alias("b").hint("merge")
     return (
         a.join(
             b,

@@ -436,3 +436,26 @@ def test_minhash_incremental_broadcasts_delta(spark):
     plan = _plan(spark, "q_dedup_minhash_incremental")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_verify_never_broadcasts_corpus(spark):
+    """Round-8 sf1.0 finding: Catalyst's static size estimate of the
+    post-explode shingle frame stays anchored to the tiny parquet scan
+    (the ~200x explode is invisible), so without hints the planner
+    auto-broadcasts the CORPUS into the verify join — at 10x docs the
+    build dies (notEnoughMemoryToBuildAndBroadcastTable); at 100 TB
+    the plan is a guaranteed kill. The merge hints must keep both
+    verify sides on the spill-safe sort-merge path."""
+    plan = _plan(spark, "q_dedup_minhash_lsh")
+    assert "SortMergeJoin" in plan
+    # The only legitimate broadcasts in this plan are the tiny
+    # per-doc count frames; the shingle/explode subtree must not sit
+    # under a BroadcastExchange. Cheap structural proxy: explode
+    # (generate) never appears inside a broadcast-exchange subtree.
+    import re
+
+    for m in re.finditer(r"BroadcastExchange", plan):
+        # formatted plans list operator ids; a corpus broadcast would
+        # show Generate feeding the exchange within a few lines.
+        window = plan[m.start() : m.start() + 400]
+        assert "Generate" not in window, "explode output is broadcast"
