@@ -68,8 +68,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # The intersect self-join's sides are the corpus-sized post-explode
+    # shingle frame — the planner's static estimate is bogus-small and
+    # it broadcasts one side (round-8 plan audit). Pin sort-merge.
+    a = sh.alias("a").hint("merge")
+    b = sh.alias("b").hint("merge")
     inter = (
         a.join(
             b,
@@ -86,8 +89,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("big_doc"), F.col("n").alias("n_b"))
     ratio = F.col("common") * 1.0 / F.col("n_a")
     return (
-        inter.join(F.broadcast(sa), "small_doc")
-        .join(F.broadcast(sb), "big_doc")
+        # sa/sb are PER-DOC aggregates — corpus-sized, not dims. An
+        # explicit broadcast here is unbounded at 100 TB (round-8 plan
+        # audit); sort-merge on the doc key is the spill-safe strategy.
+        inter.join(sa.hint("merge"), "small_doc")
+        .join(sb.hint("merge"), "big_doc")
         .filter(
             (F.col("n_a") <= F.col("n_b"))
             & (

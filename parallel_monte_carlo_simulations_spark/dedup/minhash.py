@@ -159,8 +159,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
+    # counts is one row PER DOC — corpus-sized at 100 TB, same
+    # bogus-estimate hazard as the shingle frame. Sort-merge, not
+    # broadcast.
+    ca = counts.alias("ca").hint("merge")
+    cb = counts.alias("cb").hint("merge")
     union = F.col("ca.n") + F.col("cb.n") - F.col("n_common")
     jac = F.col("n_common") / union
     return (
@@ -257,8 +260,11 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
+    # counts is one row PER DOC — corpus-sized at 100 TB, same
+    # bogus-estimate hazard as the shingle frame. Sort-merge, not
+    # broadcast.
+    ca = counts.alias("ca").hint("merge")
+    cb = counts.alias("cb").hint("merge")
     union = F.col("ca.n") + F.col("cb.n") - F.col("n_common")
     jac = F.col("n_common") / union
     return (

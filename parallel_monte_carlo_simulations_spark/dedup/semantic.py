@@ -96,7 +96,11 @@ def _semantic_pairs(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         F.col("emb").alias("b_emb"),
         F.col("cluster_id").alias("b_cluster"),
     )
-    pairs = a.join(
+    # Both sides are corpus-sized derived frames (post-aggregate /
+    # post-explode) whose static size estimates stay tiny — pin the
+    # spill-safe sort-merge strategy so the planner never broadcasts
+    # the corpus (round-8 plan audit; unbounded at 100 TB).
+    pairs = a.hint("merge").join(
         b,
         (F.col("cluster_id") == F.col("b_cluster"))
         & (F.col("keeper") < F.col("dropped")),
@@ -270,7 +274,11 @@ def q_dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Precompute each vector's norm ONCE (n rows) so the within-bucket
     # pairs pay only the dot fold, not dot + two norms: identical float64
     # to the oracle's per-pair sqrt(dot(a,a)) — same fold, same values.
-    with_emb = buckets.join(
+    # buckets is a corpus-sized aggregate over posexploded rows — its
+    # static size estimate is bogus-small and the planner broadcasts it
+    # into BOTH this join and the pair self-join below (round-8 plan
+    # audit). Pin spill-safe sort-merge everywhere the corpus appears.
+    with_emb = buckets.hint("merge").join(
         corpus.withColumn("nrm", norm(F.col("emb"))), "vec_id"
     )
     a = with_emb.select(
@@ -279,13 +287,13 @@ def q_dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("a_nrm"),
         "bucket_id",
     )
-    bb = with_emb.select(
+    bb = with_emb.hint("merge").select(
         F.col("vec_id").alias("dropped"),
         F.col("emb").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
         F.col("bucket_id").alias("b_bucket"),
     )
-    pairs = a.join(
+    pairs = a.hint("merge").join(
         bb,
         (F.col("bucket_id") == F.col("b_bucket"))
         & (F.col("keeper") < F.col("dropped")),

@@ -116,8 +116,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces = sig.select(
         "doc_id", "simhash", F.explode(F.array(*piece_cols)).alias("piece")
     )
-    a = pieces.alias("a")
-    b = pieces.alias("b")
+    # pieces is corpus-sized (one row per doc per band-slice) and
+    # post-explode, so its static size estimate is tiny — without a
+    # hint the planner broadcasts it (round-8 audit; unbounded at
+    # 100 TB). Pin spill-safe sort-merge on the piece equi-key.
+    a = pieces.alias("a").hint("merge")
+    b = pieces.alias("b").hint("merge")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
@@ -212,7 +216,12 @@ def q_dedup_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample path: sample doc ids, all-pairs their signatures, never the
     corpus text."""
     sig = simhash_signatures(shingle_sets(spark, sf_dir)).persist()
-    a = sig.alias("a")
+    # The all-pairs truth join has no equi-key, so Spark would pick
+    # BroadcastNestedLoop and broadcast the corpus-sized signature
+    # frame; shuffle_replicate_nl is the partitioned cartesian that
+    # spills instead (the docstring's audit-sample bound still applies
+    # at production scale).
+    a = sig.alias("a").hint("shuffle_replicate_nl")
     b = sig.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     truth = (
@@ -237,7 +246,7 @@ def q_dedup_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     pieces = sig.select("doc_id", F.explode(F.array(*piece_cols)).alias("piece"))
     cand = (
-        pieces.alias("pa")
+        pieces.alias("pa").hint("merge")
         .join(
             pieces.alias("pb"),
             (F.col("pa.piece") == F.col("pb.piece"))
@@ -248,7 +257,12 @@ def q_dedup_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    missed = truth.join(found, ["doc_a", "doc_b"], "left_anti")
+    # found is corpus-scale verified pairs (post-explode upstream) —
+    # same bogus-estimate broadcast hazard; pin sort-merge for the
+    # anti-join.
+    missed = truth.join(
+        found.hint("merge"), ["doc_a", "doc_b"], "left_anti"
+    )
     n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
     n_found = found.agg(F.count("*").cast("long").alias("n_found"))
     n_missed = missed.agg(F.count("*").cast("long").alias("n_missed"))

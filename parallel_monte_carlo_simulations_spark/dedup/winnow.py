@@ -193,9 +193,13 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = dfp.groupBy("h").agg(F.count("*").alias("df")).filter(
         F.col("df") <= MAX_DF
     ).select("h")
-    fp = dfp.join(rare, "h")
+    # rare (one row per kept fingerprint) and fp (corpus fingerprints)
+    # both scale with the corpus, but derive from explode — bogus-small
+    # static estimates; without hints the planner broadcasts them
+    # (round-8 plan audit, unbounded at 100 TB). Pin sort-merge.
+    fp = dfp.join(rare.hint("merge"), "h")
     a = fp.select(F.col("doc_id").alias("doc_a"), "h")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h").hint("merge")
     return (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -438,24 +438,87 @@ def test_minhash_incremental_broadcasts_delta(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_minhash_verify_never_broadcasts_corpus(spark):
-    """Round-8 sf1.0 finding: Catalyst's static size estimate of the
-    post-explode shingle frame stays anchored to the tiny parquet scan
-    (the ~200x explode is invisible), so without hints the planner
-    auto-broadcasts the CORPUS into the verify join — at 10x docs the
-    build dies (notEnoughMemoryToBuildAndBroadcastTable); at 100 TB
-    the plan is a guaranteed kill. The merge hints must keep both
-    verify sides on the spill-safe sort-merge path."""
-    plan = _plan(spark, "q_dedup_minhash_lsh")
-    assert "SortMergeJoin" in plan
-    # The only legitimate broadcasts in this plan are the tiny
-    # per-doc count frames; the shingle/explode subtree must not sit
-    # under a BroadcastExchange. Cheap structural proxy: explode
-    # (generate) never appears inside a broadcast-exchange subtree.
+def _broadcast_generate_subtrees(spark, name):
+    """Operator-subtree check: yields True for each BroadcastExchange
+    whose INPUT subtree contains a Generate (explode) AND is not
+    re-bounded by a global (keyless) aggregate — i.e. the plan
+    broadcasts a frame whose cardinality still scales with the corpus
+    while its static size estimate cannot."""
     import re
 
-    for m in re.finditer(r"BroadcastExchange", plan):
-        # formatted plans list operator ids; a corpus broadcast would
-        # show Generate feeding the exchange within a few lines.
-        window = plan[m.start() : m.start() + 400]
-        assert "Generate" not in window, "explode output is broadcast"
+    plan = _plan(spark, name)
+    parts = plan.split("\n\n", 1)
+    tree, detail = parts[0], parts[1] if len(parts) > 1 else ""
+    # Operator ids whose detail section shows a GLOBAL aggregate
+    # (Keys: []) — these collapse to a bounded row count, so anything
+    # above them is bounded no matter what lies below.
+    global_aggs = set()
+    for m in re.finditer(
+        r"\((\d+)\) (?:Object)?HashAggregate[^\n]*\n(?:[^\n]*\n)*?Keys(?: \[\d+\])?: \[\]",
+        detail,
+    ):
+        global_aggs.add(m.group(1))
+    lines = tree.splitlines()
+    hits = []
+    for i, l in enumerate(lines):
+        if "BroadcastExchange" not in l:
+            continue
+        indent = len(l) - len(l.lstrip(" :+-"))
+        sub = []
+        bounded = False
+        for m in lines[i + 1 :]:
+            mind = len(m) - len(m.lstrip(" :+-"))
+            if mind <= indent:
+                break
+            agg = re.search(r"(?:Object)?HashAggregate \((\d+)\)", m)
+            if agg and agg.group(1) in global_aggs:
+                bounded = True  # cardinality collapsed; subtree is bounded
+                break
+            sub.append(m)
+        hits.append((not bounded) and any("Generate" in x for x in sub))
+    return hits
+
+
+#: Queries where a broadcast-over-explode subtree is BOUNDED by
+#: construction and therefore correct:
+#: - q_sim_lsh_topk / ANN eval family: the broadcast side is the
+#:   N_QUERIES-bounded query sample (similarity/lsh.py:171), exploded
+#:   to (query, band) rows — bounded regardless of corpus size.
+#: - q_dedup_ml_minhash: pyspark.ml's approxSimilarityJoin internals —
+#:   library-owned plan, rows-only demonstration row; the from-scratch
+#:   q_dedup_minhash_lsh is the scale path.
+#: - q_dedup_minhash_incremental: the broadcast is the arriving delta
+#:   batch BY DESIGN (bounded in production; the testdata's %10 split
+#:   only stands in for an arrival stream).
+_BOUNDED_BROADCAST_OK = {
+    "q_sim_lsh_topk",
+    "q_ann_ndcg_mrr_map",
+    "q_ann_recall_eval",
+    "q_embedding_random_projection",
+    "q_embedding_outliers",
+    "q_dedup_ml_minhash",
+    "q_dedup_minhash_incremental",
+}
+
+
+def test_dedup_family_never_broadcasts_corpus(spark):
+    """Round-8 sf1.0 finding: Catalyst's static size estimate of a
+    post-explode frame stays anchored to the tiny scan it derives from
+    (the ~200x explode is invisible), so the planner auto-broadcasts
+    the CORPUS into joins — at 10x docs the build dies
+    (notEnoughMemoryToBuildAndBroadcastTable); at 100 TB the plan is a
+    guaranteed kill. Every corpus-sided join in the dedup family pins
+    sort-merge; the whitelist documents the broadcasts that are
+    bounded by construction."""
+    for name in [
+        "q_dedup_minhash_lsh",
+        "q_dedup_containment",
+        "q_dedup_simhash",
+        "q_dedup_simhash_recall_audit",
+        "q_dedup_semantic",
+        "q_dedup_semantic_adaptive",
+        "q_winnow_overlap_pairs",
+    ]:
+        assert not any(_broadcast_generate_subtrees(spark, name)), (
+            f"{name}: corpus-sized post-explode frame is broadcast"
+        )
