@@ -7,8 +7,11 @@ Pipeline (all built-in ops, one pass over shingles):
 2. per-doc signature = elementwise min (one groupBy),
 3. LSH banding: 4 bands × 2 rows; docs sharing any band key become
    candidate pairs (equi-join on band key — NO quadratic compare),
-4. candidates verified with exact shingle Jaccard (join back to the
-   shingle sets), threshold 0.5.
+4. candidates verified with exact Jaccard over per-doc HASHED shingle
+   arrays: each pair row evaluates ``size(array_intersect(ha, hb))`` —
+   a scalar, no pair x shingle row expansion (the r7 plan's verify
+   joined pairs back to the per-shingle frame twice and re-aggregated;
+   the array form cut it 4x at sf0.1 and removes the largest shuffle).
 
 At 100 TB only steps 3-4 shuffle, and both shuffle on keys whose
 cardinality grows with the corpus (band keys, doc ids) — no broadcast of
@@ -36,6 +39,16 @@ N_BANDS = N_HASHES // BAND_ROWS
 #: constant remains for display/round reporting only.
 VERIFY_NUM, VERIFY_DEN = 1, 2
 VERIFY_THRESHOLD = VERIFY_NUM / VERIFY_DEN
+
+#: Seed for the verify-side shingle hash — distinct from the signature
+#: seeds 0..N_HASHES-1 only for clarity (verification needs a
+#: set-preserving map, not hash independence). Verification intersects
+#: 60-bit HASHED shingle sets instead of strings: per-doc arrays stay
+#: ~8x smaller through the pair joins, and the oracle counts over the
+#: IDENTICAL md5-derived universe, so even a collision (p ~ 2^-60 per
+#: pair) shifts both engines identically — cross-engine exactness is
+#: unconditional.
+VERIFY_SEED = 99
 
 _SH = sql_shingles("text", 3)
 _MINS_SQL = ",\n    ".join(
@@ -65,14 +78,17 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
+hsh AS (
+  SELECT DISTINCT doc_id, {sql_hash60_seeded('shingle', VERIFY_SEED)} AS h FROM sh
+),
 counts AS (
-  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY doc_id
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN hsh sa ON sa.doc_id = c.doc_a
+  JOIN hsh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT
@@ -92,6 +108,30 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
         F.min(hash60_seeded("shingle", i)).alias(f"m{i}") for i in range(N_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def shingle_hash_arrays(sh: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<bigint>, n) — each doc's DISTINCT 60-bit
+    hashed shingle set as ONE array row, the verify-side representation.
+
+    Replaces the r7 pair-expansion verify (candidate pairs joined back
+    to the per-shingle frame twice, then a pair groupBy): that plan
+    materializes |pairs| x ~shingles rows through two sort-merge joins
+    and a hash aggregate. Per-doc arrays make verification a SCALAR
+    ``size(array_intersect(ha, hb))`` on each pair row — no row
+    expansion at all — and the per-doc count comes free as
+    ``size(hs)``. Row width is bounded by the longest document (~8
+    bytes per distinct shingle), the same bound the signature groupBy
+    already carries. The groupBy shuffles by doc_id, which
+    shingle_sets' window already partitioned by — no extra exchange.
+    """
+    hsh = sh.select(
+        "doc_id", hash60_seeded("shingle", VERIFY_SEED).alias("h")
+    ).distinct()
+    return hsh.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hs"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
@@ -130,45 +170,39 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
     tags=("dedup", "minhash", "lsh"),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shingle frame feeds signatures, counts, AND both verify sides —
-    # persist so the md5 shingling computes once, not four times.
+    # The shingle frame feeds signatures AND the verify arrays — persist
+    # so the shingling window computes once.
     sh = shingle_sets(spark, sf_dir).persist()
     cand = lsh_candidates(minhash_signatures(sh))
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    arrs = shingle_hash_arrays(sh)
 
-    # The shingle frame is CORPUS-sized but Catalyst's static estimate
-    # stays anchored to the (tiny) parquet scan it derives from — the
-    # explode that multiplies rows ~200x is invisible to the size
-    # estimate, so without a hint the planner auto-broadcasts sh's
-    # deserialized strings and dies building the table (found by the
-    # round-8 sf1.0 ladder: notEnoughMemoryToBuildAndBroadcastTable at
-    # 10x docs; the identical plan at 100 TB is a guaranteed OOM).
-    # A merge hint pins the spill-safe strategy: sort-merge join's
-    # external sorters degrade to disk under memory pressure, where a
-    # hash build (broadcast OR shuffled-hash — both were tried, both
-    # fail with cannotAcquireMemory at 10x) has a hard in-memory floor.
-    sa = sh.alias("sa").hint("merge")
-    sb = sh.alias("sb").hint("merge")
-    verified = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    # counts is one row PER DOC — corpus-sized at 100 TB, same
-    # bogus-estimate hazard as the shingle frame. Sort-merge, not
-    # broadcast.
-    ca = counts.alias("ca").hint("merge")
-    cb = counts.alias("cb").hint("merge")
-    union = F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    # arrs is one (wide) row PER DOC — corpus-sized at 100 TB, but
+    # Catalyst's static estimate stays anchored to the tiny parquet scan
+    # it derives from (the shingle explode is invisible), so without a
+    # hint the planner auto-broadcasts it and dies building the table
+    # (round-8 sf1.0 ladder: notEnoughMemoryToBuildAndBroadcastTable at
+    # 10x docs; at 100 TB the plan is a guaranteed OOM). The merge hint
+    # pins the spill-safe strategy: sort-merge's external sorters
+    # degrade to disk, where a hash build (broadcast OR shuffled-hash —
+    # both tried, both fail with cannotAcquireMemory at 10x) has a hard
+    # in-memory floor.
+    pa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("ha"),
+        F.col("n").alias("n_a"),
+    ).hint("merge")
+    pb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hb"),
+        F.col("n").alias("n_b"),
+    ).hint("merge")
+    n_common = F.size(F.array_intersect("ha", "hb")).cast("long")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
     jac = F.col("n_common") / union
     return (
-        verified.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("n_common", n_common)
         .filter(VERIFY_DEN * F.col("n_common") >= VERIFY_NUM * union)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -244,32 +278,28 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # Same scale fix as q_dedup_minhash_lsh: never let the planner
-    # broadcast (or hash-build) the corpus-sized shingle frame — its
-    # post-explode size is invisible to the static estimate.
-    sa = sh.alias("sa").hint("merge")
-    sb = sh.alias("sb").hint("merge")
-    verified = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    # counts is one row PER DOC — corpus-sized at 100 TB, same
-    # bogus-estimate hazard as the shingle frame. Sort-merge, not
-    # broadcast.
-    ca = counts.alias("ca").hint("merge")
-    cb = counts.alias("cb").hint("merge")
-    union = F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    # Same scale fix as q_dedup_minhash_lsh: per-doc hashed-shingle
+    # arrays, scalar array_intersect verification, merge hints so the
+    # corpus-sized (bogus-small static estimate) array frame is never
+    # broadcast or hash-built.
+    arrs = shingle_hash_arrays(sh)
+    pa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("ha"),
+        F.col("n").alias("n_a"),
+    ).hint("merge")
+    pb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hb"),
+        F.col("n").alias("n_b"),
+    ).hint("merge")
+    n_common = F.size(F.array_intersect("ha", "hb")).cast("long")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
     jac = F.col("n_common") / union
     return (
-        verified.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("n_common", n_common)
         .filter(VERIFY_DEN * F.col("n_common") >= VERIFY_NUM * union)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
