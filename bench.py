@@ -222,16 +222,20 @@ def main() -> None:
         )
 
     calibration_start = _cpu_calibration()
-    # Heap stays at the JVM default (1/4 RAM = 32g): an A/B on this box
-    # measured a 64g heap running memory-heavy queries ~2x SLOWER
-    # (minhash 5.5 -> 11.7 s, reproducibly) — the host VM punishes
-    # large resident heaps. The round-8 OOM (8 Arrow-heavy MC reps
+    # Heap pinned to Spark's 1g default, OVERRIDING the session
+    # module's 8g (which exists for the sf1.0 scale ladder): this host
+    # VM punishes large resident heaps — 64g ran memory-heavy queries
+    # ~2x slower, and the session 8g silently leaking into the r8 bench
+    # cost a reproducible ~1.3x on the Arrow/codec-heavy entries (jpeg
+    # 4.3 -> 5.5 s, wav 0.5 -> 0.7 s in a same-box A/B) vs the r7 runs
+    # it is compared against. The round-8 OOM (8 Arrow-heavy MC reps
     # fragmenting the heap before the 20M-row skew join) is fixed by
     # ordering instead: the skew pair runs first.
     spark = get_spark(
         app_name="pmcs-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
+        extra_conf={"spark.driver.memory": "1g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all_queries()

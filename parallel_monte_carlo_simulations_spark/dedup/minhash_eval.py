@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import sql_hash60_seeded, sql_shingles
 from ..registry import register
-from .minhash import N_HASHES, lsh_candidates, minhash_signatures
+from .minhash import (
+    N_HASHES,
+    VERIFY_SEED,
+    lsh_candidates,
+    minhash_signatures,
+    shingle_hash_arrays,
+)
 from .ngram import shingle_sets
 
 _SH = sql_shingles("text", 3)
@@ -71,14 +77,18 @@ matches AS (
   JOIN sig a ON a.doc_id = c.doc_a
   JOIN sig b ON b.doc_id = c.doc_b
 ),
+hsh AS (
+  SELECT DISTINCT doc_id, {sql_hash60_seeded('shingle', VERIFY_SEED)} AS h
+  FROM sh
+),
 counts AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hsh GROUP BY doc_id
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN hsh sa ON sa.doc_id = c.doc_a
+  JOIN hsh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
   GROUP BY c.doc_a, c.doc_b
 ),
 pairs AS (
@@ -132,8 +142,12 @@ def q_dedup_minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(sh).persist()
     cand = lsh_candidates(sig)
 
-    a = sig.alias("a")
-    b = sig.alias("b")
+    # Every corpus-sided frame below (signatures, hashed-shingle
+    # arrays) carries a bogus-small post-explode static estimate —
+    # pin sort-merge so the planner never broadcasts the corpus
+    # (round-8 registry audit; guaranteed OOM at 100 TB).
+    a = sig.alias("a").hint("merge")
+    b = sig.alias("b").hint("merge")
     m_expr = sum(
         F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
         for i in range(N_HASHES)
@@ -144,34 +158,34 @@ def q_dedup_minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", m_expr.cast("long").alias("m"))
     )
 
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    verified = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
+    # Exact-Jaccard truth via per-doc hashed-shingle arrays (the same
+    # scalar array_intersect verify as q_dedup_minhash_lsh — no
+    # pair x shingle row expansion; oracle counts over the identical
+    # md5 hash universe).
+    arrs = shingle_hash_arrays(sh)
+    pa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("ha"),
+        F.col("n").alias("n_a"),
+    ).hint("merge")
+    pb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hb"),
+        F.col("n").alias("n_b"),
+    ).hint("merge")
     pairs = (
-        matches.join(verified, ["doc_a", "doc_b"], "left")
-        .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        matches.join(pa, "doc_a")
+        .join(pb, "doc_b")
         .select(
             "m",
-            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
-            (
-                F.col("ca.n")
-                + F.col("cb.n")
-                - F.coalesce(F.col("n_common"), F.lit(0))
-            ).alias("u"),
+            F.size(F.array_intersect("ha", "hb")).cast("long").alias("n_common"),
+            F.col("n_a"),
+            F.col("n_b"),
+        )
+        .select(
+            "m",
+            "n_common",
+            (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("u"),
         )
     )
 

@@ -79,8 +79,13 @@ def shingle_sets(spark: SparkSession, sf_dir: str, width: int = 3) -> DataFrame:
 def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """Exact pairwise Jaccard from a distinct (doc_id, shingle) frame."""
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Every frame here is corpus-sized but post-explode, so Catalyst's
+    # static size estimate stays anchored to the tiny parquet scan and
+    # the planner auto-broadcasts a side (round-8 registry audit; at
+    # 10x docs the build dies, at 100 TB it's a guaranteed OOM). Pin
+    # the spill-safe sort-merge strategy on every corpus-sided join.
+    a = sh.alias("a").hint("merge")
+    b = sh.alias("b").hint("merge")
     inter = (
         a.join(
             b,
@@ -92,11 +97,9 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
+    ca = counts.alias("ca").hint("merge")
+    cb = counts.alias("cb").hint("merge")
     jac = F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
-    # No broadcast hint: per-doc counts scale with the corpus (AQE will
-    # still broadcast when a side is genuinely small at runtime).
     return (
         inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
@@ -157,7 +160,9 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
-    return sh.join(dup, "span").select("doc_id", "span", "n_docs")
+    # dup is span-keyed — corpus-scaling with a bogus-small post-explode
+    # static estimate; pin sort-merge (round-8 registry audit).
+    return sh.join(dup.hint("merge"), "span").select("doc_id", "span", "n_docs")
 
 
 _QLEV_ORACLE = """

@@ -108,17 +108,23 @@ def q_text_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
     t = toks.filter(~F.col("is_train") & F.col("prev").isNotNull()).alias("t")
+    # The LM tables are NOT broadcastable at scale: uni is vocab-sized
+    # and big is bigram-vocab-sized (both grow with the training corpus;
+    # their post-explode static estimates are bogus-small, so without
+    # hints the planner broadcasts them — round-8 registry audit). Pin
+    # sort-merge on the keyed lookups; only the keyless `stats` scalar
+    # stays a broadcast.
     scored = (
         t.join(
-            F.broadcast(big.alias("b")),
+            big.alias("b").hint("merge"),
             (F.col("t.prev") == F.col("b.prev")) & (F.col("t.tok") == F.col("b.tok")),
             "left",
         )
         .join(
-            F.broadcast(uni.alias("up")), F.col("t.prev") == F.col("up.tok"), "left"
+            uni.alias("up").hint("merge"), F.col("t.prev") == F.col("up.tok"), "left"
         )
         .join(
-            F.broadcast(uni.alias("u")), F.col("t.tok") == F.col("u.tok"), "left"
+            uni.alias("u").hint("merge"), F.col("t.tok") == F.col("u.tok"), "left"
         )
         .crossJoin(F.broadcast(stats))
         .select(

@@ -126,11 +126,16 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt.crossJoin(F.broadcast(tokc.select(F.col("lang").alias("lang_pred"), "n_tok_c")))
         .crossJoin(F.broadcast(vocab))
         .join(
+            # lw is (class x vocab)-sized — vocab grows with the corpus
+            # and the post-explode static estimate is bogus-small, so
+            # without a hint the planner broadcasts it (round-8 registry
+            # audit). Pin sort-merge; the class-keyed tokc and keyless
+            # vocab broadcasts above stay correct (bounded class domain).
             lw.select(
                 F.col("lang").alias("lang_pred"),
                 F.col("tok"),
                 F.col("n_wc"),
-            ),
+            ).hint("merge"),
             on=["lang_pred", "tok"],
             how="left",
         )

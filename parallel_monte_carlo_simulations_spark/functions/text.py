@@ -267,8 +267,12 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term")
     )
+    # dfreq is VOCAB-sized (grows with the corpus under Heaps' law) with
+    # a bogus-small post-explode static estimate — pin sort-merge so the
+    # planner never broadcasts it (round-8 registry audit); n_docs is a
+    # keyless scalar, broadcast stays correct.
     return (
-        tf.join(dfreq, "term")
+        tf.join(dfreq.hint("merge"), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -170,7 +170,10 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("hit").alias("got"))
     )
     passes = (
-        matched.join(F.broadcast(need), on="key")
+        # need is per-PROBE-KEY — scales with the probe table, unlike
+        # the (segments x M)-bounded build side; broadcasting it is an
+        # OOM at scale (round-8 registry audit). Keyed sort-merge.
+        matched.join(need.hint("merge"), on="key")
         .where(F.col("got") == F.col("need"))
         .groupBy("seg")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pass"))

@@ -93,9 +93,12 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term").alias("term_b"),
         F.col("pos").alias("pos_b"),
     )
+    # Both bigram-mining sides are the corpus postings (post-explode
+    # bogus-small static estimate) — pin sort-merge so the planner
+    # never broadcasts the corpus (round-8 registry audit).
     bigrams = (
-        p.join(
-            p2,
+        p.hint("merge").join(
+            p2.hint("merge"),
             (F.col("doc_id_b") == F.col("doc_id"))
             & (F.col("pos_b") == F.col("pos") + 1),
         )
@@ -107,9 +110,11 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # probe side: postings of w1, extended by the (doc, pos+1) join to w2
     hits = (
+        # top_bigram is limit(1)-bounded — broadcast correct; p2 is the
+        # corpus postings — sort-merge (round-8 registry audit).
         p.join(F.broadcast(top_bigram), p.term == F.col("w1"))
         .join(
-            p2,
+            p2.hint("merge"),
             (F.col("doc_id_b") == F.col("doc_id"))
             & (F.col("pos_b") == F.col("pos") + 1)
             & (F.col("term_b") == F.col("w2")),
@@ -376,8 +381,11 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = bigrams.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # df is bigram-VOCAB-sized with a bogus-small post-explode static
+    # estimate — pin sort-merge (round-8 registry audit); the keyless
+    # stats scalar stays a broadcast.
     wts = (
-        tf.join(df, "term")
+        tf.join(df.hint("merge"), "term")
         .crossJoin(F.broadcast(stats))
         .where(F.col("df") * 10 <= F.col("n_docs"))
         .select(
@@ -410,9 +418,12 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("w_b"),
     )
     dots = (
+        # b is the full corpus-sided weight index (post-explode bogus
+        # estimate) — pin sort-merge on the term key; the probe side's
+        # doc_id < 20 cut bounds the OUTPUT, not b.
         wts.where(F.col("doc_id") < 20)
         .join(
-            b,
+            b.hint("merge"),
             (F.col("term_b") == F.col("term"))
             & (F.col("doc_id") != F.col("doc_b")),
         )

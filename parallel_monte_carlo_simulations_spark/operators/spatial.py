@@ -170,8 +170,13 @@ def q_geo_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist_sq = (F.col("lat_a") - F.col("lat_b")) * (
         F.col("lat_a") - F.col("lat_b")
     ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    # Both sides scale with the point table and the exploded side's
+    # static size estimate is bogus-small (the 9x Generate is invisible
+    # to Catalyst), so without hints the planner broadcasts it — at
+    # 100 TB a guaranteed OOM (round-8 registry audit). Pin the
+    # spill-safe sort-merge on the cell equi-key.
     return (
-        a.join(b, on=["jx", "jy"])
+        a.hint("merge").join(b.hint("merge"), on=["jx", "jy"])
         .where(F.col("pid_a") < F.col("pid_b"))
         .where(dist_sq <= RADIUS_MICRO * RADIUS_MICRO)
         .select("pid_a", "pid_b", dist_sq.alias("dist_sq"))

@@ -256,9 +256,13 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("e_b"),
         F.col("bucket").alias("bucket_b"),
     )
+    # Both sides are the session-scaling binned frame whose post-explode
+    # static estimate is bogus-small — without hints the planner
+    # broadcasts one side (round-8 registry audit; OOM at scale). Pin
+    # sort-merge on the bucket equi-key.
     pairs = (
-        binned.join(
-            b,
+        binned.hint("merge").join(
+            b.hint("merge"),
             (F.col("bucket_b") == F.col("bucket"))
             & (F.col("user_id") < F.col("user_b")),
         )

@@ -439,44 +439,21 @@ def test_minhash_incremental_broadcasts_delta(spark):
 
 
 def _broadcast_generate_subtrees(spark, name):
-    """Operator-subtree check: yields True for each BroadcastExchange
-    whose INPUT subtree contains a Generate (explode) AND is not
-    re-bounded by a global (keyless) aggregate — i.e. the plan
-    broadcasts a frame whose cardinality still scales with the corpus
-    while its static size estimate cannot."""
-    import re
+    """True-list for each BroadcastExchange whose INPUT subtree contains
+    a Generate (explode) and no cardinality-bounding op (keyless
+    aggregate or limit) — i.e. the plan broadcasts a frame whose
+    cardinality still scales with the corpus while its static size
+    estimate cannot. The walker itself lives in tools/audit_broadcast.py,
+    which sweeps the ENTIRE registry per round; this test pins the
+    queries whose fixes it produced."""
+    import sys
 
-    plan = _plan(spark, name)
-    parts = plan.split("\n\n", 1)
-    tree, detail = parts[0], parts[1] if len(parts) > 1 else ""
-    # Operator ids whose detail section shows a GLOBAL aggregate
-    # (Keys: []) — these collapse to a bounded row count, so anything
-    # above them is bounded no matter what lies below.
-    global_aggs = set()
-    for m in re.finditer(
-        r"\((\d+)\) (?:Object)?HashAggregate[^\n]*\n(?:[^\n]*\n)*?Keys(?: \[\d+\])?: \[\]",
-        detail,
-    ):
-        global_aggs.add(m.group(1))
-    lines = tree.splitlines()
-    hits = []
-    for i, l in enumerate(lines):
-        if "BroadcastExchange" not in l:
-            continue
-        indent = len(l) - len(l.lstrip(" :+-"))
-        sub = []
-        bounded = False
-        for m in lines[i + 1 :]:
-            mind = len(m) - len(m.lstrip(" :+-"))
-            if mind <= indent:
-                break
-            agg = re.search(r"(?:Object)?HashAggregate \((\d+)\)", m)
-            if agg and agg.group(1) in global_aggs:
-                bounded = True  # cardinality collapsed; subtree is bounded
-                break
-            sub.append(m)
-        hits.append((not bounded) and any("Generate" in x for x in sub))
-    return hits
+    repo = __file__.rsplit("/", 2)[0]
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from tools.audit_broadcast import unbounded_generate_broadcasts
+
+    return [unbounded_generate_broadcasts(_plan(spark, name)) > 0]
 
 
 #: Queries where a broadcast-over-explode subtree is BOUNDED by
@@ -501,16 +478,20 @@ _BOUNDED_BROADCAST_OK = {
 }
 
 
-def test_dedup_family_never_broadcasts_corpus(spark):
+def test_corpus_joins_never_broadcast_corpus(spark):
     """Round-8 sf1.0 finding: Catalyst's static size estimate of a
     post-explode frame stays anchored to the tiny scan it derives from
     (the ~200x explode is invisible), so the planner auto-broadcasts
     the CORPUS into joins — at 10x docs the build dies
     (notEnoughMemoryToBuildAndBroadcastTable); at 100 TB the plan is a
-    guaranteed kill. Every corpus-sided join in the dedup family pins
-    sort-merge; the whitelist documents the broadcasts that are
-    bounded by construction."""
+    guaranteed kill. Every corpus-sided join in the queries below pins
+    sort-merge (the round-8 registry-wide audit fixed 9 such hazards;
+    tools/audit_broadcast.py sweeps ALL registered plans per round and
+    its BOUNDED_OK whitelist documents the broadcasts that are bounded
+    by construction — query samples, fixed sketch/class/salt domains,
+    guarded vocabularies)."""
     for name in [
+        # dedup family
         "q_dedup_minhash_lsh",
         "q_dedup_containment",
         "q_dedup_simhash",
@@ -518,6 +499,17 @@ def test_dedup_family_never_broadcasts_corpus(spark):
         "q_dedup_semantic",
         "q_dedup_semantic_adaptive",
         "q_winnow_overlap_pairs",
+        "q_dedup_ngram_jaccard",
+        "q_dedup_substring_spans",
+        "q_dedup_minhash_error_eval",
+        # text / search vocab and postings joins
+        "q_text_tfidf_topterms",
+        "q_text_tfidf_cosine_pairs",
+        "q_text_bigram_backoff",
+        "q_search_phrase",
+        # spatial / interval candidate joins
+        "q_geo_grid_proximity_join",
+        "q_join_interval_overlap",
     ]:
         assert not any(_broadcast_generate_subtrees(spark, name)), (
             f"{name}: corpus-sized post-explode frame is broadcast"

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Registry-wide broadcast-over-explode plan audit (round-8 discipline).
+
+Catalyst's static size estimate of a post-explode frame stays anchored
+to the tiny scan it derives from — the row multiplication of a
+Generate is invisible — so the planner happily auto-broadcasts frames
+whose true cardinality scales with the corpus. At 10x docs the build
+dies (notEnoughMemoryToBuildAndBroadcastTable, sf1.0 ladder); at
+100 TB the plan is a guaranteed job kill.
+
+This tool compiles EVERY registered query's physical plan and flags
+each BroadcastExchange whose input subtree contains a Generate and is
+not re-bounded by a global (keyless) aggregate or a limit. Flags are
+then compared against ``BOUNDED_OK`` — the reviewed whitelist of
+broadcasts that are bounded BY CONSTRUCTION (fixed sketch/class/salt
+domains, query samples, guarded vocabularies, delta batches). Any flag
+outside the whitelist is a scale bug: pin ``.hint("merge")`` on the
+corpus-sided join (see dedup/minhash.py for the pattern and the
+spill-safety rationale) or bound the frame.
+
+The round-8 sweep fixed 9 real hazards this audit found: ngram
+jaccard_pairs, substring spans, minhash error-eval, tfidf topterms +
+cosine pairs, bigram backoff, naive-bayes likelihoods, geo grid
+proximity, interval overlap, phrase search postings, bloom probe
+counts. Exit code 1 if any non-whitelisted flag remains.
+
+Run: python tools/audit_broadcast.py  (~4 min on local[4])
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+REPO = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, REPO)
+
+#: Reviewed bounded-by-construction broadcasts (query -> why the
+#: broadcast side cannot scale with the corpus).
+BOUNDED_OK: dict[str, str] = {
+    # ANN / similarity eval: the broadcast side derives from the
+    # N_QUERIES-bounded query sample (exploded per band/probe).
+    "q_ann_ndcg_mrr_map": "N_QUERIES-bounded query sample",
+    "q_ann_ndcg_ivf": "N_QUERIES-bounded query sample",
+    "q_ann_ndcg_pq": "N_QUERIES-bounded query sample",
+    "q_ann_recall_eval": "N_QUERIES-bounded query sample",
+    "q_ann_recall_eval_ivf": "N_QUERIES-bounded query sample",
+    "q_ann_recall_eval_jl": "N_QUERIES-bounded query sample",
+    "q_ann_recall_eval_pq": "N_QUERIES-bounded query sample",
+    "q_sim_lsh_topk": "N_QUERIES-bounded query sample",
+    "q_sim_pq_topk": "N_QUERIES-bounded query sample",
+    "q_embedding_outliers": "d x k JL projection matrix (dims, not rows)",
+    "q_embedding_random_projection": "d x k JL projection matrix",
+    # Dedup family, reviewed:
+    "q_dedup_minhash_incremental": "arriving delta batch broadcast BY DESIGN",
+    "q_dedup_ml_minhash": "pyspark.ml approxSimilarityJoin internals (demo row)",
+    "q_dedup_prefix_filter_join": "vocabulary raise_error-guarded <= 62 tokens",
+    # Fixed-domain aggregates:
+    "q_bloom_join_prune": "build side bounded at |segments| x M filter bits",
+    "q_cms_heavy_hitters": "CMS grid fixed at D x W cells",
+    "q_stream_cms_merge": "CMS grid fixed at D x W cells",
+    "q_naive_bayes_confusion": "per-CLASS token totals (fixed class domain)",
+    "q_pipeline_pretraining_shards": "per-LABEL centroids (fixed label domain)",
+    # Bounded probes / samples:
+    "q_contamination_check": "benchmark eval-set side, tiny by definition",
+    "q_text_bm25": "df of the 3 fixed query terms",
+    "q_text_rake_keywords": "doc_id < 250 kernel sample by construction",
+    "q_mc_heads_frequency_qmc": "MC config shard frame (models x shards)",
+    "q_skew_salted_join": "dim side exploded x64 salts — still dim-bounded",
+}
+
+BOUNDING = re.compile(r"GlobalLimit|TakeOrderedAndProject|CollectLimit")
+AGG = re.compile(r"(?:Object|Sort)?(?:Hash)?Aggregate \((\d+)\)")
+KEYLESS = re.compile(
+    r"\((\d+)\) (?:Object|Sort)?(?:Hash)?Aggregate[^\n]*\n"
+    r"(?:[^\n]*\n)*?Keys(?: \[\d+\])?: \[\]"
+)
+
+
+def unbounded_generate_broadcasts(plan: str) -> int:
+    """Count BroadcastExchanges whose input subtree contains a Generate
+    and no cardinality-bounding op (keyless aggregate or limit)."""
+    parts = plan.split("\n\n", 1)
+    tree, detail = parts[0], parts[1] if len(parts) > 1 else ""
+    global_aggs = {m.group(1) for m in KEYLESS.finditer(detail)}
+    lines = tree.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        indent = len(line) - len(line.lstrip(" :+-"))
+        sub, bounded = [], False
+        for below in lines[i + 1 :]:
+            bind = len(below) - len(below.lstrip(" :+-"))
+            if bind <= indent:
+                break
+            if BOUNDING.search(below):
+                bounded = True
+                break
+            agg = AGG.search(below)
+            if agg and agg.group(1) in global_aggs:
+                bounded = True
+                break
+            sub.append(below)
+        if not bounded and any("Generate" in x for x in sub):
+            n += 1
+    return n
+
+
+def main() -> int:
+    from parallel_monte_carlo_simulations_spark.registry import load_all_queries
+    from parallel_monte_carlo_simulations_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="audit-broadcast",
+        master="local[4]",
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    specs = load_all_queries()
+    sf = "/root/testdata/sf0.01"
+    flagged, errors = {}, {}
+    for name in sorted(specs):
+        try:
+            df = specs[name].fn(spark, sf)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            n = unbounded_generate_broadcasts(plan)
+            if n:
+                flagged[name] = n
+        except Exception as e:  # noqa: BLE001 - audit must sweep on
+            errors[name] = f"{type(e).__name__}: {e}"[:160]
+    bad = sorted(set(flagged) - set(BOUNDED_OK))
+    stale = sorted(set(BOUNDED_OK) - set(flagged))
+    out = {
+        "flagged": flagged,
+        "not_whitelisted": bad,
+        "whitelist_unused": stale,
+        "errors": errors,
+        "n_queries": len(specs),
+    }
+    with open(f"{REPO}/AUDIT_BROADCAST.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"{len(specs)} plans audited, {len(flagged)} flagged, "
+          f"{len(bad)} NOT whitelisted, {len(stale)} whitelist entries unused")
+    for name in bad:
+        print(f"  SCALE BUG: {name}")
+    if errors:
+        print(f"  ({len(errors)} queries failed to plan: {sorted(errors)[:5]})")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
