@@ -55,11 +55,17 @@ def rdiv_halfup_expr(num: str, den: str) -> Column:
 
 
 def rdiv_halfup_duck(num: str, den: str) -> str:
-    """DuckDB SQL text for the identical split-form division."""
+    """DuckDB SQL text for the identical split-form division.
+
+    Inputs are CAST to BIGINT first: DuckDB types small integer
+    LITERALS as INT32, and ``(num % den) * 20000`` then overflows
+    INT32 for remainders above ~107k (Hypothesis-found; column inputs
+    were already BIGINT and unaffected)."""
+    n, d = f"CAST(({num}) AS BIGINT)", f"CAST(({den}) AS BIGINT)"
     return (
-        f"(CAST(({num}) // ({den}) AS DOUBLE)"
-        f" + CAST(((({num}) % ({den})) * 20000 + ({den}))"
-        f"        // (2 * ({den})) AS DOUBLE) / 10000.0)"
+        f"(CAST({n} // {d} AS DOUBLE)"
+        f" + CAST((({n} % {d}) * 20000 + {d})"
+        f"        // (2 * {d}) AS DOUBLE) / 10000.0)"
     )
 
 
