@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import shingles, sql_shingles
+from ..functions.hashing import (
+    VERIFY_SEED,
+    hash60_seeded,
+    shingles,
+    sql_hash60_seeded,
+    sql_shingles,
+)
 from ..registry import register
 from ..tables import table
 
@@ -29,12 +35,14 @@ _SH = sql_shingles("text", 3)
 
 _QCONTAIN_ORACLE = f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, unnest({_SH}) AS shingle FROM documents
+  SELECT DISTINCT doc_id,
+         {sql_hash60_seeded('shingle', VERIFY_SEED)} AS h
+  FROM (SELECT doc_id, unnest({_SH}) AS shingle FROM documents)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS small_doc, b.doc_id AS big_doc, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.small_doc, i.big_doc,
@@ -63,9 +71,16 @@ WHERE sa.n <= sb.n
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # Intersections and sizes run over 60-bit md5-hashed shingles (the
+    # dedup.minhash VERIFY_SEED convention): the pair-generating shuffle
+    # carries 8-byte longs instead of ~25-byte strings, and the oracle
+    # counts over the identical hash universe, so a collision shifts
+    # both engines the same way.
     sh = (
         d.select("doc_id", F.explode(shingles("text", 3)).alias("shingle"))
+        .select("doc_id", hash60_seeded("shingle", VERIFY_SEED).alias("h"))
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # The intersect self-join's sides are the corpus-sized post-explode
@@ -76,7 +91,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .groupBy(

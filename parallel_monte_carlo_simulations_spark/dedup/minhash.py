@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60_seeded, sql_hash60_seeded, sql_shingles
+from ..functions.hashing import (
+    VERIFY_SEED,
+    hash60_seeded,
+    sql_hash60_seeded,
+    sql_shingles,
+)
 from ..registry import register
 from .ngram import shingle_sets
 
@@ -39,16 +44,6 @@ N_BANDS = N_HASHES // BAND_ROWS
 #: constant remains for display/round reporting only.
 VERIFY_NUM, VERIFY_DEN = 1, 2
 VERIFY_THRESHOLD = VERIFY_NUM / VERIFY_DEN
-
-#: Seed for the verify-side shingle hash — distinct from the signature
-#: seeds 0..N_HASHES-1 only for clarity (verification needs a
-#: set-preserving map, not hash independence). Verification intersects
-#: 60-bit HASHED shingle sets instead of strings: per-doc arrays stay
-#: ~8x smaller through the pair joins, and the oracle counts over the
-#: IDENTICAL md5-derived universe, so even a collision (p ~ 2^-60 per
-#: pair) shifts both engines identically — cross-engine exactness is
-#: unconditional.
-VERIFY_SEED = 99
 
 _SH = sql_shingles("text", 3)
 _MINS_SQL = ",\n    ".join(

@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import shingles, sql_shingles
+from ..functions.hashing import (
+    VERIFY_SEED,
+    hash60_seeded,
+    shingles,
+    sql_hash60_seeded,
+    sql_shingles,
+)
 from ..registry import register
 from ..tables import table
 
@@ -25,14 +31,16 @@ _SH = sql_shingles("text", 3)
 
 _QNGRAM_ORACLE = f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, unnest({_SH}) AS shingle FROM documents
+  SELECT DISTINCT doc_id,
+         {sql_hash60_seeded('shingle', VERIFY_SEED)} AS h
+  FROM (SELECT doc_id, unnest({_SH}) AS shingle FROM documents)
 ),
 counts AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
 ),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY doc_a, doc_b
 )
 SELECT
@@ -77,19 +85,28 @@ def shingle_sets(spark: SparkSession, sf_dir: str, width: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact pairwise Jaccard from a distinct (doc_id, shingle) frame."""
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    """Exact pairwise Jaccard from a distinct (doc_id, shingle) frame.
+
+    The self-join and counts run over 60-bit hashed shingles (see
+    VERIFY_SEED) — the pair-generating shuffle carries longs, not
+    strings."""
+    hsh = (
+        sh.select("doc_id", hash60_seeded("shingle", VERIFY_SEED).alias("h"))
+        .distinct()
+        .persist()
+    )
+    counts = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Every frame here is corpus-sized but post-explode, so Catalyst's
     # static size estimate stays anchored to the tiny parquet scan and
     # the planner auto-broadcasts a side (round-8 registry audit; at
     # 10x docs the build dies, at 100 TB it's a guaranteed OOM). Pin
     # the spill-safe sort-merge strategy on every corpus-sided join.
-    a = sh.alias("a").hint("merge")
-    b = sh.alias("b").hint("merge")
+    a = hsh.alias("a").hint("merge")
+    b = hsh.alias("b").hint("merge")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -115,8 +132,9 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     tags=("dedup", "ngram", "jaccard"),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Persist: the frame feeds the self-join twice plus per-doc counts.
-    return jaccard_pairs(shingle_sets(spark, sf_dir).persist(), JACCARD_THRESHOLD)
+    # jaccard_pairs persists its hashed-shingle frame internally (it
+    # feeds the self-join twice plus per-doc counts).
+    return jaccard_pairs(shingle_sets(spark, sf_dir), JACCARD_THRESHOLD)
 
 
 _SH8 = sql_shingles("text", 8)

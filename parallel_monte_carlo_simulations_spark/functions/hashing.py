@@ -23,6 +23,14 @@ from pyspark.sql import functions as F
 HASH_BITS = 60
 HEX_CHARS = 15  # 60 bits
 
+#: Seed for verify-side shingle hashing across the dedup family
+#: (minhash verify arrays, ngram jaccard, containment): set membership
+#: runs over h_99(shingle) in BOTH engines, so the 8-byte long replaces
+#: the string through every shuffle and a collision (p ~ 2^-60 per
+#: pair) shifts both engines identically. Distinct from the signature
+#: seeds 0..k-1 for clarity only.
+VERIFY_SEED = 99
+
 
 def hash60(col: Column | str) -> Column:
     """Spark column: 60-bit md5-derived hash (non-negative bigint)."""
