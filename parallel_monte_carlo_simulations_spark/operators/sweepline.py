@@ -205,8 +205,11 @@ LIMIT 20
 def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-interval join by bucketing: an interval registers in
     every hour bucket it touches, candidates must share a bucket, the
-    exact overlap predicate filters residuals, and DISTINCT collapses
-    multi-bucket duplicates. Work scales with overlap density x bucket
+    exact overlap predicate filters residuals, and the canonical
+    first-overlap-bucket filter collapses multi-bucket duplicates
+    INSIDE the join stage (each pair's overlap start lies in exactly
+    one bucket both sides registered — no DISTINCT re-shuffle of the
+    expanded candidates). Work scales with overlap density x bucket
     count — never |sessions|^2."""
     e = table(spark, sf_dir, "events")
     iv = e.select(
@@ -260,6 +263,16 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # static estimate is bogus-small — without hints the planner
     # broadcasts one side (round-8 registry audit; OOM at scale). Pin
     # sort-merge on the bucket equi-key.
+    #
+    # Multi-bucket dedup WITHOUT a distinct: two overlapping islands
+    # co-occur in every bucket their overlap touches, but the overlap's
+    # FIRST bucket — max(s, s_b) DIV bucket — is unique per pair, so
+    # keeping only the join row whose bucket IS that first bucket emits
+    # each pair exactly once. That turns the old corpus-pair DISTINCT
+    # (a full shuffle of every expanded candidate row) into a scalar
+    # filter inside the join stage — at sf1.0 the expanded candidate
+    # term sum(c^2) is ~1.85e9 rows (SCALING.md), all of which the
+    # distinct re-shuffled.
     pairs = (
         binned.hint("merge").join(
             b.hint("merge"),
@@ -267,6 +280,9 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("user_id") < F.col("user_b")),
         )
         .where((F.col("s") < F.col("e_b")) & (F.col("s_b") < F.col("e")))
+        .where(
+            F.expr(f"greatest(s, s_b) DIV {_BUCKET_US}") == F.col("bucket")
+        )
         .select(
             F.col("user_id").alias("user_a"),
             F.col("island").alias("island_a"),
@@ -275,7 +291,6 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("s"), F.col("s_b")).alias("os"),
             F.least(F.col("e"), F.col("e_b")).alias("oe"),
         )
-        .distinct()
     )
     return (
         pairs.groupBy("user_a", "user_b")
