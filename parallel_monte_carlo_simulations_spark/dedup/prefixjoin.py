@@ -159,6 +159,16 @@ LIMIT {_TOP_K}
     tags=("dedup", "similarity-join", "prefix-filter", "exact", "scale"),
 )
 def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design domain (measured, round-8 sf1.0 ladder): the set-level
+    pair space is bounded by DISTINCT token sets, which saturate toward
+    2^|V| on a bounded vocabulary — that is what makes this exact join
+    cheap here. Corpora whose vocabulary carries document-identifying
+    tokens (the tiled sf1.0's per-copy suffix) keep minting new sets
+    (10x sets -> 100x set pairs; the cell DNF'd), so for
+    general/growing vocabularies the scale path is MinHash candidates
+    (q_dedup_minhash_lsh, x10 1.91) with exact verification — this
+    operator is the bounded-vocab exact kernel, and the rnk > 62
+    raise_error below is the loud edge of that domain."""
     docs = table(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
