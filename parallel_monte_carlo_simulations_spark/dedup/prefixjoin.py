@@ -54,6 +54,15 @@ _T_NUM, _T_DEN = 7, 10
 #: Output cap: the K most-similar doc pairs (ties broken by ids).
 _TOP_K = 200
 
+#: Pre-flight budget on the candidate SET-pair space Σ_tok C(g_tok, 2)
+#: (g_tok = sets carrying token tok in their prefix). ~5e7 popcount
+#: checks is seconds of work; the sf1.0 tiled corpus that DNF'd this
+#: operator implied ~1.55e9 — two orders past the budget. The |V| <= 62
+#: raise_error guards the vocabulary axis; this guards the orthogonal
+#: distinct-set axis the round-8 ladder exposed (copy-identifying
+#: suffix tokens mint new sets without growing |V|).
+_PAIR_BUDGET = 50_000_000
+
 _QPREFIX_ORACLE = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -154,7 +163,10 @@ LIMIT {_TOP_K}
         "exact Jaccard>=0.7 set-similarity self-join via PPJoin-style "
         "prefix filtering over DISTINCT token sets (guarded <=62-token "
         "bitmask fast path, inline popcount verification, multiplicity-"
-        "exact pair counting, tie-complete top-200 expansion)"
+        "exact pair counting, tie-complete top-200 expansion); design "
+        "domain is saturating vocabularies — a pre-flight raise_error "
+        "fires when the candidate set-pair space exceeds 5e7 and names "
+        "q_dedup_minhash_lsh as the scale path"
     ),
     tags=("dedup", "similarity-join", "prefix-filter", "exact", "scale"),
 )
@@ -167,8 +179,11 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10x sets -> 100x set pairs; the cell DNF'd), so for
     general/growing vocabularies the scale path is MinHash candidates
     (q_dedup_minhash_lsh, x10 1.91) with exact verification — this
-    operator is the bounded-vocab exact kernel, and the rnk > 62
-    raise_error below is the loud edge of that domain."""
+    operator is the bounded-vocab exact kernel. Two loud edges fence
+    the domain: the rnk > 62 raise_error (vocabulary axis) and the
+    round-9 pre-flight candidate-pair budget (distinct-set axis,
+    _PAIR_BUDGET) that turns the sf1.0 ladder's 28-minute DNF into a
+    seconds-fast failure naming the MinHash scale path."""
     docs = table(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -206,9 +221,39 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("mask", "s", "cnt", "tok")
 
-    a = pref.select(
-        F.col("mask").alias("ma"), F.col("s").alias("sa"),
-        F.col("cnt").alias("ca"), "tok",
+    # Pre-flight guard (round-9, after the sf1.0 DNF): the join below
+    # does Σ_tok C(g_tok, 2) popcount checks. pref is at most
+    # |sets| x 62 rows, so this aggregate costs nothing; the guard
+    # fails in seconds instead of letting a non-saturating vocabulary
+    # (document-identifying tokens keep minting new distinct sets
+    # without tripping the |V| guard) run the join for half an hour.
+    # Spark-side only: in the pass domain it contributes no rows, so
+    # the oracle SQL is unchanged. The .where forces evaluation —
+    # column pruning alone would dead-code the raise_error.
+    pair_budget = (
+        pref.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .agg(
+            F.sum(F.expr("g * (g - 1) div 2")).cast("long").alias("cand")
+        )
+        .selectExpr(
+            f"CASE WHEN cand > {_PAIR_BUDGET} THEN raise_error(CONCAT("
+            "'prefix-filter candidate set-pair space ', CAST(cand AS STRING), "
+            f"' exceeds budget {_PAIR_BUDGET}: vocabulary is not saturating "
+            "(distinct token sets grow with the corpus); use "
+            "q_dedup_minhash_lsh as the scale path')) "
+            "ELSE coalesce(cand, 0L) END AS cand_pairs"
+        )
+    )
+
+    a = (
+        pref.crossJoin(F.broadcast(pair_budget))
+        .where(F.col("cand_pairs") >= 0)
+        .drop("cand_pairs")
+        .select(
+            F.col("mask").alias("ma"), F.col("s").alias("sa"),
+            F.col("cnt").alias("ca"), "tok",
+        )
     )
     b = pref.select(
         F.col("mask").alias("mb"), F.col("s").alias("sb"),
