@@ -237,6 +237,16 @@ def main() -> None:
         shuffle_partitions=int(CPUS),
         extra_conf={"spark.driver.memory": "1g"},
     )
+    # driver.memory only binds at JVM launch; if anything created a
+    # session earlier in this process, getOrCreate silently ignored the
+    # override and the bench would run at the session module's 8g —
+    # invalidating cross-round comparability (round-9 advice). Fail
+    # loudly instead; the actual heap goes into the detail file.
+    heap = spark.conf.get("spark.driver.memory", "default-1g")
+    assert heap == "1g", (
+        f"bench JVM heap is {heap}, not the pinned 1g — a session "
+        "existed before bench.py's; run bench.py as its own process"
+    )
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all_queries()
 
@@ -326,6 +336,7 @@ def main() -> None:
     # instead, so round-over-round comparison needs no reconstruction.
     out["value_normalized"] = round(out["value"] * ratio, 3)
     detail = dict(out)
+    detail["driver_memory"] = heap
     detail["queries_normalized"] = {
         k: round(v * ratio, 3) for k, v in times.items()
     }

@@ -185,6 +185,13 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("size_eq"),
     )
+    # The blocking join is the pipeline's largest stage and feeds BOTH
+    # the u-weight aggregate and the accepted-pairs filter; without a
+    # persist it executes twice (round-9 advice). The first consumer
+    # populates the MEMORY_AND_DISK blocks, the second reads them.
+    # Released by the test fixture / bench clearCache — the returned
+    # plan is still reading them, so it cannot unpersist here.
+    pairs = pairs.persist()
 
     def _w(n_col: str):
         return F.round(

@@ -54,19 +54,31 @@ def pytest_runtest_call(item):
         yield
         return
 
+    # @pytest.mark.timeout_s(N) overrides the default budget for the
+    # few legitimately-long tests (the registry-wide plan audit).
+    marker = item.get_closest_marker("timeout_s")
+    budget = int(marker.args[0]) if marker else TEST_TIMEOUT_S
+
     def _on_timeout(signum, frame):
         # Dump every thread (the JVM gateway thread included) so the wedge
         # site is visible in the failure output, then fail the test.
         faulthandler.dump_traceback()
         raise TimeoutError(
-            f"test exceeded {TEST_TIMEOUT_S}s wall-clock "
+            f"test exceeded {budget}s wall-clock "
             f"(PMCS_TEST_TIMEOUT_S to adjust)"
         )
 
     prev = signal.signal(signal.SIGALRM, _on_timeout)
-    signal.alarm(TEST_TIMEOUT_S)
+    signal.alarm(budget)
     try:
         yield
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, prev)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "timeout_s(n): override the per-test SIGALRM wall-clock budget",
+    )

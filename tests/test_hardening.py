@@ -186,3 +186,49 @@ def test_simulation_config_object_with_dict_only_api(spark):
     battery = MCBattery({"rng": "PCG64", "master_seed": 5})
     df = battery.simulate([coin], [V1Config()], spark=spark)
     assert df.count() == 4
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    # Hash-min propagates the min label ONE hop per round, so a path
+    # graph with diameter > MAX_ROUNDS cannot converge — the round-9
+    # contract is a loud RuntimeError, never silently-split clusters
+    # (the pre-fix behavior returned whatever labels round 20 held).
+    from parallel_monte_carlo_simulations_spark.dedup.clusters import (
+        MAX_ROUNDS,
+        connected_components,
+    )
+
+    n = MAX_ROUNDS + 10
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain).collect()
+
+    # A short chain (diameter < MAX_ROUNDS) still resolves to one
+    # component labeled by its min node.
+    short = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    rows = connected_components(short).collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert len(rows) == 6
+
+
+def test_local_checkpoint_release_is_real(spark):
+    # Dataset.unpersist routes through the SQL cache manager and never
+    # sees localCheckpoint blocks (RDD-level persisted) — the helper
+    # must release the actual block (round-9 advice: the r7 per-round
+    # release was a silent no-op).
+    from parallel_monte_carlo_simulations_spark.dedup.clusters import (
+        _release_local_checkpoint,
+    )
+
+    sc = spark.sparkContext._jsc.sc()
+    base = len(sc.getRDDStorageInfo())
+    df = spark.range(10_000).localCheckpoint(eager=True)
+    assert len(sc.getRDDStorageInfo()) == base + 1
+    df.unpersist()
+    assert len(sc.getRDDStorageInfo()) == base + 1  # documented no-op
+    _release_local_checkpoint(df)
+    assert len(sc.getRDDStorageInfo()) == base

@@ -7,6 +7,8 @@ into a sort-merge shuffle)."""
 
 from __future__ import annotations
 
+import pytest
+
 from parallel_monte_carlo_simulations_spark.registry import load_all_queries
 
 SF = "/root/testdata/sf0.01"
@@ -438,44 +440,26 @@ def test_minhash_incremental_broadcasts_delta(spark):
     assert "CartesianProduct" not in plan
 
 
-def _broadcast_generate_subtrees(spark, name):
-    """True-list for each BroadcastExchange whose INPUT subtree contains
-    a Generate (explode) and no cardinality-bounding op (keyless
-    aggregate or limit) — i.e. the plan broadcasts a frame whose
-    cardinality still scales with the corpus while its static size
-    estimate cannot. The walker itself lives in tools/audit_broadcast.py,
-    which sweeps the ENTIRE registry per round; this test pins the
-    queries whose fixes it produced."""
+def _tools_path():
     import sys
 
     repo = __file__.rsplit("/", 2)[0]
     if repo not in sys.path:
         sys.path.insert(0, repo)
+
+
+def _has_unbounded_generate_broadcast(spark, name) -> bool:
+    """True if the plan has a BroadcastExchange whose INPUT subtree
+    contains a Generate (explode) and no cardinality-bounding op
+    (keyless aggregate or limit) — i.e. the plan broadcasts a frame
+    whose cardinality still scales with the corpus while its static
+    size estimate cannot. The walker itself lives in
+    tools/audit_broadcast.py; this test pins the queries whose fixes
+    it produced."""
+    _tools_path()
     from tools.audit_broadcast import unbounded_generate_broadcasts
 
-    return [unbounded_generate_broadcasts(_plan(spark, name)) > 0]
-
-
-#: Queries where a broadcast-over-explode subtree is BOUNDED by
-#: construction and therefore correct:
-#: - q_sim_lsh_topk / ANN eval family: the broadcast side is the
-#:   N_QUERIES-bounded query sample (similarity/lsh.py:171), exploded
-#:   to (query, band) rows — bounded regardless of corpus size.
-#: - q_dedup_ml_minhash: pyspark.ml's approxSimilarityJoin internals —
-#:   library-owned plan, rows-only demonstration row; the from-scratch
-#:   q_dedup_minhash_lsh is the scale path.
-#: - q_dedup_minhash_incremental: the broadcast is the arriving delta
-#:   batch BY DESIGN (bounded in production; the testdata's %10 split
-#:   only stands in for an arrival stream).
-_BOUNDED_BROADCAST_OK = {
-    "q_sim_lsh_topk",
-    "q_ann_ndcg_mrr_map",
-    "q_ann_recall_eval",
-    "q_embedding_random_projection",
-    "q_embedding_outliers",
-    "q_dedup_ml_minhash",
-    "q_dedup_minhash_incremental",
-}
+    return unbounded_generate_broadcasts(_plan(spark, name)) > 0
 
 
 def test_corpus_joins_never_broadcast_corpus(spark):
@@ -511,6 +495,29 @@ def test_corpus_joins_never_broadcast_corpus(spark):
         "q_geo_grid_proximity_join",
         "q_join_interval_overlap",
     ]:
-        assert not any(_broadcast_generate_subtrees(spark, name)), (
+        assert not _has_unbounded_generate_broadcast(spark, name), (
             f"{name}: corpus-sized post-explode frame is broadcast"
         )
+
+
+@pytest.mark.timeout_s(900)
+def test_registry_wide_broadcast_audit_clean(spark):
+    """Continuous form of tools/audit_broadcast.py (round-9): compile
+    EVERY registered plan and require (a) zero non-whitelisted
+    generate-broadcasts, (b) zero STALE whitelist entries — a plan
+    that shifted out from under its exemption would otherwise be
+    silently re-exempted if it ever shifts back — and (c) zero
+    plan-compilation errors. ~3-4 min: the cost of making whitelist
+    drift a test failure instead of a per-round artifact diff."""
+    _tools_path()
+    from tools.audit_broadcast import audit
+
+    out = audit(spark)
+    assert out["errors"] == {}, out["errors"]
+    assert out["not_whitelisted"] == [], (
+        f"unreviewed corpus-broadcast hazards: {out['not_whitelisted']}"
+    )
+    assert out["whitelist_unused"] == [], (
+        f"stale BOUNDED_OK entries (plan no longer flags): "
+        f"{out['whitelist_unused']}"
+    )
