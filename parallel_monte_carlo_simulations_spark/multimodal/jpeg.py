@@ -58,6 +58,12 @@ def _build_zigzag() -> list[tuple[int, int]]:
 
 ZIGZAG = _build_zigzag()
 
+# Vectorized-scatter form of the zigzag order: coef[:, _ZZ_R, _ZZ_C] =
+# zz places every block's 64 zigzag values in one numpy op (the
+# per-block 64-iteration Python loop was the decoder's hottest line).
+_ZZ_R = np.array([r for r, _ in ZIGZAG])
+_ZZ_C = np.array([c for _, c in ZIGZAG])
+
 # Orthonormal 8-point DCT-II matrix; F = M @ B @ M.T matches the JPEG
 # FDCT definition (constant block c -> DC = 8c, all AC = 0).
 _M = np.zeros((8, 8))
@@ -117,39 +123,76 @@ class _BitWriter:
 
 
 class _BitReader:
+    """Buffered MSB-first bit reader over an entropy-coded segment.
+
+    Round-9 rework: the original read one BIT per Python call (the
+    decoder's hot loop after the IDCT was batched). This form buffers
+    whole unstuffed bytes into an int accumulator and exposes
+    ``peek16``/``consume`` so Huffman decode is one table probe per
+    SYMBOL. Stuffed 0xFF00 unstuffs during fill; any other marker
+    (RSTn, EOI) stops the fill with ``pos`` left ON the 0xFF so
+    ``restart`` can verify it byte-aligned, exactly like the
+    byte-at-a-time original."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self._acc = 0
         self._n = 0
+        self._boundary = False
+
+    def _fill(self) -> None:
+        data, pos, n = self.data, self.pos, len(self.data)
+        while self._n <= 24 and not self._boundary:
+            if pos >= n:
+                break
+            b = data[pos]
+            pos += 1
+            if b == 0xFF:
+                if pos >= n:
+                    raise ValueError("truncated marker in scan")
+                if data[pos] == 0x00:
+                    pos += 1  # unstuff FF00 -> FF
+                else:
+                    pos -= 1  # leave pos on the marker's 0xFF
+                    self._boundary = True
+                    break
+            self._acc = (self._acc << 8) | b
+            self._n += 8
+        self.pos = pos
+
+    def peek16(self) -> int:
+        if self._n < 16:
+            self._fill()
+        if self._n >= 16:
+            return (self._acc >> (self._n - 16)) & 0xFFFF
+        return (self._acc << (16 - self._n)) & 0xFFFF  # zero-padded tail
+
+    def consume(self, k: int) -> None:
+        if self._n < k:
+            self._fill()
+            if self._n < k:
+                raise ValueError("truncated entropy-coded segment")
+        self._n -= k
+        self._acc &= (1 << self._n) - 1
 
     def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy-coded segment")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("truncated marker in scan")
-                marker = self.data[self.pos]
-                self.pos += 1
-                if marker != 0x00:  # unstuff FF00 -> FF; anything else ends us
-                    raise ValueError(f"unexpected marker 0xFF{marker:02X} in scan")
-            self._acc = byte
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+        bit = self.peek16() >> 15
+        self.consume(1)
+        return bit
 
     def receive(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.read_bit()
+        if length == 0:
+            return 0
+        v = self.peek16() >> (16 - length)
+        self.consume(length)
         return v
 
     def restart(self, n: int) -> None:
         """Discard pad bits and consume the byte-aligned RSTn marker."""
+        self._acc = 0
         self._n = 0
+        self._boundary = False
         if self.pos + 2 > len(self.data):
             raise ValueError("truncated restart marker")
         if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n:
@@ -158,6 +201,36 @@ class _BitReader:
                 f"{self.data[self.pos:self.pos + 2].hex()}"
             )
         self.pos += 2
+
+
+#: (symbol, length) flat lookup over a 16-bit peek window, keyed by the
+#: DHT payload so repeated decodes of same-table payloads (every decode
+#: in a corpus scan) build it once per process. Bounded: cleared if an
+#: adversarial stream registers more than 64 distinct tables.
+_HUFF_LUT_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+
+
+def _huff_lut(bits: list[int], syms: list[int]) -> tuple[list[int], list[int]]:
+    key = bytes(bits) + bytes(syms)
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym_l = [0] * 65536
+    len_l = [0] * 65536
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            sym_l[lo:hi] = [syms[k]] * (hi - lo)
+            len_l[lo:hi] = [length] * (hi - lo)
+            code += 1
+            k += 1
+        code <<= 1
+    if len(_HUFF_LUT_CACHE) >= 64:
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = (sym_l, len_l)
+    return sym_l, len_l
 
 
 def _extend(v: int, size: int) -> int:
@@ -357,7 +430,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
     quant: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     width = height = -1
     comp_q: dict[int, int] = {}
     comp_samp: dict[int, tuple[int, int]] = {}
@@ -416,15 +489,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 bits = list(body[off + 1 : off + 17])
                 n = sum(bits)
                 syms = list(body[off + 17 : off + 17 + n])
-                table: dict[tuple[int, int], int] = {}
-                code, k = 0, 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = syms[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(cls, tid)] = table
+                huff[(cls, tid)] = _huff_lut(bits, syms)
                 off += 17 + n
         elif marker == 0xDD:  # DRI
             if len(body) != 2:
@@ -459,15 +524,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
 
     r = _BitReader(scan_data)
 
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | r.read_bit()
-            if (length, code) in table:
-                return table[(length, code)]
-        raise ValueError("invalid Huffman code in scan")
+    def read_symbol(lut: tuple[list[int], list[int]]) -> int:
+        sym_l, len_l = lut
+        v = r.peek16()
+        ln = len_l[v]
+        if ln == 0:
+            raise ValueError("invalid Huffman code in scan")
+        r.consume(ln)
+        return sym_l[v]
 
-    def read_block(dc_tbl, ac_tbl, qtbl, prev_dc: int) -> tuple[np.ndarray, int]:
+    def read_block_zz(dc_tbl, ac_tbl, prev_dc: int) -> tuple[list[int], int]:
+        """Entropy-decode one block to its 64 zigzag-order coefficients.
+        Dequantization and the IDCT are deferred and batched over ALL
+        blocks after the scan (round-9: one broadcast matmul instead of
+        a per-block Python zigzag loop + 8x8 matmul — same arithmetic,
+        exact integers below 2^53 either way)."""
         zz = [0] * 64
         size = read_symbol(dc_tbl)
         if size > 11:
@@ -489,11 +560,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("AC run overflows block")
             zz[k] = _extend(r.receive(size), size)
             k += 1
-        coef = np.zeros((8, 8), dtype=np.float64)
-        for i, (row, col) in enumerate(ZIGZAG):
-            coef[row, col] = zz[i] * qtbl[row, col]
-        block = _M.T @ coef @ _M + 128.0
-        return np.clip(np.rint(block), 0, 255).astype(np.uint8), prev_dc
+        return zz, prev_dc
 
     ncomp = len(scan_comps)
     samps = [comp_samp[cid] for cid, _dc, _ac in scan_comps]
@@ -514,6 +581,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.uint8)
         for h, v in samps
     ]
+    zz_per_comp: list[list[list[int]]] = [[] for _ in range(ncomp)]
+    pos_per_comp: list[list[tuple[int, int]]] = [[] for _ in range(ncomp)]
     prev_dc = [0] * ncomp
     mcu_i = 0
     for my in range(mcuy):
@@ -525,14 +594,29 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 h, v = samps[ci]
                 for vy in range(v):
                     for vx in range(h):
-                        block, prev_dc[ci] = read_block(
-                            huff[(0, dc_id)], huff[(1, ac_id)],
-                            quant[comp_q[cid]], prev_dc[ci],
+                        zz, prev_dc[ci] = read_block_zz(
+                            huff[(0, dc_id)], huff[(1, ac_id)], prev_dc[ci]
                         )
-                        r0 = (my * v + vy) * 8
-                        c0 = (mx * h + vx) * 8
-                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+                        zz_per_comp[ci].append(zz)
+                        pos_per_comp[ci].append(
+                            ((my * v + vy) * 8, (mx * h + vx) * 8)
+                        )
             mcu_i += 1
+
+    # Batched dequantize -> IDCT -> level shift, one broadcast matmul
+    # per component over its (N, 8, 8) coefficient stack.
+    for ci, (cid, _dc_id, _ac_id) in enumerate(scan_comps):
+        if not zz_per_comp[ci]:
+            continue
+        qzz = quant[comp_q[cid]][_ZZ_R, _ZZ_C].astype(np.float64)
+        coef = np.zeros((len(zz_per_comp[ci]), 8, 8), dtype=np.float64)
+        coef[:, _ZZ_R, _ZZ_C] = np.asarray(zz_per_comp[ci], dtype=np.float64) * qzz
+        blocks = np.clip(np.rint(_M.T @ coef @ _M + 128.0), 0, 255).astype(
+            np.uint8
+        )
+        plane = planes[ci]
+        for (r0, c0), blk in zip(pos_per_comp[ci], blocks):
+            plane[r0 : r0 + 8, c0 : c0 + 8] = blk
 
     if ncomp == 1:
         return width, height, 1, planes[0][:height, :width].tobytes()
