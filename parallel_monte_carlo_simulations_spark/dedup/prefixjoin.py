@@ -156,34 +156,10 @@ LIMIT {_TOP_K}
 """
 
 
-@register(
-    "q_dedup_prefix_filter_join",
-    oracle=_QPREFIX_ORACLE,
-    description=(
-        "exact Jaccard>=0.7 set-similarity self-join via PPJoin-style "
-        "prefix filtering over DISTINCT token sets (guarded <=62-token "
-        "bitmask fast path, inline popcount verification, multiplicity-"
-        "exact pair counting, tie-complete top-200 expansion); design "
-        "domain is saturating vocabularies — a pre-flight raise_error "
-        "fires when the candidate set-pair space exceeds 5e7 and names "
-        "q_dedup_minhash_lsh as the scale path"
-    ),
-    tags=("dedup", "similarity-join", "prefix-filter", "exact", "scale"),
-)
-def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Design domain (measured, round-8 sf1.0 ladder): the set-level
-    pair space is bounded by DISTINCT token sets, which saturate toward
-    2^|V| on a bounded vocabulary — that is what makes this exact join
-    cheap here. Corpora whose vocabulary carries document-identifying
-    tokens (the tiled sf1.0's per-copy suffix) keep minting new sets
-    (10x sets -> 100x set pairs; the cell DNF'd), so for
-    general/growing vocabularies the scale path is MinHash candidates
-    (q_dedup_minhash_lsh, x10 1.91) with exact verification — this
-    operator is the bounded-vocab exact kernel. Two loud edges fence
-    the domain: the rnk > 62 raise_error (vocabulary axis) and the
-    round-9 pre-flight candidate-pair budget (distinct-set axis,
-    _PAIR_BUDGET) that turns the sf1.0 ladder's 28-minute DNF into a
-    seconds-fast failure naming the MinHash scale path."""
+def _prefix_frames(spark: SparkSession, sf_dir: str):
+    """Shared front half of the prefix-filter family: distinct token
+    sets as guarded <=62-bit masks plus their rarity-ordered prefix
+    expansion. Returns (doc_mask, sets, pref)."""
     docs = table(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -220,6 +196,38 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"<= s - (({_T_NUM} * s + {_T_DEN - 1}) div {_T_DEN}) + 1"
         ),
     ).select("mask", "s", "cnt", "tok")
+    return doc_mask, sets, pref
+
+
+@register(
+    "q_dedup_prefix_filter_join",
+    oracle=_QPREFIX_ORACLE,
+    description=(
+        "exact Jaccard>=0.7 set-similarity self-join via PPJoin-style "
+        "prefix filtering over DISTINCT token sets (guarded <=62-token "
+        "bitmask fast path, inline popcount verification, multiplicity-"
+        "exact pair counting, tie-complete top-200 expansion); design "
+        "domain is saturating vocabularies — a pre-flight raise_error "
+        "fires when the candidate set-pair space exceeds 5e7 and names "
+        "q_dedup_minhash_lsh as the scale path"
+    ),
+    tags=("dedup", "similarity-join", "prefix-filter", "exact", "scale"),
+)
+def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design domain (measured, round-8 sf1.0 ladder): the set-level
+    pair space is bounded by DISTINCT token sets, which saturate toward
+    2^|V| on a bounded vocabulary — that is what makes this exact join
+    cheap here. Corpora whose vocabulary carries document-identifying
+    tokens (the tiled sf1.0's per-copy suffix) keep minting new sets
+    (10x sets -> 100x set pairs; the cell DNF'd), so for
+    general/growing vocabularies the scale path is MinHash candidates
+    (q_dedup_minhash_lsh, x10 1.91) with exact verification — this
+    operator is the bounded-vocab exact kernel. Two loud edges fence
+    the domain: the rnk > 62 raise_error (vocabulary axis) and the
+    round-9 pre-flight candidate-pair budget (distinct-set axis,
+    _PAIR_BUDGET) that turns the sf1.0 ladder's 28-minute DNF into a
+    seconds-fast failure naming the MinHash scale path."""
+    doc_mask, sets, pref = _prefix_frames(spark, sf_dir)
 
     # Pre-flight guard (round-9, after the sf1.0 DNF): the join below
     # does Σ_tok C(g_tok, 2) popcount checks. pref is at most
@@ -347,5 +355,112 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size_b",
             F.round(F.col("jac_raw"), 4).alias("jaccard"),
             "n_pairs_total",
+        )
+    )
+
+
+_QPREFIX_BUDGET_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+ranked AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY df, tok) AS rnk FROM tf
+),
+doc_mask AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(1 AS BIGINT) << (r.rnk - 1)) AS BIGINT) AS mask,
+         CAST(COUNT(*) AS BIGINT) AS s
+  FROM toks t JOIN ranked r ON r.tok = t.tok
+  GROUP BY t.doc_id
+),
+sets AS (
+  SELECT mask, CAST(MAX(s) AS BIGINT) AS s FROM doc_mask GROUP BY mask
+),
+pref AS (
+  SELECT g.mask, r.tok
+  FROM sets g JOIN ranked r
+    ON ((g.mask >> (r.rnk - 1)) & 1) = 1
+   AND bit_count(g.mask & ((CAST(1 AS BIGINT) << (r.rnk - 1)) - 1)) + 1
+       <= g.s - (({_T_NUM} * g.s + {_T_DEN - 1}) // {_T_DEN}) + 1
+),
+groups AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS g FROM pref GROUP BY tok
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM doc_mask) AS n_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked)  AS vocab_size,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM sets)    AS n_distinct_sets,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pref)    AS prefix_rows,
+  CAST(COALESCE(SUM(g * (g - 1) // 2), 0) AS BIGINT) AS cand_pairs,
+  CAST(COALESCE(SUM(g * (g - 1) // 2), 0) <= {_PAIR_BUDGET} AS BOOLEAN)
+    AS within_budget
+FROM groups
+"""
+
+
+@register(
+    "q_dedup_prefix_budget_report",
+    oracle=_QPREFIX_BUDGET_ORACLE,
+    description=(
+        "pre-flight scale report for the prefix-filter join: distinct "
+        "token sets, prefix expansion size, exact candidate set-pair "
+        "space sum C(g,2), and whether it is inside the 5e7 budget "
+        "the join guards on — the metric that separates saturating "
+        "vocabularies (in-domain) from corpora that mint new sets "
+        "(MinHash territory)"
+    ),
+    tags=("dedup", "prefix-filter", "scale", "diagnostics"),
+)
+def q_dedup_prefix_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 guard's pre-flight aggregate surfaced as a query:
+    users can ask 'is this corpus in the prefix join's design domain?'
+    for the cost of one tokenize + two small aggregates, instead of
+    finding out via the guard mid-job. The candidate count here is
+    EXACTLY the number of popcount checks q_dedup_prefix_filter_join
+    would perform (sf1.0 tiled measured 3.23e9 — two orders over
+    budget; driver SFs sit far inside it)."""
+    doc_mask, sets, pref = _prefix_frames(spark, sf_dir)
+    budget = (
+        pref.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("g * (g - 1) div 2")), F.lit(0)
+            ).cast("long").alias("cand_pairs")
+        )
+    )
+    counts = (
+        doc_mask.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(
+            doc_mask.agg(
+                F.countDistinct("mask").cast("long").alias("n_distinct_sets")
+            )
+        )
+        .crossJoin(
+            pref.agg(
+                F.countDistinct("tok").cast("long").alias("vocab_size_pref"),
+                F.count(F.lit(1)).cast("long").alias("prefix_rows"),
+            )
+        )
+    )
+    vocab = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("vocab_size"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "n_docs",
+            "vocab_size",
+            "n_distinct_sets",
+            "prefix_rows",
+            "cand_pairs",
+            (F.col("cand_pairs") <= F.lit(_PAIR_BUDGET)).alias(
+                "within_budget"
+            ),
         )
     )

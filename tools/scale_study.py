@@ -110,29 +110,67 @@ def _run_one(name: str, sf_dir: str) -> None:
     print(f"ONE {time.time() - t0:.2f}", flush=True)
 
 
-def _sf1_main() -> None:
+#: Dedup family for the natural-growth x10 column (round-9 judge item
+#: 4): fresh-content sf1.0 at a realistic ~10% duplicate rate, so the
+#: ratio measures the engine, not the tiled corpus's manufactured
+#: 9-siblings-per-doc density. Only documents/embeddings consumers —
+#: the natural dataset carries no relational tables.
+DEDUP_NATURAL = [
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_containment",
+    "q_dedup_semantic",
+    "q_dedup_semantic_adaptive",
+    "q_winnow_overlap_pairs",
+    "q_dedup_prefix_filter_join",
+]
+
+
+def _ladder(names: list[str], sf1_dir: str, timeout: int = 1800) -> None:
     import re
     import subprocess
 
-    sf1_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".scale", "sf1.0",
-    )
     out: dict[str, dict[str, float]] = {}
-    for name in TOP10_SF1:
+    for name in names:
         out[name] = {}
         for sf_dir in (SFS[2], sf1_dir):
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", name, sf_dir],
-                capture_output=True, text=True, timeout=1800,
-            )
-            m = re.search(r"^ONE ([0-9.]+)$", r.stdout, re.M)
-            sec = float(m.group(1)) if m else None
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one",
+                     name, sf_dir],
+                    capture_output=True, text=True, timeout=timeout,
+                )
+                m = re.search(r"^ONE ([0-9.]+)$", r.stdout, re.M)
+                if m:
+                    sec = float(m.group(1))
+                else:
+                    sec = None
+                    err = (r.stdout + r.stderr).strip().splitlines()
+                    out[name]["error"] = (err[-1][:200] if err else "no output")
+            except subprocess.TimeoutExpired:
+                sec, out[name]["error"] = None, f"timeout>{timeout}s"
             out[name][sf_dir.rsplit("sf", 1)[1]] = sec
-        a, b = out[name]["0.1"], out[name]["1.0"]
+        a, b = out[name]["0.1"], out[name].get("1.0") or out[name].get(
+            "1.0-natural"
+        )
         out[name]["ratio_10x"] = round(b / a, 2) if a and b else None
         print(name, out[name], flush=True)
     print(json.dumps(out))
+
+
+def _sf1_main() -> None:
+    _ladder(TOP10_SF1, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf1.0",
+    ))
+
+
+def _natural_main() -> None:
+    _ladder(DEDUP_NATURAL, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf1.0-natural",
+    ), timeout=900)
 
 
 def main() -> None:
@@ -142,6 +180,9 @@ def main() -> None:
         return
     if "--sf1" in sys.argv:
         _sf1_main()
+        return
+    if "--natural" in sys.argv:
+        _natural_main()
         return
 
     from parallel_monte_carlo_simulations_spark.registry import load_all_queries
