@@ -159,11 +159,46 @@ def _ladder(names: list[str], sf1_dir: str, timeout: int = 1800) -> None:
     print(json.dumps(out))
 
 
+#: Round-9 completion of the sf1.0 column (judge item 6): the headline
+#: suite entries that had no tiled-sf1.0 cell yet. Cheap at sf0.1;
+#: measured under the same fresh-JVM 2-run-minimum protocol. Includes
+#: q_multimodal_jpeg_color for re-measurement after the round-9
+#: decoder rework (batched IDCT + table-driven Huffman).
+SF1_REST = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_revenue_by_nation",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q_join_broadcast_inner",
+    "q_join_asof",
+    "q_window_topk_per_group",
+    "q_stream_tumbling_hourly",
+    "q_json_extract",
+    "q_sim_brute_topk",
+    "q_text_quality_score",
+    "q_gapfill_forward_fill",
+    "q_skew_salted_agg",
+    "q_merge_upsert",
+    "q_multimodal_wav_decode",
+    "q_mc_qmc_pi",
+    "q_search_phrase",
+    "q_multimodal_jpeg_color",
+]
+
+
 def _sf1_main() -> None:
     _ladder(TOP10_SF1, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scale", "sf1.0",
     ))
+
+
+def _sf1rest_main() -> None:
+    _ladder(SF1_REST, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf1.0",
+    ), timeout=900)
 
 
 def _natural_main() -> None:
@@ -183,6 +218,9 @@ def main() -> None:
         return
     if "--natural" in sys.argv:
         _natural_main()
+        return
+    if "--sf1rest" in sys.argv:
+        _sf1rest_main()
         return
 
     from parallel_monte_carlo_simulations_spark.registry import load_all_queries
