@@ -260,3 +260,94 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality").alias("best_quality"),
         )
     )
+
+
+def _histogram_oracle() -> str:
+    from .minhash import _QMINHASH_ORACLE
+
+    inner = _QMINHASH_ORACLE.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({inner}) mh
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY cluster_id
+),
+total_docs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS corpus_docs FROM documents
+)
+SELECT s.n_members AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(s.n_members) AS BIGINT) AS docs_in_bucket,
+       CAST(SUM(s.n_members - 1) AS BIGINT) AS removable_docs,
+       ROUND(SUM(s.n_members) * 1.0 / ANY_VALUE(t.corpus_docs), 6)
+         AS corpus_frac
+FROM sizes s CROSS JOIN total_docs t
+GROUP BY s.n_members
+ORDER BY cluster_size
+"""
+
+
+@register(
+    "q_dedup_cluster_size_histogram",
+    oracle=_histogram_oracle(),
+    description=(
+        "near-dup cluster-size distribution with removable-doc counts "
+        "and corpus fractions — the dedup REPORT a curation run ships: "
+        "how much of the corpus sits in duplicate clusters of each "
+        "size, and how many docs keep-one-per-cluster would remove"
+    ),
+    tags=("dedup", "clustering", "diagnostics", "curation"),
+)
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the MinHash pair graph and hash-min components into the
+    histogram every dedup report leads with. The heavy lifting is the
+    already-verified pair+CC path; this adds two tiny aggregates over
+    cluster labels (cluster count << corpus)."""
+    from ..tables import table
+
+    comp = q_dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    total = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("corpus_docs")
+    )
+    return (
+        sizes.groupBy(F.col("n_members").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n_members").cast("long").alias("docs_in_bucket"),
+            F.sum(F.col("n_members") - 1).cast("long").alias(
+                "removable_docs"
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "docs_in_bucket",
+            "removable_docs",
+            F.round(
+                F.col("docs_in_bucket") / F.col("corpus_docs"), 6
+            ).alias("corpus_frac"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -532,3 +532,77 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
     )
+
+
+_QLEXSTATS_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks GROUP BY lang, tok
+),
+totals AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM counts GROUP BY lang
+)
+SELECT c.lang,
+       ANY_VALUE(t.total) AS n_tokens,
+       ANY_VALUE(t.vocab) AS vocab_size,
+       ROUND(ANY_VALUE(t.vocab) * 1.0 / ANY_VALUE(t.total), 6)
+         AS type_token_ratio,
+       ROUND(-SUM((c.n * 1.0 / t.total) * LOG2(c.n * 1.0 / t.total)), 6)
+         AS unigram_entropy_bits,
+       ROUND(-SUM((c.n * 1.0 / t.total) * LOG2(c.n * 1.0 / t.total))
+             / LOG2(ANY_VALUE(t.vocab)), 6) AS entropy_efficiency
+FROM counts c JOIN totals t USING (lang)
+GROUP BY c.lang
+ORDER BY c.lang
+"""
+
+
+@register(
+    "q_text_lexical_stats",
+    oracle=_QLEXSTATS_ORACLE,
+    description=(
+        "per-language lexical profile: token count, vocabulary size, "
+        "type-token ratio, Shannon unigram entropy (bits) and entropy "
+        "efficiency H/log2|V| — the corpus-level diversity screen a "
+        "pretraining mix report leads with"
+    ),
+    tags=("text", "statistics", "curation", "diagnostics"),
+)
+def q_text_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two grouped aggregates: (lang, token) counts, then per-lang
+    entropy from the count distribution. Both shuffles key on lang(+tok)
+    — partial aggregation does the heavy lifting map-side, and the
+    second stage is vocab-sized. Entropy sums ~|V| doubles per lang;
+    round-6 output is stable far beyond float association noise."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = counts.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(totals, "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("total").alias("n_tokens"),
+            F.any_value("vocab").alias("vocab_size"),
+            F.round(F.any_value("vocab") / F.any_value("total"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("unigram_entropy_bits"),
+            F.round(
+                -F.sum(p * F.log2(p)) / F.log2(F.any_value("vocab")), 6
+            ).alias("entropy_efficiency"),
+        )
+        .orderBy("lang")
+    )

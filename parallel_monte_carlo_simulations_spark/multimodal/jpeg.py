@@ -247,19 +247,32 @@ def _category(v: int) -> int:
 # --------------------------------------------------------------------------
 
 
+def _plane_zigzags(plane: np.ndarray) -> list[list[int]]:
+    """FDCT + quantize (all-ones table) every 8x8 block of a plane in
+    one broadcast matmul, returning per-block zigzag coefficient lists
+    in raster block order (round-9: the per-block matmul + 64-element
+    numpy scalar-indexing loop was the encoder's hot path)."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    q = np.rint(_M @ blocks @ _M.T).astype(np.int64)
+    return q[:, _ZZ_R, _ZZ_C].tolist()
+
+
 def _encode_block(
     w: _BitWriter,
-    block: np.ndarray,
+    zz: list[int],
     prev_dc: int,
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
 ) -> int:
-    """FDCT + quantize (all-ones table) + entropy-code one 8x8 block;
-    returns the block's DC for the component's predictor."""
-    coef = _M @ (block.astype(np.float64) - 128.0) @ _M.T
-    q = np.rint(coef).astype(np.int64)
-    zz = [int(q[r, c]) for r, c in ZIGZAG]
-
+    """Entropy-code one block's zigzag coefficients; returns the
+    block's DC for the component's predictor."""
     diff = zz[0] - prev_dc
     size = _category(diff)
     w.write(*dc_codes[size])
@@ -325,6 +338,7 @@ def _encode_planes(
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMS)
     w = _BitWriter()
     prev_dc = [0] * len(planes)
+    zzs = [_plane_zigzags(p) for p in planes]  # raster block order
     mcu_i = 0
     n_mcus = (height // 8) * (width // 8)
     for by in range(height // 8):
@@ -333,13 +347,9 @@ def _encode_planes(
                 w.pad_align()
                 w.buf += bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
                 prev_dc = [0] * len(planes)
-            for ci, plane in enumerate(planes):
+            for ci in range(len(planes)):
                 prev_dc[ci] = _encode_block(
-                    w,
-                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                    prev_dc[ci],
-                    dc_codes,
-                    ac_codes,
+                    w, zzs[ci][mcu_i], prev_dc[ci], dc_codes, ac_codes
                 )
             mcu_i += 1
     assert mcu_i == n_mcus
@@ -394,20 +404,19 @@ def encode_jpeg_ycbcr_420(
     ac_codes = _canonical_codes(_AC_BITS, _AC_SYMS)
     w = _BitWriter()
     prev_dc = [0, 0, 0]
+    y_zz, cb_zz, cr_zz = (_plane_zigzags(p) for p in (y, cb, cr))
+    ybw, cbw = width // 8, width // 16  # blocks per row, per plane
     for my in range(height // 16):
         for mx in range(width // 16):
             for vy in range(2):  # four Y blocks, raster order inside MCU
                 for vx in range(2):
-                    r0, c0 = my * 16 + vy * 8, mx * 16 + vx * 8
                     prev_dc[0] = _encode_block(
-                        w, y[r0 : r0 + 8, c0 : c0 + 8], prev_dc[0],
-                        dc_codes, ac_codes,
+                        w, y_zz[(my * 2 + vy) * ybw + mx * 2 + vx],
+                        prev_dc[0], dc_codes, ac_codes,
                     )
-            for ci, plane in ((1, cb), (2, cr)):
-                r0, c0 = my * 8, mx * 8
+            for ci, zz in ((1, cb_zz), (2, cr_zz)):
                 prev_dc[ci] = _encode_block(
-                    w, plane[r0 : r0 + 8, c0 : c0 + 8], prev_dc[ci],
-                    dc_codes, ac_codes,
+                    w, zz[my * cbw + mx], prev_dc[ci], dc_codes, ac_codes
                 )
     return (
         _headers(width, height, 3, samplings=[0x22, 0x11, 0x11])

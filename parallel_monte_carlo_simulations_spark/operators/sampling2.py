@@ -80,3 +80,69 @@ def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", F.round("weight", 2).alias("weight"), "kk", "rk")
     )
+
+
+#: Stratified sampling rate as an exact integer threshold: keep a row
+#: iff its 60-bit hash < 2^60 / 50 (= 2%). Pure integer compare — no
+#: float rate anywhere, so both engines select the identical set.
+_STRATA_T = (1 << 60) // 50
+
+_QSTRAT_ORACLE = f"""
+WITH keyed AS (
+  SELECT c_mktsegment,
+         {sql_hash60("CAST(c_custkey AS VARCHAR)")} AS h
+  FROM customer
+)
+SELECT c_mktsegment AS stratum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN h < {_STRATA_T} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       ROUND(SUM(CASE WHEN h < {_STRATA_T} THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS achieved_rate,
+       ROUND(ABS(SUM(CASE WHEN h < {_STRATA_T} THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) - 0.02), 6) AS abs_rate_err
+FROM keyed
+GROUP BY c_mktsegment
+ORDER BY stratum
+"""
+
+
+@register(
+    "q_sample_stratified_hash",
+    oracle=_QSTRAT_ORACLE,
+    description=(
+        "deterministic 2% stratified sample audit by market segment: "
+        "per-stratum hash-Bernoulli selection via an exact integer "
+        "threshold (2^60/50) with achieved-rate error — reproducible "
+        "under retries/repartitioning, the sampling design a 100 TB "
+        "curation pipeline can re-run byte-identically"
+    ),
+    tags=("sampling", "stratified", "curation", "deterministic"),
+)
+def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli selection from the row key's portable
+    60-bit hash: membership is h < 2^60/50, an integer compare, so the
+    selected set — not just its size — is identical across engines,
+    retries, and partitionings. One scan, one grouped aggregate; the
+    per-stratum achieved rate converges to 2% by hash uniformity
+    (the audit columns make the convergence visible)."""
+    c = table(spark, sf_dir, "customer")
+    keyed = c.select(
+        "c_mktsegment",
+        hash60(F.col("c_custkey").cast("string")).alias("h"),
+    )
+    sampled = F.sum(
+        F.when(F.col("h") < F.lit(_STRATA_T), 1).otherwise(0)
+    )
+    return (
+        keyed.groupBy(F.col("c_mktsegment").alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            sampled.cast("long").alias("n_sampled"),
+            F.round(sampled / F.count(F.lit(1)), 6).alias("achieved_rate"),
+            F.round(
+                F.abs(sampled / F.count(F.lit(1)) - F.lit(0.02)), 6
+            ).alias("abs_rate_err"),
+        )
+        .orderBy("stratum")
+    )
