@@ -313,73 +313,3 @@ def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
-
-
-_QBENFORD_ORACLE = """
-WITH digits AS (
-  SELECT CAST(SUBSTR(CAST(CAST(l_extendedprice * 100 AS BIGINT) AS VARCHAR),
-              1, 1) AS BIGINT) AS d
-  FROM lineitem
-  WHERE l_extendedprice > 0
-),
-obs AS (
-  SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
-),
-tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
-SELECT o.d AS leading_digit,
-       o.n AS observed,
-       ROUND(o.n * 1.0 / t.total, 6) AS observed_freq,
-       ROUND(LOG10(1.0 + 1.0 / o.d), 6) AS benford_freq,
-       ROUND(t.total * LOG10(1.0 + 1.0 / o.d), 2) AS expected,
-       ROUND(POW(o.n - t.total * LOG10(1.0 + 1.0 / o.d), 2)
-             / (t.total * LOG10(1.0 + 1.0 / o.d)), 4) AS chi2_term
-FROM obs o CROSS JOIN tot t
-ORDER BY leading_digit
-"""
-
-
-@register(
-    "q_dq_benford",
-    oracle=_QBENFORD_ORACLE,
-    description=(
-        "Benford first-digit audit over lineitem extended prices: "
-        "observed vs log10(1+1/d) frequencies with per-digit "
-        "chi-square terms — the classic anomaly screen for fabricated "
-        "or truncated numeric columns"
-    ),
-    tags=("data-quality", "statistics", "audit"),
-)
-def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-significant-digit distribution test (Benford's law): one
-    scan + one 9-group aggregate, with the expected counts computed
-    from the grand total via a broadcast cross join — the same
-    two-aggregate shape at any corpus size. Prices are decimal(12,2);
-    taking the digit from the integer cent form avoids float
-    formatting differences between engines."""
-    li = table(spark, sf_dir, "lineitem")
-    digits = li.where(F.col("l_extendedprice") > 0).select(
-        F.substring(
-            (F.col("l_extendedprice") * 100).cast("long").cast("string"), 1, 1
-        )
-        .cast("long")
-        .alias("d")
-    )
-    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = obs.agg(F.sum("n").cast("long").alias("total"))
-    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
-    return (
-        obs.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("d").alias("leading_digit"),
-            F.col("n").alias("observed"),
-            F.round(F.col("n") / F.col("total"), 6).alias("observed_freq"),
-            F.round(benford, 6).alias("benford_freq"),
-            F.round(F.col("total") * benford, 2).alias("expected"),
-            F.round(
-                F.pow(F.col("n") - F.col("total") * benford, 2)
-                / (F.col("total") * benford),
-                4,
-            ).alias("chi2_term"),
-        )
-        .orderBy("leading_digit")
-    )
