@@ -63,6 +63,12 @@ BOUNDED_OK: dict[str, str] = {
     # Bounded probes / samples:
     "q_contamination_check": "benchmark eval-set side, tiny by definition",
     "q_text_bm25": "df of the 3 fixed query terms",
+    "q_search_hybrid_rrf": "df of the 3 fixed query terms",
+    "q_text_lexical_stats": "per-LANG totals (fixed language domain)",
+    "q_dedup_prefix_budget_report": (
+        "scalar keyless aggregates (countDistinct's 2-stage plan hides "
+        "the keyless shape from the auto-detector)"
+    ),
     "q_text_rake_keywords": "doc_id < 250 kernel sample by construction",
     "q_mc_heads_frequency_qmc": "MC config shard frame (models x shards)",
     "q_skew_salted_join": "dim side exploded x64 salts — still dim-bounded",
