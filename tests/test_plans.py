@@ -521,3 +521,28 @@ def test_registry_wide_broadcast_audit_clean(spark):
         f"stale BOUNDED_OK entries (plan no longer flags): "
         f"{out['whitelist_unused']}"
     )
+
+
+def test_hybrid_rrf_topk_distributed_and_query_broadcast(spark):
+    """Both retriever lists must cut with distributed top-k (no
+    corpus-sized single-partition window), and the dense side must
+    broadcast the single query vector, never the corpus."""
+    plan = _plan(spark, "q_search_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2, (
+        "sparse/dense candidate lists should be TakeOrderedAndProject"
+    )
+    # the full-outer fusion join of two 50-row lists is tiny either way;
+    # what matters is no exchange ships the corpus for the window
+    assert "BroadcastExchange" in plan
+
+
+def test_periodogram_frequency_dim_broadcast(spark):
+    """The DFT expansion must broadcast the 24-row frequency dimension
+    and the scalar bounds against the hourly rollup — one data-sized
+    shuffle (the hour groupBy), then frequency-keyed partial aggs."""
+    plan = _plan(spark, "q_ts_periodogram")
+    assert plan.count("BroadcastNestedLoopJoin") >= 1 or plan.count(
+        "BroadcastExchange"
+    ) >= 2
+    # the series aggregate keys on the hour bucket: partial+final
+    assert "partial_count" in plan
