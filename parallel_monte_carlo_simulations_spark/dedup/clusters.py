@@ -351,3 +351,112 @@ def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("cluster_size")
     )
+
+
+def _leakage_oracle() -> str:
+    from .minhash import _QMINHASH_ORACLE
+
+    inner = _QMINHASH_ORACLE.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({inner}) mh
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+),
+comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN b < 900 THEN 'train'
+              WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+             % 1000 AS b
+    FROM documents
+  )
+),
+per AS (
+  SELECT c.cluster_id, s.split, CAST(COUNT(*) AS BIGINT) AS n
+  FROM comp c JOIN splits s ON c.doc_id = s.doc_id
+  GROUP BY c.cluster_id, s.split
+)
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS leaky_clusters,
+       CAST(SUM(a.n) AS BIGINT) AS docs_in_a,
+       CAST(SUM(b.n) AS BIGINT) AS docs_in_b
+FROM per a JOIN per b
+  ON a.cluster_id = b.cluster_id AND a.split < b.split
+GROUP BY a.split, b.split
+ORDER BY split_a, split_b
+"""
+
+
+@register(
+    "q_split_leakage_audit",
+    oracle=_leakage_oracle(),
+    description=(
+        "eval-contamination audit: near-duplicate clusters straddling "
+        "the deterministic 90/5/5 train/val/test split — per split "
+        "pair, how many duplicate clusters leak across it and how many "
+        "documents sit on each side; the pre-eval check every serious "
+        "pretraining pipeline runs"
+    ),
+    tags=("dedup", "curation", "split", "audit", "llm-pipeline"),
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the verified MinHash+CC cluster labels with the
+    verified md5 split buckets. Per-(cluster, split) counts first, then
+    a self-join ON cluster_id with split_a < split_b — bounded at <= 3
+    rows per cluster, so the pairing stage is cluster-count-sized
+    regardless of corpus scale."""
+    from ..functions.datasetops import _split_bucket
+    from ..tables import table
+
+    comp = q_dedup_connected_components(spark, sf_dir)
+    splits = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(_split_bucket("doc_id") < 900, "train")
+        .when(_split_bucket("doc_id") < 950, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per = (
+        comp.join(splits, "doc_id")
+        .groupBy("cluster_id", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a = per.select(
+        "cluster_id",
+        F.col("split").alias("split_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = per.select(
+        F.col("cluster_id").alias("cid_b"),
+        F.col("split").alias("split_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("cid_b"))
+            & (F.col("split_a") < F.col("split_b")),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("leaky_clusters"),
+            F.sum("n_a").cast("long").alias("docs_in_a"),
+            F.sum("n_b").cast("long").alias("docs_in_b"),
+        )
+        .orderBy("split_a", "split_b")
+    )
