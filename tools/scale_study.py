@@ -187,6 +187,32 @@ SF1_REST = [
 ]
 
 
+#: Round-9 new registrations — tiled sf1.0 cells so every query added
+#: this round ships with scale evidence alongside its oracle.
+SF1_NEW_R09 = [
+    "q_search_hybrid_rrf",
+    "q_ts_periodogram",
+    "q_split_leakage_audit",
+    "q_text_lexical_stats",
+    "q_dedup_cluster_size_histogram",
+    "q_sample_stratified_hash",
+]
+
+#: Natural-growth column for the text/ANN families (documents +
+#: embeddings consumers only — the natural dataset carries no
+#: relational tables): does engine scaling hold on the second corpus
+#: family the dedup ladder already uses?
+TEXT_ANN_NATURAL = [
+    "q_sim_brute_topk",
+    "q_sim_lsh_topk",
+    "q_text_bm25",
+    "q_text_tfidf_topterms",
+    "q_text_quality_score",
+    "q_text_lexical_stats",
+    "q_search_hybrid_rrf",
+]
+
+
 def _sf1_main() -> None:
     _ladder(TOP10_SF1, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -208,6 +234,20 @@ def _natural_main() -> None:
     ), timeout=900)
 
 
+def _sf1new_main() -> None:
+    _ladder(SF1_NEW_R09, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf1.0",
+    ), timeout=900)
+
+
+def _natural2_main() -> None:
+    _ladder(TEXT_ANN_NATURAL, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf1.0-natural",
+    ), timeout=900)
+
+
 def main() -> None:
     if "--one" in sys.argv:
         i = sys.argv.index("--one")
@@ -221,6 +261,12 @@ def main() -> None:
         return
     if "--sf1rest" in sys.argv:
         _sf1rest_main()
+        return
+    if "--sf1new" in sys.argv:
+        _sf1new_main()
+        return
+    if "--natural2" in sys.argv:
+        _natural2_main()
         return
 
     from parallel_monte_carlo_simulations_spark.registry import load_all_queries
