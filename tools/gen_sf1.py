@@ -239,10 +239,47 @@ def natural() -> None:
     print("embeddings", N_VECS, "rows ->", DST_NATURAL)
 
 
+def natural_events() -> None:
+    """Natural-growth events: TIME-shifted tiling into the natural dir.
+
+    The tiled sf1.0 offsets user keys but keeps every copy's timestamps,
+    packing 10x users into the SAME ~721 hour buckets — per-hour
+    concurrency c grows 10x and the interval family's candidate term
+    sum(c^2) grows exactly 100x BY CONSTRUCTION. A real corpus that is
+    10x bigger mostly arrived over MORE TIME: same per-hour intensity,
+    10x the span. So here each copy keeps its users and values and
+    shifts ts by copy * (span + 1h) — hour buckets grow 10x, per-bucket
+    concurrency stays at the sf0.1 level, and the x10 ratio measures
+    the engine on naturally-spread time instead of the manufactured
+    dense-bucket quadratic (which SCALING.md keeps as the adversarial
+    upper bound, proven output-bound in round 9)."""
+    os.makedirs(DST_NATURAL, exist_ok=True)
+    con = duckdb.connect()
+    span_us, max_eid = con.execute(
+        f"SELECT epoch_us(MAX(ts)) - epoch_us(MIN(ts)) + 3600000000, "
+        f"MAX(event_id) + 1 FROM read_parquet('{SRC}/events.parquet')"
+    ).fetchone()
+    con.execute(
+        f"COPY (SELECT event_id + c.copy * {max_eid} AS event_id, "
+        f"ts + to_microseconds(c.copy * {span_us}) AS ts, "
+        f"user_id, event_type, value, props "
+        f"FROM read_parquet('{SRC}/events.parquet'), "
+        f"(SELECT unnest(range({COPIES})) AS copy) c) "
+        f"TO '{DST_NATURAL}/events.parquet' (FORMAT PARQUET)"
+    )
+    n, hrs = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT epoch_us(ts) // 3600000000) "
+        f"FROM read_parquet('{DST_NATURAL}/events.parquet')"
+    ).fetchone()
+    print("events", n, "rows over", hrs, "hour buckets ->", DST_NATURAL)
+
+
 if __name__ == "__main__":
     import sys
 
-    if "--natural" in sys.argv:
+    if "--natural-events" in sys.argv:
+        natural_events()
+    elif "--natural" in sys.argv:
         natural()
     else:
         main()

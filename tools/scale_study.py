@@ -234,6 +234,25 @@ def _natural_main() -> None:
     ), timeout=900)
 
 
+#: Natural-growth column for the interval/time family: the tiled corpus
+#: packs 10x users into the same hour buckets (sum(c^2) x100 by
+#: construction); the time-shifted natural events keep per-hour
+#: intensity and grow the span 10x — the engine-scaling measurement.
+INTERVAL_NATURAL = [
+    "q_join_interval_overlap",
+    "q_interval_concurrency",
+    "q_ts_periodogram",
+    "q_stream_tumbling_hourly",
+]
+
+
+def _interval_natural_main() -> None:
+    _ladder(INTERVAL_NATURAL, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf1.0-natural",
+    ), timeout=1800)
+
+
 def _sf1new_main() -> None:
     _ladder(SF1_NEW_R09, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -267,6 +286,9 @@ def main() -> None:
         return
     if "--natural2" in sys.argv:
         _natural2_main()
+        return
+    if "--interval-natural" in sys.argv:
+        _interval_natural_main()
         return
 
     from parallel_monte_carlo_simulations_spark.registry import load_all_queries
