@@ -279,3 +279,112 @@ def q_feat_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .orderBy("bin")
     )
+
+
+_QWOE_ORACLE = """
+WITH rows_t AS (
+  SELECT CAST(CEIL(l_quantity / 10.0) AS BIGINT) AS bucket,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+cells AS (
+  SELECT bucket,
+         CAST(SUM(y) AS BIGINT)      AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT)  AS n_neg
+  FROM rows_t GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS p_tot,
+         CAST(SUM(n_neg) AS BIGINT) AS n_tot
+  FROM cells
+),
+scored AS (
+  SELECT c.bucket, c.n_pos, c.n_neg,
+         LN((CAST(c.n_pos AS DOUBLE) * t.n_tot)
+            / (CAST(c.n_neg AS DOUBLE) * t.p_tot)) AS woe_raw,
+         (CAST(c.n_pos AS DOUBLE) / t.p_tot
+          - CAST(c.n_neg AS DOUBLE) / t.n_tot)
+         * LN((CAST(c.n_pos AS DOUBLE) * t.n_tot)
+              / (CAST(c.n_neg AS DOUBLE) * t.p_tot)) AS iv_raw
+  FROM cells c CROSS JOIN tot t
+),
+quant AS (
+  SELECT bucket, n_pos, n_neg, woe_raw,
+         CAST(ROUND(iv_raw, 10) AS DECIMAL(24,10)) AS iv_q
+  FROM scored
+)
+SELECT bucket, n_pos, n_neg,
+       ROUND(woe_raw, 6) AS woe,
+       ROUND(CAST(iv_q AS DOUBLE), 6) AS iv_term,
+       ROUND(CAST(SUM(iv_q) OVER () AS DOUBLE), 6) AS iv_total
+FROM quant
+ORDER BY bucket
+"""
+
+
+@register(
+    "q_feat_woe_iv",
+    oracle=_QWOE_ORACLE,
+    description=(
+        "weight-of-evidence / information-value screen: per quantity "
+        "bucket, WoE = ln((pos_i/P)/(neg_i/N)) against the returned "
+        "flag and the bucket's IV contribution plus the feature's "
+        "total IV — the classic scorecard metric for ranking "
+        "categorical features before model training"
+    ),
+    tags=("feature-engineering", "ml", "statistics", "woe", "aggregate"),
+)
+def q_feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, one 5-cell grouped aggregate, totals broadcast back.
+    WoE keeps integer products inside a single LN; per-bucket IV terms
+    quantize to DECIMAL(24,10) before the window total so the
+    cross-cell sum is order-independent (house float discipline)."""
+    li = table(spark, sf_dir, "lineitem")
+    rows_t = li.select(
+        F.ceil(F.col("l_quantity") / 10.0).cast("long").alias("bucket"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cells = rows_t.groupBy("bucket").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").cast("long").alias("p_tot"),
+        F.sum("n_neg").cast("long").alias("n_tot"),
+    )
+    woe_raw = F.log(
+        (F.col("n_pos").cast("double") * F.col("n_tot"))
+        / (F.col("n_neg").cast("double") * F.col("p_tot"))
+    )
+    iv_raw = (
+        F.col("n_pos").cast("double") / F.col("p_tot")
+        - F.col("n_neg").cast("double") / F.col("n_tot")
+    ) * woe_raw
+    from pyspark.sql import Window
+
+    quant = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_pos",
+            "n_neg",
+            woe_raw.alias("woe_raw"),
+            F.round(iv_raw, 10).cast("decimal(24,10)").alias("iv_q"),
+        )
+    )
+    return (
+        quant.select(
+            "bucket",
+            "n_pos",
+            "n_neg",
+            F.round("woe_raw", 6).alias("woe"),
+            F.round(F.col("iv_q").cast("double"), 6).alias("iv_term"),
+            F.round(
+                F.sum("iv_q")
+                .over(Window.partitionBy())
+                .cast("double"),
+                6,
+            ).alias("iv_total"),
+        )
+        .orderBy("bucket")
+    )
