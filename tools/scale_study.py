@@ -198,6 +198,13 @@ SF1_NEW_R09 = [
     "q_sample_stratified_hash",
 ]
 
+#: Second batch of round-9 registrations (added after the first ladder).
+SF1_NEW_R09B = [
+    "q_ts_haar_transform",
+    "q_text_boilerplate_boundaries",
+    "q_feat_woe_iv",
+]
+
 #: Natural-growth column for the text/ANN families (documents +
 #: embeddings consumers only — the natural dataset carries no
 #: relational tables): does engine scaling hold on the second corpus
@@ -283,6 +290,12 @@ def main() -> None:
         return
     if "--sf1new" in sys.argv:
         _sf1new_main()
+        return
+    if "--sf1newb" in sys.argv:
+        _ladder(SF1_NEW_R09B, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale", "sf1.0",
+        ), timeout=900)
         return
     if "--natural2" in sys.argv:
         _natural2_main()
