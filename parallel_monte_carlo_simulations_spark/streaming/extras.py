@@ -88,3 +88,43 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_first_events")
     )
+
+
+_QSDEDUPWM_ORACLE = """
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "q_stream_dedup_within_watermark",
+    oracle=_QSDEDUPWM_ORACLE,
+    description=(
+        "bounded-state streaming dedup: dropDuplicatesWithinWatermark "
+        "per (user_id, event_type) under an event-time watermark — the "
+        "production form whose per-key state is EVICTED once the "
+        "watermark passes, unlike plain dropDuplicates whose state "
+        "grows forever; with the delay covering the corpus span the "
+        "result equals batch DISTINCT, which is what the oracle pins"
+    ),
+    tags=("streaming", "dedup", "watermark", "state", "scale"),
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the difference between this and `q_stream_dedup` is
+    the difference between a state store bounded by the watermark
+    horizon and one that must hold every key ever seen. The oracle
+    equivalence (== DISTINCT) holds because the configured delay spans
+    the whole corpus, so no state evicts before end-of-input; the
+    semantics under eviction (late duplicates re-admitted) are the
+    documented trade-off that makes the state bounded."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "2400 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    out = _run_to_memory(deduped, spark, "append")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
