@@ -1227,3 +1227,91 @@ def q_multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_png_interlaced_batch, schema="doc_id long, payload binary"
     )
     return payloads.mapInPandas(_decode_png_batch, schema=_PNG_DECODE_SCHEMA)
+
+
+_SCENE_SCHEMA = "doc_id long, n_frames int, n_cuts int, max_abs_diff long"
+_SCENE_THRESH = 64  #: per-pixel mean |diff| above this = scene cut
+
+
+def _scene_cuts_batch(batches: Iterator) -> Iterator:
+    """Decode EVERY frame (stride 1) and run the consecutive-frame
+    pixel-sum differencer inside the Arrow batch: a cut is a frame
+    whose summed content moved more than _SCENE_THRESH per pixel —
+    the shot-boundary stage of a video curation pipeline. Integer
+    compare only; no thresholding floats."""
+    import pandas as pd
+
+    from .gif import decode_gif, synth_gif
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h, frames = decode_gif(synth_gif(d))
+            sums = [sum(indices) for _delay, indices in frames]
+            diffs = [abs(b - a) for a, b in zip(sums, sums[1:])]
+            rows.append(
+                (
+                    d,
+                    len(sums),
+                    sum(1 for x in diffs if x > _SCENE_THRESH * w * h),
+                    max(diffs) if diffs else 0,
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_frames", "n_cuts", "max_abs_diff"]
+        )
+
+
+_QSCENE_ORACLE = f"""
+WITH vids AS (
+  SELECT doc_id,
+         4 + doc_id % 9 AS w,
+         3 + doc_id % 5 AS h,
+         2 + doc_id % 4 AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT v.doc_id, v.w, v.h, v.n, f.f,
+         (SELECT SUM((v.doc_id*7 + f.f*13 + x.x*3 + y.y*5) % 256)
+          FROM (SELECT unnest(range(0, v.w)) AS x) x,
+               (SELECT unnest(range(0, v.h)) AS y) y) AS s
+  FROM vids v, LATERAL (SELECT unnest(range(0, v.n)) AS f) f
+),
+diffs AS (
+  SELECT doc_id, w, h, n,
+         ABS(s - LAG(s) OVER (PARTITION BY doc_id ORDER BY f)) AS d
+  FROM frames
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(n) AS INTEGER) AS n_frames,
+       CAST(SUM(CASE WHEN d > {_SCENE_THRESH} * w * h THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_cuts,
+       CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_abs_diff
+FROM diffs
+GROUP BY doc_id
+"""
+
+
+@register(
+    "q_multimodal_scene_cuts",
+    oracle=_QSCENE_ORACLE,
+    description=(
+        f"video scene-cut detection: decode every animated-GIF frame "
+        f"and flag consecutive frames whose per-pixel content moved "
+        f"more than {_SCENE_THRESH} on average (integer compare) — "
+        f"per video: frame count, cut count, max inter-frame delta; "
+        f"the shot-boundary stage of video data curation"
+    ),
+    tags=("multimodal", "video", "scene-cut", "temporal", "codec",
+          "mapInPandas"),
+)
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal-analysis leg of the video family: gif_frames emits
+    per-frame features, this runs the cross-frame differencer. The lag
+    comparison happens INSIDE the Arrow batch (frames of one video
+    never leave the executor that decoded it), so the operator stays a
+    zero-shuffle narrow map at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    vids = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    return vids.mapInPandas(_scene_cuts_batch, schema=_SCENE_SCHEMA)
