@@ -606,3 +606,115 @@ def q_text_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_PMI_MIN_COUNT = 25
+_PMI_TOP_K = 20
+
+_QPMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+bigrams AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+pair_counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM bigrams GROUP BY w1, w2
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+scored AS (
+  SELECT p.w1, p.w2, p.c_ab, u1.c AS c_a, u2.c AS c_b,
+         ROUND(LN((CAST(p.c_ab AS DOUBLE) * t.n)
+                  / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+  FROM pair_counts p
+  JOIN uni u1 ON p.w1 = u1.tok
+  JOIN uni u2 ON p.w2 = u2.tok
+  CROSS JOIN tot t
+)
+SELECT w1, w2, c_ab, c_a, c_b, pmi
+FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_TOP_K}
+"""
+
+
+@register(
+    "q_text_pmi_collocations",
+    oracle=_QPMI_ORACLE,
+    description=(
+        f"collocation mining: top-{_PMI_TOP_K} adjacent token pairs by "
+        f"pointwise mutual information ln(c_ab*N / (c_a*c_b)) with a "
+        f"min-count {_PMI_MIN_COUNT} support filter — the phrase-"
+        f"discovery screen (multi-word expressions, named entities) "
+        f"that feeds tokenizer merge lists and stop-phrase tables"
+    ),
+    tags=("text", "pmi", "collocation", "statistics", "llm-pipeline"),
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts via one lead-window pass, unigram counts and the
+    grand total via vocab-keyed aggregates; PMI is integer products
+    inside one LN so it oracles exactly. The min-count filter drops the
+    long tail BEFORE the unigram joins, so the scored frame is bounded
+    by frequent-pair count, not vocabulary squared. Distinct from the
+    bigram backoff LM (smoothed probabilities): PMI ranks association
+    strength, the classic collocation statistic."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.withColumn("nxt", F.lead("tok").over(w)).where(
+        F.col("nxt").isNotNull()
+    )
+    pair_counts = (
+        bigrams.groupBy(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # uni is VOCAB-sized (Heaps' law) — pin sort-merge like the other
+    # vocab joins; pair_counts after the support filter is small but
+    # derives from a post-explode aggregate, same discipline.
+    scored = (
+        pair_counts.join(
+            uni.hint("merge").withColumnRenamed("tok", "w1").withColumnRenamed(
+                "c", "c_a"
+            ),
+            "w1",
+        )
+        .join(
+            uni.hint("merge").withColumnRenamed("tok", "w2").withColumnRenamed(
+                "c", "c_b"
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n"))
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOP_K)
