@@ -95,53 +95,16 @@ def load_all_queries() -> dict[str, QuerySpec]:
 #: Judge-named verification asks for the CURRENT round: hoisted to the
 #: head of the tier-0 backlog (they are already-waiting backlog members,
 #: so this reorders within the tier, never jumps new work over it).
-#: Round 9 (VERDICT item 1): the complete r8-era 42-name backlog —
-#: the registry grew past 50 never-checked names this round, so the
-#: judge-asked closure set is pinned ahead of round-9 registrations
-#: (at most 2 of which spill to the next window).
+#: Round 10 (VERDICT item 1): the final 6 never-windowed round-9
+#: registrations — landing these in the r10 window completes real-driver
+#: closure (every registered query verified in an actual driver window).
 _ROUND_ASKS = (
-    "q_ann_recall_matryoshka",
-    "q_winnow_overlap_pairs",
-    "q_multimodal_hist_equalization",
-    "q_er_pipeline",
-    "q_dq_candidate_keys",
-    "q_geo_knn_expanding",
-    "q_url_parse",
-    "q_feat_equiwidth_histogram",
-    "q_search_proximity",
-    "q_ddsketch_percentiles",
-    "q_ks_two_sample",
-    "q_sub_cte_chain",
-    "q_markov_transitions",
-    "q21_waiting_suppliers",
-    "q_window_first_last",
-    "q_source_binaryfile",
-    "q_stream_statestore_read",
-    "q_mc_heads_frequency_qmc",
-    "q_mc_gbm_qmc_antithetic",
-    "q_mc_gbm_antithetic",
-    "q_array_agg_ordered",
-    "q_text_tfidf_cosine_pairs",
-    "q_hll_set_intersection",
-    "q_bootstrap_ci_mean",
-    "q_sub_lateral_topk",
-    "q_attribution_last_touch",
-    "q20_part_promotion",
-    "q_source_csv_quoted",
-    "q_stream_statestore_changefeed",
-    "q_mc_gbm_qmc_control_variate",
-    "q_mc_gbm_control_variate",
-    "q_interval_months",
-    "q_mann_whitney_u",
-    "q_recursive_cte",
-    "q_cohort_ltv",
-    "q_source_csv_malformed",
-    "q_mc_gbm_qmc_importance",
-    "q_mc_gbm_importance",
-    "q_path_depth_transitions",
-    "q_mc_gbm_qmc_greeks",
-    "q_mc_qmc_pi",
-    "q_gaps_islands_key_ranges",
+    "q_feat_woe_iv",
+    "q_split_leakage_audit",
+    "q_stream_dedup_within_watermark",
+    "q_text_pmi_collocations",
+    "q_ts_haar_transform",
+    "q_ts_periodogram",
 )
 
 
