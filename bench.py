@@ -242,11 +242,22 @@ def main() -> None:
     # override and the bench would run at the session module's 8g —
     # invalidating cross-round comparability (round-9 advice). Fail
     # loudly instead; the actual heap goes into the detail file.
-    heap = spark.conf.get("spark.driver.memory", "default-1g")
-    assert heap == "1g", (
-        f"bench JVM heap is {heap}, not the pinned 1g — a session "
-        "existed before bench.py's; run bench.py as its own process"
-    )
+    heap = spark.conf.get("spark.driver.memory", "1g")
+
+    def _bytes(sz: str) -> int:
+        # JVM-style size string -> bytes ('1g' == '1024m'); bare number = bytes.
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "b": 1}
+        s = sz.strip().lower()
+        mult = units.get(s[-1], None)
+        return int(s[:-1]) * mult if mult else int(s)
+
+    # Not an assert: stripped under python -O, and the comparison is on
+    # normalized byte sizes so an equivalent '1024m' passes (r10 advice).
+    if _bytes(heap) != 1 << 30:
+        raise SystemExit(
+            f"bench JVM heap is {heap}, not the pinned 1g — a session "
+            "existed before bench.py's; run bench.py as its own process"
+        )
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all_queries()
 

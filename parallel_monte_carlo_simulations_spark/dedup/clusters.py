@@ -109,7 +109,11 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         # a component whose hop-diameter exceeds MAX_ROUNDS would get a
         # silently split cluster, and consumers like the ER pipeline
         # build sorted-neighborhood chains whose diameter grows with
-        # block size (round-9 advice).
+        # block size (round-9 advice). Release the live checkpoint
+        # blocks BEFORE raising — the error path is exactly when
+        # MAX_ROUNDS of them have accumulated (round-10 advice).
+        _release_local_checkpoint(labels)
+        _release_local_checkpoint(edges)
         raise RuntimeError(
             f"connected_components did not converge in {MAX_ROUNDS} "
             "hash-min rounds: a component's hop-diameter exceeds the "

@@ -64,7 +64,11 @@ GROUP BY dropped
     description=(
         "SemDeDup-style semantic dedup: deterministic k-means clusters, "
         f"drop vectors with a >= {THRESHOLD}-cosine lower-id neighbor in "
-        "their cluster (within-cluster pairwise only, never corpus-wide)"
+        "their cluster (within-cluster pairwise only, never corpus-wide); "
+        "design-domain: BOUNDED corpora — fixed K means within-cluster "
+        "pair work grows as sum(n_k^2) ~ n^2/K (measured natural x10 = "
+        "8.08); the scale path is q_dedup_semantic_adaptive, whose "
+        "bucket count grows with n (natural x10 = 3.65, its n*log n)"
     ),
     tags=("dedup", "semantic", "embedding", "clustering", "curation"),
 )

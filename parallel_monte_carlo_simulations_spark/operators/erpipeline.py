@@ -133,7 +133,11 @@ ORDER BY member_count DESC, entity_key
         f"(N*B={WINDOW_B} candidates) -> training-free Fellegi-Sunter "
         "u-weights (-ln of marginal agreement rates, quantized "
         "DECIMAL(18,9)) -> decimal match threshold -> hash-min "
-        "connected components -> one row per canonical entity"
+        "connected components -> one row per canonical entity; "
+        "caller contract: persists the blocking-join frame (read by "
+        "the returned plan) — long-lived sessions must drain it via "
+        "spark.catalog.clearCache() after consuming the result, as "
+        "the test/bench fixtures do"
     ),
     tags=(
         "dedup",
@@ -189,8 +193,10 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the u-weight aggregate and the accepted-pairs filter; without a
     # persist it executes twice (round-9 advice). The first consumer
     # populates the MEMORY_AND_DISK blocks, the second reads them.
-    # Released by the test fixture / bench clearCache — the returned
-    # plan is still reading them, so it cannot unpersist here.
+    # CALLER CONTRACT (also in the registry description / OPERATORS.md):
+    # the returned plan reads these blocks, so they cannot unpersist
+    # here — long-lived sessions drain them via catalog.clearCache()
+    # after consuming the result, as the test/bench fixtures do.
     pairs = pairs.persist()
 
     def _w(n_col: str):

@@ -292,6 +292,7 @@ cells AS (
          CAST(SUM(y) AS BIGINT)      AS n_pos,
          CAST(SUM(1 - y) AS BIGINT)  AS n_neg
   FROM rows_t GROUP BY bucket
+  HAVING SUM(y) > 0 AND SUM(1 - y) > 0
 ),
 tot AS (
   SELECT CAST(SUM(n_pos) AS BIGINT) AS p_tot,
@@ -344,10 +345,15 @@ def q_feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("l_quantity") / 10.0).cast("long").alias("bucket"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
+    # Pure buckets (n_pos or n_neg = 0) make WoE = ln(0) — DuckDB raises,
+    # Spark returns NULL (divergent). The standard scorecard treatment is
+    # dropping (or smoothing) pure buckets; the filter is mirrored in the
+    # oracle's HAVING so both engines score the same cells. No-op on the
+    # driver testdata (no pure bucket exists at any SF).
     cells = rows_t.groupBy("bucket").agg(
         F.sum("y").cast("long").alias("n_pos"),
         F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
-    )
+    ).filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
     tot = cells.agg(
         F.sum("n_pos").cast("long").alias("p_tot"),
         F.sum("n_neg").cast("long").alias("n_tot"),
