@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
+from .media import spread
 
 #: Standard IMA ADPCM step-size table (89 entries).
 STEP_TABLE: tuple[int, ...] = (
@@ -220,5 +221,5 @@ FROM rec WHERE i = n
 )
 def q_multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    auds = d.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    auds = spread(d.filter(F.col("doc_id") % 7 == 3).select("doc_id"))
     return auds.mapInPandas(_adpcm_batch, schema=_ADPCM_SCHEMA)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
+from .media import spread
 
 _PX_SCHEMA = "doc_id long, x int, y int, lum long"
 
@@ -98,7 +99,7 @@ GROUP BY doc_id
 )
 def q_multimodal_box_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    imgs = d.filter(F.col("doc_id") % 4 == 3).select("doc_id")
+    imgs = spread(d.filter(F.col("doc_id") % 4 == 3).select("doc_id"))
     px = imgs.mapInPandas(_pixel_batch, schema=_PX_SCHEMA)
     dims = px.groupBy("doc_id").agg(
         (F.max("x") + 1).cast("int").alias("w"),
@@ -190,7 +191,7 @@ def q_multimodal_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFram
     ROUND ties disagree cross-engine). State per image is O(256 levels),
     never O(pixels), after the first groupBy."""
     d = table(spark, sf_dir, "documents")
-    imgs = d.filter(F.col("doc_id") % 4 == 3).select("doc_id")
+    imgs = spread(d.filter(F.col("doc_id") % 4 == 3).select("doc_id"))
     px = imgs.mapInPandas(_red_batch, schema="doc_id long, r int")
     counts = px.groupBy("doc_id").agg(F.count("*").alias("n_px"))
     hist = (

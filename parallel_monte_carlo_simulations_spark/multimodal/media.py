@@ -108,6 +108,25 @@ def extract_fake_features(batches: Iterator) -> Iterator:
         )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Codec-parallelism guard (round-10): Arrow-batched decode stages
+    inherit the SCAN's split count, and a small corpus file (one ~6 MB
+    parquet at the test SFs) yields ONE split — serializing pure-CPU
+    codec work that is embarrassingly parallel (measured: the sf1.0
+    scene-cuts cell ran ~single-core, 15.1 s for ~11 s of one-core
+    decode). When the scan has fewer partitions than the cluster's
+    default parallelism, round-robin repartition the id projection —
+    the shuffle moves only the pre-payload id column (8 bytes/row),
+    never synthesized payloads or decoded pixels. At real scale
+    (>= cores input splits, the 100 TB case) this is a no-op: no
+    shuffle is added."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a multimodal table: documents' utf8 bytes as the opaque
     payload + a typed metadata struct (what an image/audio ingest would
@@ -225,7 +244,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfilter or inflate bug diverges from the oracle's closed-form sum.
     Zero shuffle; at 100 TB this is embarrassingly parallel scan work."""
     d = table(spark, sf_dir, "documents")
-    imgs = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    imgs = spread(d.filter(F.col("doc_id") % 3 == 0).select("doc_id"))
     payloads = imgs.mapInPandas(_synth_png_batch, schema="doc_id long, payload binary")
     return payloads.mapInPandas(_decode_png_batch, schema=_PNG_DECODE_SCHEMA)
 
@@ -305,7 +324,7 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent numpy reference. Zero shuffle: two Arrow-batched narrow
     maps, embarrassingly parallel at 100 TB."""
     d = table(spark, sf_dir, "documents")
-    imgs = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    imgs = spread(d.filter(F.col("doc_id") % 3 == 0).select("doc_id"))
     payloads = imgs.mapInPandas(_synth_jpeg_batch, schema="doc_id long, payload binary")
     return payloads.mapInPandas(_decode_jpeg_batch, schema=_JPEG_DECODE_SCHEMA)
 
@@ -453,7 +472,7 @@ def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can replay it verbatim in SQL, so the hash match proves the
     full color pipeline, not just the luma plane."""
     d = table(spark, sf_dir, "documents")
-    imgs = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    imgs = spread(d.filter(F.col("doc_id") % 3 == 1).select("doc_id"))
     payloads = imgs.mapInPandas(
         _synth_jpeg_color_batch, schema="doc_id long, payload binary"
     )
@@ -553,7 +572,7 @@ def q_multimodal_resize_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces the exact resized checksum in SQL. One Arrow
     narrow map, zero shuffle."""
     d = table(spark, sf_dir, "documents")
-    imgs = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    imgs = spread(d.filter(F.col("doc_id") % 3 == 0).select("doc_id"))
     return imgs.mapInPandas(_resize_exec_batch, schema=_RESIZE_EXEC_SCHEMA)
 
 
@@ -700,7 +719,7 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``zero_crossings`` prove the PCM samples round-tripped bit-exactly.
     Zero shuffle; embarrassingly parallel at 100 TB."""
     d = table(spark, sf_dir, "documents")
-    auds = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    auds = spread(d.filter(F.col("doc_id") % 3 == 1).select("doc_id"))
     payloads = auds.mapInPandas(_synth_wav_batch, schema="doc_id long, payload binary")
     return payloads.mapInPandas(_decode_wav_batch, schema=_WAV_DECODE_SCHEMA)
 
@@ -763,7 +782,7 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow batch (one row per frame), still a narrow map: no shuffle,
     and frame rows never leave the executor that decoded the payload."""
     d = table(spark, sf_dir, "documents")
-    auds = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    auds = spread(d.filter(F.col("doc_id") % 3 == 1).select("doc_id"))
     return auds.mapInPandas(_frame_energy_batch, schema=_AUDIO_FRAME_SCHEMA)
 
 
@@ -843,7 +862,7 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled frame. Frame fan-out happens inside the Arrow batch; still a
     narrow map with zero shuffle, embarrassingly parallel at 100 TB."""
     d = table(spark, sf_dir, "documents")
-    vids = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    vids = spread(d.filter(F.col("doc_id") % 3 == 2).select("doc_id"))
     return vids.mapInPandas(_gif_frames_batch, schema=_GIF_FRAME_SCHEMA)
 
 
@@ -931,7 +950,7 @@ def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampled stream's checksums exactly without decoding. Narrow Arrow
     map, zero shuffle."""
     d = table(spark, sf_dir, "documents")
-    auds = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    auds = spread(d.filter(F.col("doc_id") % 3 == 1).select("doc_id"))
     return auds.mapInPandas(_audio_resample_batch, schema=_RESAMPLE_SCHEMA)
 
 
@@ -1002,7 +1021,7 @@ def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion at once. Same zero-shuffle narrow-map shape as the other
     codec legs."""
     d = table(spark, sf_dir, "documents")
-    imgs = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    imgs = spread(d.filter(F.col("doc_id") % 3 == 2).select("doc_id"))
     payloads = imgs.mapInPandas(
         _synth_jpeg_420_batch, schema="doc_id long, payload binary"
     )
@@ -1077,7 +1096,7 @@ def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoding, so a hash match proves both the scanline walk at 1 byte/px
     and the palette expansion. Zero shuffle."""
     d = table(spark, sf_dir, "documents")
-    imgs = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    imgs = spread(d.filter(F.col("doc_id") % 3 == 0).select("doc_id"))
     payloads = imgs.mapInPandas(
         _synth_png_palette_batch, schema="doc_id long, payload binary"
     )
@@ -1152,7 +1171,7 @@ def q_multimodal_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum match proves marker alignment, stuffing interaction, and
     predictor resets."""
     d = table(spark, sf_dir, "documents")
-    imgs = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    imgs = spread(d.filter(F.col("doc_id") % 3 == 1).select("doc_id"))
     payloads = imgs.mapInPandas(
         _synth_jpeg_restart_batch, schema="doc_id long, payload binary"
     )
@@ -1222,7 +1241,7 @@ def q_multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wrong cells, so the closed-form checksum catches the whole
     de-interlace path. Same zero-shuffle narrow-map shape."""
     d = table(spark, sf_dir, "documents")
-    imgs = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    imgs = spread(d.filter(F.col("doc_id") % 3 == 2).select("doc_id"))
     payloads = imgs.mapInPandas(
         _synth_png_interlaced_batch, schema="doc_id long, payload binary"
     )
@@ -1313,5 +1332,5 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     never leave the executor that decoded it), so the operator stays a
     zero-shuffle narrow map at any corpus size."""
     d = table(spark, sf_dir, "documents")
-    vids = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    vids = spread(d.filter(F.col("doc_id") % 3 == 2).select("doc_id"))
     return vids.mapInPandas(_scene_cuts_batch, schema=_SCENE_SCHEMA)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import table
+from .media import spread
 from .mulaw import sql_decoded_closed_form
 
 # --------------------------------------------------------------------------
@@ -95,7 +96,7 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``parallel_simulations.py:75-98``) only by contrast: media payloads
     stay columnar binary end to end here."""
     d = table(spark, sf_dir, "documents")
-    imgs = d.filter(F.col("doc_id") % 4 == 3).select("doc_id")
+    imgs = spread(d.filter(F.col("doc_id") % 4 == 3).select("doc_id"))
     return imgs.mapInPandas(_bmp_batch, schema=_BMP_SCHEMA)
 
 
@@ -171,5 +172,5 @@ GROUP BY doc_id, n
 )
 def q_multimodal_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    auds = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    auds = spread(d.filter(F.col("doc_id") % 3 == 2).select("doc_id"))
     return auds.mapInPandas(_mulaw_batch, schema=_MULAW_SCHEMA)
