@@ -1,0 +1,462 @@
+"""Hypothesis-test surface, second batch (round 10): one-way ANOVA,
+Welch's t, Brown-Forsythe, Cramér's V, and mutual information.
+
+House float discipline throughout: every statistic derives from EXACT
+integer sufficient statistics (l_quantity is integer-valued 1..50, so
+Σx and Σx² are exact in doubles far past sf1.0), and wherever a sum
+crosses grouped rows the per-group terms are quantized to DECIMAL
+before summing, so the cross-engine result is order-independent — the
+same pattern as :mod:`.stattests`'s chi-square. Each test is ONE
+grouped aggregation over the scan: partial aggregation map-side, a
+k-row (k <= 6) reduce, scalar math on the driver plan — the shape that
+holds at 100 TB because the shuffle carries group sums, never rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F: does mean l_quantity differ across l_returnflag groups?
+# --------------------------------------------------------------------------
+
+_QANOVA_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT)                 AS n,
+         CAST(SUM(l_quantity) AS DOUBLE)          AS s,
+         CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS ss
+  FROM lineitem GROUP BY l_returnflag
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot, SUM(s) AS s_tot,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+),
+terms AS (
+  SELECT CAST(ROUND(g.s * g.s / g.n, 8) AS DECIMAL(28,8))        AS between_q,
+         CAST(ROUND(g.ss - g.s * g.s / g.n, 8) AS DECIMAL(28,8)) AS within_q
+  FROM g
+),
+sums AS (
+  SELECT CAST(SUM(between_q) AS DOUBLE) AS bsum,
+         CAST(SUM(within_q) AS DOUBLE)  AS ssw
+  FROM terms
+)
+SELECT t.k, t.n_tot,
+       ROUND(s2.bsum - t.s_tot * t.s_tot / t.n_tot, 4) AS ss_between,
+       ROUND(s2.ssw, 4)                                AS ss_within,
+       ROUND(((s2.bsum - t.s_tot * t.s_tot / t.n_tot) / (t.k - 1))
+             / (s2.ssw / (t.n_tot - t.k)), 6)          AS f_stat
+FROM tot t CROSS JOIN sums s2
+"""
+
+
+@register(
+    "q_stat_anova_f",
+    oracle=_QANOVA_ORACLE,
+    description=(
+        "one-way ANOVA F-test of mean l_quantity across the 3 "
+        "l_returnflag groups from exact integer sufficient statistics "
+        "(n, sum, sum-of-squares per group); per-group terms quantized "
+        "to DECIMAL before the cross-group sum"
+    ),
+    tags=("statistics", "anova", "hypothesis-test", "aggregate"),
+)
+def q_stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("l_quantity").cast("double").alias("s"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity"))
+        .cast("double")
+        .alias("ss"),
+    )
+    terms = g.select(
+        "n",
+        "s",
+        F.round(F.col("s") * F.col("s") / F.col("n"), 8)
+        .cast("decimal(28,8)")
+        .alias("between_q"),
+        F.round(F.col("ss") - F.col("s") * F.col("s") / F.col("n"), 8)
+        .cast("decimal(28,8)")
+        .alias("within_q"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("between_q").cast("double").alias("bsum"),
+        F.sum("within_q").cast("double").alias("ssw"),
+    )
+    ssb = F.col("bsum") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    return agg.select(
+        "k",
+        "n_tot",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(F.col("ssw"), 4).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_tot") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test: unequal-variance two-sample t across l_linestatus.
+# --------------------------------------------------------------------------
+
+_QWELCH_ORACLE = """
+WITH piv AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT)  AS n1,
+    CAST(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS s1,
+    CAST(SUM(l_quantity * l_quantity)
+         FILTER (WHERE l_linestatus = 'O') AS DOUBLE)           AS ss1,
+    CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT)  AS n2,
+    CAST(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS s2,
+    CAST(SUM(l_quantity * l_quantity)
+         FILTER (WHERE l_linestatus = 'F') AS DOUBLE)           AS ss2
+  FROM lineitem
+),
+v AS (
+  SELECT n1, n2,
+         s1 / n1 AS m1, s2 / n2 AS m2,
+         (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+         (ss2 - s2 * s2 / n2) / (n2 - 1) AS v2
+  FROM piv
+)
+SELECT n1, n2,
+       ROUND(m1, 6) AS mean_o,
+       ROUND(m2, 6) AS mean_f,
+       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+       ROUND(
+         (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+         / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+            + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS welch_df
+FROM v
+"""
+
+
+@register(
+    "q_stat_welch_ttest",
+    oracle=_QWELCH_ORACLE,
+    description=(
+        "Welch's unequal-variance two-sample t-test of l_quantity across "
+        "l_linestatus O vs F, with the Welch-Satterthwaite df — the "
+        "sufficient statistics pivot into ONE row via FILTER aggregates, "
+        "so every downstream float op is fixed-order deterministic"
+    ),
+    tags=("statistics", "t-test", "hypothesis-test", "aggregate"),
+)
+def q_stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q2 = F.col("l_quantity") * F.col("l_quantity")
+
+    def _f(expr, status):
+        # conditional aggregate == SQL's FILTER clause (sum skips nulls)
+        return F.sum(F.when(F.col("l_linestatus") == status, expr))
+
+    piv = li.agg(
+        _f(F.lit(1), "O").cast("long").alias("n1"),
+        _f(F.col("l_quantity"), "O").cast("double").alias("s1"),
+        _f(q2, "O").cast("double").alias("ss1"),
+        _f(F.lit(1), "F").cast("long").alias("n2"),
+        _f(F.col("l_quantity"), "F").cast("double").alias("s2"),
+        _f(q2, "F").cast("double").alias("ss2"),
+    )
+    m1, m2 = F.col("s1") / F.col("n1"), F.col("s2") / F.col("n2")
+    v1 = (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v2 = (F.col("ss2") - F.col("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    se1, se2 = v1 / F.col("n1"), v2 / F.col("n2")
+    return piv.select(
+        "n1",
+        "n2",
+        F.round(m1, 6).alias("mean_o"),
+        F.round(m2, 6).alias("mean_f"),
+        F.round((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe: variance homogeneity via ANOVA on |x - group median|.
+# --------------------------------------------------------------------------
+
+_QBF_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS md
+  FROM lineitem GROUP BY l_returnflag
+),
+z AS (
+  SELECT li.l_returnflag, ABS(li.l_quantity - m.md) AS z
+  FROM lineitem li JOIN med m USING (l_returnflag)
+),
+g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(z) AS DOUBLE)   AS s,
+         CAST(SUM(z * z) AS DOUBLE) AS ss
+  FROM z GROUP BY l_returnflag
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot, SUM(s) AS s_tot,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+),
+terms AS (
+  SELECT CAST(ROUND(g.s * g.s / g.n, 8) AS DECIMAL(28,8))        AS between_q,
+         CAST(ROUND(g.ss - g.s * g.s / g.n, 8) AS DECIMAL(28,8)) AS within_q
+  FROM g
+),
+sums AS (
+  SELECT CAST(SUM(between_q) AS DOUBLE) AS bsum,
+         CAST(SUM(within_q) AS DOUBLE)  AS ssw
+  FROM terms
+)
+SELECT t.k, t.n_tot,
+       ROUND(((s2.bsum - t.s_tot * t.s_tot / t.n_tot) / (t.k - 1))
+             / (s2.ssw / (t.n_tot - t.k)), 6) AS bf_stat
+FROM tot t CROSS JOIN sums s2
+"""
+
+
+@register(
+    "q_stat_brown_forsythe",
+    oracle=_QBF_ORACLE,
+    description=(
+        "Brown-Forsythe variance-homogeneity test: one-way ANOVA F on "
+        "|l_quantity - group median| across l_returnflag — the "
+        "median-based robust Levene variant; medians interpolate on "
+        "integer data so every deviation is an exact multiple of 0.5"
+    ),
+    tags=("statistics", "levene", "hypothesis-test", "aggregate"),
+)
+def q_stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("md")
+    )
+    # med is a 3-row frame — broadcast is bounded by the group-key
+    # cardinality, not the corpus.
+    z = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", F.abs(F.col("l_quantity") - F.col("md")).alias("z")
+    )
+    g = z.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("double").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("ss"),
+    )
+    terms = g.select(
+        "n",
+        "s",
+        F.round(F.col("s") * F.col("s") / F.col("n"), 8)
+        .cast("decimal(28,8)")
+        .alias("between_q"),
+        F.round(F.col("ss") - F.col("s") * F.col("s") / F.col("n"), 8)
+        .cast("decimal(28,8)")
+        .alias("within_q"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("between_q").cast("double").alias("bsum"),
+        F.sum("within_q").cast("double").alias("ssw"),
+    )
+    ssb = F.col("bsum") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    return agg.select(
+        "k",
+        "n_tot",
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_tot") - F.col("k"))),
+            6,
+        ).alias("bf_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V: chi-square effect size for l_returnflag x l_linestatus.
+# --------------------------------------------------------------------------
+
+_QCRAMER_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag AS rv, l_linestatus AS cv,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+rs AS (SELECT rv, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY rv),
+cs AS (SELECT cv, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY cv),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT CAST(ROUND(
+           ((CAST(cells.o AS DOUBLE) * t.n) - (CAST(rs.r AS DOUBLE) * cs.c))
+           * ((CAST(cells.o AS DOUBLE) * t.n) - (CAST(rs.r AS DOUBLE) * cs.c))
+           / (CAST(t.n AS DOUBLE) * CAST(rs.r AS DOUBLE) * cs.c),
+           8) AS DECIMAL(24,8)) AS tq
+  FROM cells
+  JOIN rs USING (rv) JOIN cs USING (cv) CROSS JOIN tot t
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT rv) AS BIGINT) AS nr,
+         CAST(COUNT(DISTINCT cv) AS BIGINT) AS nc
+  FROM cells
+)
+SELECT t2.n AS n_rows,
+       d.nr, d.nc,
+       ROUND(CAST((SELECT SUM(tq) FROM terms) AS DOUBLE), 4) AS chi2,
+       ROUND(SQRT(CAST((SELECT SUM(tq) FROM terms) AS DOUBLE)
+                  / (t2.n * LEAST(d.nr - 1, d.nc - 1))), 6) AS cramers_v
+FROM tot t2 CROSS JOIN dims d
+"""
+
+
+@register(
+    "q_stat_cramers_v",
+    oracle=_QCRAMER_ORACLE,
+    description=(
+        "Cramér's V association strength for l_returnflag x l_linestatus "
+        "— chi-square from one contingency aggregation (exact-decimal "
+        "summands) normalized to [0,1] by n*min(r-1, c-1)"
+    ),
+    tags=("statistics", "chi-square", "effect-size", "aggregate"),
+)
+def q_stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("rv"), F.col("l_linestatus").alias("cv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rs = cells.groupBy("rv").agg(F.sum("o").cast("long").alias("r"))
+    cs = cells.groupBy("cv").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    dims = cells.agg(
+        F.countDistinct("rv").cast("long").alias("nr"),
+        F.countDistinct("cv").cast("long").alias("nc"),
+    )
+    diff = F.col("o").cast("double") * F.col("n") - F.col("r").cast(
+        "double"
+    ) * F.col("c")
+    terms = (
+        cells.join(F.broadcast(rs), "rv")
+        .join(F.broadcast(cs), "cv")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                diff
+                * diff
+                / (
+                    F.col("n").cast("double")
+                    * F.col("r").cast("double")
+                    * F.col("c")
+                ),
+                8,
+            )
+            .cast("decimal(24,8)")
+            .alias("tq")
+        )
+    )
+    chi2 = terms.agg(F.sum("tq").cast("double").alias("chi2"))
+    return (
+        tot.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(chi2))
+        .select(
+            F.col("n").alias("n_rows"),
+            "nr",
+            "nc",
+            F.round(F.col("chi2"), 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual information: quantity bucket vs returned flag (feature screen).
+# --------------------------------------------------------------------------
+
+_QMI_ORACLE = """
+WITH rows_t AS (
+  SELECT CAST(CEIL(l_quantity / 10.0) AS BIGINT) AS bucket,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+cells AS (
+  SELECT bucket, y, CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM rows_t GROUP BY bucket, y
+),
+margx AS (SELECT bucket, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY bucket),
+margy AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY y),
+tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT CAST(ROUND(
+           (CAST(c.nxy AS DOUBLE) / t.n)
+           * LN(CAST(c.nxy AS DOUBLE) * t.n
+                / (CAST(mx.nx AS DOUBLE) * my.ny)), 10) AS DECIMAL(24,10))
+         AS tq
+  FROM cells c
+  JOIN margx mx USING (bucket) JOIN margy my USING (y) CROSS JOIN tot t
+)
+SELECT t2.n AS n_rows,
+       ROUND(CAST((SELECT SUM(tq) FROM terms) AS DOUBLE), 6) AS mi_nats
+FROM tot t2
+"""
+
+
+@register(
+    "q_feat_mutual_information",
+    oracle=_QMI_ORACLE,
+    description=(
+        "mutual information (nats) between the quantity bucket and the "
+        "returned flag — the model-free feature-relevance screen "
+        "complementing q_feat_woe_iv; per-cell plogp terms quantized to "
+        "DECIMAL before the cross-cell sum"
+    ),
+    tags=("feature-engineering", "statistics", "information", "aggregate"),
+)
+def q_feat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rows_t = li.select(
+        F.ceil(F.col("l_quantity") / 10.0).cast("long").alias("bucket"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cells = rows_t.groupBy("bucket", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("nxy")
+    )
+    margx = cells.groupBy("bucket").agg(F.sum("nxy").cast("long").alias("nx"))
+    margy = cells.groupBy("y").agg(F.sum("nxy").cast("long").alias("ny"))
+    tot = cells.agg(F.sum("nxy").cast("long").alias("n"))
+    term = (F.col("nxy").cast("double") / F.col("n")) * F.log(
+        F.col("nxy").cast("double")
+        * F.col("n")
+        / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    terms = (
+        cells.join(F.broadcast(margx), "bucket")
+        .join(F.broadcast(margy), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(F.round(term, 10).cast("decimal(24,10)").alias("tq"))
+    )
+    mi = terms.agg(F.sum("tq").cast("double").alias("mi"))
+    return tot.crossJoin(F.broadcast(mi)).select(
+        F.col("n").alias("n_rows"),
+        F.round(F.col("mi"), 6).alias("mi_nats"),
+    )
