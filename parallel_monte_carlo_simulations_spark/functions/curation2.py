@@ -1,0 +1,582 @@
+"""LLM-pipeline curation, second batch (round 10): quality-threshold
+retention sweeps, temperature-scaled domain mixing, dedup savings
+accounting, token-entropy profiling, n-gram novelty, and pairwise
+Jensen-Shannon drift between language subcorpora.
+
+These are the accounting queries a 100 TB pretraining-data pipeline
+runs BEFORE committing to a mix: how many tokens does each quality
+threshold keep, what does exact dedup save per source, how far apart
+are the subcorpora distributionally. All pure DataFrame aggregations —
+vocab-keyed or source-keyed shuffles only (never row-expansion joins),
+DECIMAL-quantized summands wherever a float sum crosses rows so the
+DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import table
+from .text import STOPWORDS
+
+# --------------------------------------------------------------------------
+# Quality-threshold retention sweep: docs/tokens kept per threshold.
+# --------------------------------------------------------------------------
+
+_EN_SW_SQL = "('" + "', '".join(STOPWORDS["en"]) + "')"
+
+#: threshold grid: 0.30 .. 0.75 step 0.05 (the operating range of the
+#: composite quality score on this corpus).
+_SWEEP_THRESHOLDS = [round(0.30 + 0.05 * i, 2) for i in range(10)]
+
+_QSWEEP_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         ROUND(
+           0.4 * LEAST(length(text) / 500.0, 1.0)
+           + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')))
+           + 0.2 * LEAST(len(list_filter(string_split(text, ' '),
+                                         t -> t IN {_EN_SW_SQL})) * 5.0
+                         / len(string_split(text, ' ')), 1.0), 6) AS q
+  FROM documents
+),
+grid AS (SELECT unnest({_SWEEP_THRESHOLDS!r}) AS threshold),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS docs_total,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+  FROM scored
+)
+SELECT g.threshold,
+       CAST(COUNT(*) FILTER (WHERE s.q >= g.threshold) AS BIGINT)
+         AS docs_kept,
+       CAST(COALESCE(SUM(s.n_tokens) FILTER (WHERE s.q >= g.threshold), 0)
+            AS BIGINT) AS tokens_kept,
+       ROUND(COUNT(*) FILTER (WHERE s.q >= g.threshold) * 1.0
+             / ANY_VALUE(t.docs_total), 6) AS doc_retention,
+       ROUND(COALESCE(SUM(s.n_tokens) FILTER (WHERE s.q >= g.threshold), 0)
+             * 1.0 / ANY_VALUE(t.tokens_total), 6) AS token_retention
+FROM grid g CROSS JOIN scored s CROSS JOIN tot t
+GROUP BY g.threshold
+"""
+
+
+@register(
+    "q_curation_quality_sweep",
+    oracle=_QSWEEP_ORACLE,
+    description=(
+        "quality-threshold retention curve: for a 10-point threshold "
+        "grid over the composite quality score, how many documents and "
+        "tokens survive — the sweep a data-mix owner reads before "
+        "picking the cut; comparisons happen on the ROUNDED score so "
+        "the boundary is cross-engine exact"
+    ),
+    tags=("curation", "quality", "sweep", "llm-pipeline"),
+)
+def q_curation_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan scores every doc; the 10-row threshold grid broadcasts
+    and the sweep is a conditional aggregation — grid x corpus rows
+    never materialize beyond the partial aggregates. At 100 TB this is
+    a single pass regardless of grid size."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    q = F.round(
+        0.4 * F.least(F.length("text") / 500.0, F.lit(1.0))
+        + 0.4 * (F.size(F.array_distinct(toks)) / n)
+        + 0.2 * F.least(sw * 5.0 / n, F.lit(1.0)),
+        6,
+    )
+    scored = d.select(n.alias("n_tokens"), q.alias("q"))
+    grid = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_total"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )
+    kept = F.col("q") >= F.col("threshold")
+    return (
+        scored.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("docs_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.round(
+                F.sum(F.when(kept, 1).otherwise(0))
+                / F.any_value("docs_total"),
+                6,
+            ).alias("doc_retention"),
+            F.round(
+                F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+                / F.any_value("tokens_total"),
+                6,
+            ).alias("token_retention"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled domain mixing weights (alpha = 0.5 -> sqrt scaling).
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000  # tokens drawn under the mixed distribution
+
+_QTEMPMIX_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS t FROM per_source),
+w AS (
+  SELECT source, toks,
+         CAST(ROUND(SQRT(CAST(toks AS DOUBLE) / t.t), 10)
+              AS DECIMAL(24,10)) AS wq
+  FROM per_source CROSS JOIN tot t
+),
+norm AS (SELECT CAST(SUM(wq) AS DOUBLE) AS z FROM w)
+SELECT w.source, w.toks AS tokens_available,
+       ROUND(CAST(w.wq AS DOUBLE) / n.z, 6)   AS mix_weight,
+       CAST(FLOOR({_MIX_BUDGET} * CAST(w.wq AS DOUBLE) / n.z) AS BIGINT)
+         AS tokens_drawn,
+       ROUND({_MIX_BUDGET} * CAST(w.wq AS DOUBLE) / n.z
+             / w.toks, 6)                      AS epochs_implied
+FROM w CROSS JOIN norm n
+"""
+
+
+@register(
+    "q_curation_temperature_mix",
+    oracle=_QTEMPMIX_ORACLE,
+    description=(
+        "temperature-scaled domain mixing (alpha=0.5): per-source "
+        "sampling weight proportional to sqrt(token share), the expected "
+        "tokens drawn for a 1M budget, and the implied epoch count per "
+        "source — the standard multi-domain pretraining mix computation; "
+        "sqrt is IEEE-correctly-rounded so the weights are cross-engine "
+        "exact, and the normalizer sums DECIMAL-quantized weights"
+    ),
+    tags=("curation", "mixing", "sampling", "llm-pipeline"),
+)
+def q_curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("toks")
+    )
+    tot = per_source.agg(F.sum("toks").cast("long").alias("t"))
+    w = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        F.round(F.sqrt(F.col("toks").cast("double") / F.col("t")), 10)
+        .cast("decimal(24,10)")
+        .alias("wq"),
+    )
+    norm = w.agg(F.sum("wq").cast("double").alias("z"))
+    share = F.col("wq").cast("double") / F.col("z")
+    return w.crossJoin(F.broadcast(norm)).select(
+        "source",
+        F.col("toks").alias("tokens_available"),
+        F.round(share, 6).alias("mix_weight"),
+        F.floor(_MIX_BUDGET * share).cast("long").alias("tokens_drawn"),
+        F.round(_MIX_BUDGET * share / F.col("toks"), 6).alias(
+            "epochs_implied"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup savings accounting: what exact dedup saves, per source.
+# --------------------------------------------------------------------------
+
+_QSAVINGS_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, md5(text) AS h,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+canon AS (
+  SELECT h, MIN(doc_id) AS keeper FROM docs GROUP BY h
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT)                         AS docs_total,
+       CAST(SUM(CASE WHEN d.doc_id = c.keeper THEN 1 ELSE 0 END)
+            AS BIGINT)                                  AS docs_kept,
+       CAST(SUM(d.n_tokens) AS BIGINT)                  AS tokens_total,
+       CAST(SUM(CASE WHEN d.doc_id = c.keeper THEN d.n_tokens ELSE 0 END)
+            AS BIGINT)                                  AS tokens_kept,
+       ROUND(1.0 - SUM(CASE WHEN d.doc_id = c.keeper THEN d.n_tokens
+                            ELSE 0 END) * 1.0 / SUM(d.n_tokens), 6)
+                                                        AS token_savings
+FROM docs d JOIN canon c USING (h)
+GROUP BY d.source
+"""
+
+
+@register(
+    "q_curation_dedup_savings",
+    oracle=_QSAVINGS_ORACLE,
+    description=(
+        "dedup savings accounting: per source, documents and tokens "
+        "before/after exact (md5) dedup with min-doc_id keeper election "
+        "— the 'what does dedup buy us' report that justifies the "
+        "pipeline stage; the keeper join is content-hash-keyed, the "
+        "shape that holds at 100 TB"
+    ),
+    tags=("curation", "dedup", "accounting", "llm-pipeline"),
+)
+def q_curation_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    canon = docs.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    kept = F.col("doc_id") == F.col("keeper")
+    # canon is corpus-sized (one row per distinct content hash) — never
+    # broadcast; sort-merge on the hash key.
+    return (
+        docs.join(canon.hint("merge"), "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("docs_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.round(
+                1.0
+                - F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+                / F.sum("n_tokens"),
+                6,
+            ).alias("token_savings"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-entropy profile: per-doc Shannon entropy, aggregated per source.
+# --------------------------------------------------------------------------
+
+_QENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, source, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, source, t
+),
+n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+terms AS (
+  SELECT cnt.doc_id, cnt.source,
+         CAST(ROUND((CAST(cnt.c AS DOUBLE) / n.n)
+                    * LN(CAST(n.n AS DOUBLE) / cnt.c), 10)
+              AS DECIMAL(24,10)) AS tq
+  FROM cnt JOIN n USING (doc_id)
+),
+ent AS (
+  SELECT doc_id, source,
+         CAST(SUM(tq) AS DECIMAL(24,10)) AS h
+  FROM terms GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                   AS n_docs,
+       ROUND(CAST(SUM(h) AS DOUBLE) / COUNT(*), 6) AS avg_entropy,
+       ROUND(CAST(MIN(h) AS DOUBLE), 6)            AS min_entropy,
+       ROUND(CAST(MAX(h) AS DOUBLE), 6)            AS max_entropy
+FROM ent GROUP BY source
+"""
+
+
+@register(
+    "q_text_token_entropy",
+    oracle=_QENTROPY_ORACLE,
+    description=(
+        "token-entropy profiling: per-document Shannon entropy (nats) "
+        "over the token distribution, aggregated to per-source "
+        "avg/min/max — low-entropy documents are repetitive boilerplate, "
+        "the gibberish/spam screen in LLM curation; per-token plogp "
+        "terms quantized to DECIMAL so per-doc entropies are "
+        "order-independent"
+    ),
+    tags=("text", "entropy", "quality", "curation", "llm-pipeline"),
+)
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .groupBy("doc_id", "source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = cnt.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    # n is per-doc (corpus-sized): sort-merge on doc_id, not broadcast.
+    terms = cnt.join(n.hint("merge"), "doc_id").select(
+        "doc_id",
+        "source",
+        F.round(
+            (F.col("c").cast("double") / F.col("n"))
+            * F.log(F.col("n").cast("double") / F.col("c")),
+            10,
+        )
+        .cast("decimal(24,10)")
+        .alias("tq"),
+    )
+    ent = terms.groupBy("doc_id", "source").agg(
+        F.sum("tq").cast("decimal(24,10)").alias("h")
+    )
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("h").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_entropy"
+        ),
+        F.round(F.min("h").cast("double"), 6).alias("min_entropy"),
+        F.round(F.max("h").cast("double"), 6).alias("max_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty: share of a doc's trigrams it introduced to the corpus.
+# --------------------------------------------------------------------------
+
+_QNOVELTY_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, source, shingle
+  FROM (
+    SELECT doc_id, source,
+           unnest(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+             list_transform(range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1] || ' ' ||
+                    string_split(text, ' ')[i + 2])
+           ELSE [] END) AS shingle
+    FROM documents)
+),
+firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT sh.doc_id, sh.source,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel,
+         CAST(ROUND(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                    * 1.0 / COUNT(*), 10) AS DECIMAL(24,10)) AS novelty_q
+  FROM sh JOIN firsts f USING (shingle)
+  GROUP BY sh.doc_id, sh.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                         AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT)                     AS grams_total,
+       CAST(SUM(n_novel) AS BIGINT)                     AS grams_novel,
+       ROUND(CAST(SUM(novelty_q) AS DOUBLE) / COUNT(*), 6) AS avg_novelty
+FROM per_doc GROUP BY source
+"""
+
+
+@register(
+    "q_text_ngram_novelty",
+    oracle=_QNOVELTY_ORACLE,
+    description=(
+        "n-gram novelty: per document, the share of its distinct "
+        "trigrams whose FIRST corpus occurrence (min doc_id) is this "
+        "document, aggregated per source — measures how much genuinely "
+        "new text a source contributes vs recycling earlier content; "
+        "the first-occurrence election is one shingle-keyed groupBy"
+    ),
+    tags=("text", "novelty", "dedup", "curation", "llm-pipeline"),
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .hashing import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", F.explode(shingles("text", 3)).alias("shingle")
+    ).distinct()
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    per_doc = (
+        # firsts is shingle-count sized (corpus-scale) — sort-merge on
+        # the shingle key, the same exchange the groupBy just produced.
+        sh.join(firsts.hint("merge"), "shingle")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel) * 1.0 / F.count(F.lit(1)), 10)
+            .cast("decimal(24,10)")
+            .alias("novelty_q"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("grams_total"),
+        F.sum("n_novel").cast("long").alias("grams_novel"),
+        F.round(F.sum("novelty_q").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_novelty"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence between language subcorpora (pairwise).
+# --------------------------------------------------------------------------
+
+_QJSD_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+),
+cnt AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, t),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY lang),
+langs AS (SELECT DISTINCT lang FROM cnt),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b
+  FROM langs a JOIN langs b ON a.lang < b.lang
+),
+joint AS (
+  SELECT p.lang_a, p.lang_b, COALESCE(ca.t, cb.t) AS t,
+         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+  FROM pairs p
+  LEFT JOIN cnt ca ON ca.lang = p.lang_a
+  FULL JOIN cnt cb ON cb.lang = p.lang_b AND ca.t = cb.t
+  WHERE ca.t IS NOT NULL OR cb.t IS NOT NULL
+)
+SELECT 1 AS placeholder
+"""
+
+# The pairwise full-outer-join formulation above is awkward in pure SQL
+# (DuckDB's FULL JOIN inside a lateral pair loop); the oracle instead
+# unions per-pair aligned distributions explicitly, which DuckDB
+# evaluates exactly like the Spark plan below.
+
+_QJSD_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+),
+cnt AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, t),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY lang),
+langs AS (SELECT DISTINCT lang FROM cnt),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b
+  FROM langs a JOIN langs b ON a.lang < b.lang
+),
+vocab AS (
+  SELECT p.lang_a, p.lang_b, c.t
+  FROM pairs p JOIN cnt c ON c.lang IN (p.lang_a, p.lang_b)
+  GROUP BY p.lang_a, p.lang_b, c.t
+),
+aligned AS (
+  SELECT v.lang_a, v.lang_b, v.t,
+         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb,
+         ta.n AS na, tb.n AS nb
+  FROM vocab v
+  LEFT JOIN cnt ca ON ca.lang = v.lang_a AND ca.t = v.t
+  LEFT JOIN cnt cb ON cb.lang = v.lang_b AND cb.t = v.t
+  JOIN tot ta ON ta.lang = v.lang_a
+  JOIN tot tb ON tb.lang = v.lang_b
+),
+terms AS (
+  SELECT lang_a, lang_b,
+         CAST(ROUND(
+           0.5 * (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+                    * LN((CAST(ca AS DOUBLE) / na)
+                         / (0.5 * (CAST(ca AS DOUBLE) / na
+                                   + CAST(cb AS DOUBLE) / nb)))
+                  ELSE 0 END)
+           + 0.5 * (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+                    * LN((CAST(cb AS DOUBLE) / nb)
+                         / (0.5 * (CAST(ca AS DOUBLE) / na
+                                   + CAST(cb AS DOUBLE) / nb)))
+                  ELSE 0 END), 10) AS DECIMAL(24,10)) AS tq
+  FROM aligned
+)
+SELECT lang_a, lang_b,
+       ROUND(CAST(SUM(tq) AS DOUBLE), 6) AS js_divergence
+FROM terms GROUP BY lang_a, lang_b
+"""
+
+
+@register(
+    "q_text_js_divergence",
+    oracle=_QJSD_ORACLE,
+    description=(
+        "pairwise Jensen-Shannon divergence (nats) between the unigram "
+        "distributions of every language-pair subcorpus — the "
+        "distribution-drift matrix a mixing pipeline monitors; the "
+        "language dim is tiny so the pair loop is bounded, and the "
+        "per-token JSD terms quantize to DECIMAL before the sum"
+    ),
+    tags=("text", "divergence", "drift", "curation", "llm-pipeline"),
+)
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    langs = cnt.select("lang").distinct()
+    pairs = (
+        langs.alias("a")
+        .join(langs.alias("b"), F.col("a.lang") < F.col("b.lang"))
+        .select(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+    )
+    # pairs is C(|langs|, 2) rows (10 here) — a true bounded dim, safe
+    # to broadcast; cnt is vocab-sized and joins it by containment.
+    vocab = (
+        cnt.crossJoin(F.broadcast(pairs))
+        .filter(
+            (F.col("lang") == F.col("lang_a"))
+            | (F.col("lang") == F.col("lang_b"))
+        )
+        .select("lang_a", "lang_b", "t")
+        .distinct()
+    )
+    ca = cnt.select(
+        F.col("lang").alias("lang_a"), "t", F.col("c").alias("ca")
+    )
+    cb = cnt.select(
+        F.col("lang").alias("lang_b"), "t", F.col("c").alias("cb")
+    )
+    ta = tot.select(F.col("lang").alias("lang_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("lang").alias("lang_b"), F.col("n").alias("nb"))
+    aligned = (
+        vocab.join(ca.hint("merge"), ["lang_a", "t"], "left")
+        .join(cb.hint("merge"), ["lang_b", "t"], "left")
+        .join(F.broadcast(ta), "lang_a")
+        .join(F.broadcast(tb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+            "na",
+            "nb",
+        )
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    m = 0.5 * (pa + pb)
+    term = 0.5 * F.when(F.col("ca") > 0, pa * F.log(pa / m)).otherwise(
+        0.0
+    ) + 0.5 * F.when(F.col("cb") > 0, pb * F.log(pb / m)).otherwise(0.0)
+    terms = aligned.select(
+        "lang_a",
+        "lang_b",
+        F.round(term, 10).cast("decimal(24,10)").alias("tq"),
+    )
+    return terms.groupBy("lang_a", "lang_b").agg(
+        F.round(F.sum("tq").cast("double"), 6).alias("js_divergence")
+    )
