@@ -1,0 +1,184 @@
+"""Sampling, round-10 additions: self-normalized importance reweighting
+and deterministic class balancing.
+
+Two estimators a data-mix pipeline runs constantly:
+
+- **SNIS reweighting**: the corpus was collected under one source mix
+  but the target mix is different (e.g. uniform across sources) —
+  estimate target-distribution statistics WITHOUT resampling, via
+  self-normalized importance weights w = target_share / empirical_share.
+- **Class balancing**: downsample every class to the minority count
+  with a DETERMINISTIC hash order (not rand()), so the balanced set is
+  reproducible across runs and engines — the label-balance step before
+  training a quality classifier.
+
+Both are one-two aggregations; weights quantize to DECIMAL before any
+cross-row sum (house float discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, sql_hash60
+from ..registry import register
+from ..tables import table
+
+# --------------------------------------------------------------------------
+# SNIS: estimate mean doc length under a UNIFORM source mix.
+# --------------------------------------------------------------------------
+
+_QSNIS_ORACLE = """
+WITH per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM per_source
+),
+weighted AS (
+  SELECT d.doc_id, d.n_chars,
+         (CAST(t.n AS DOUBLE) / t.k) / p.n_s AS w
+  FROM documents d
+  JOIN per_source p USING (source) CROSS JOIN tot t
+),
+q AS (
+  SELECT CAST(ROUND(w, 10) AS DECIMAL(24,10))            AS wq,
+         CAST(ROUND(w * n_chars, 6) AS DECIMAL(28,6))    AS wxq
+  FROM weighted
+)
+SELECT CAST((SELECT n FROM tot) AS BIGINT)              AS n_docs,
+       ROUND(CAST(SUM(wq) AS DOUBLE), 4)                AS sum_weights,
+       ROUND(CAST(SUM(wxq) AS DOUBLE)
+             / CAST(SUM(wq) AS DOUBLE), 6)              AS snis_mean_chars,
+       ROUND((SELECT SUM(n_chars) * 1.0 / COUNT(*) FROM documents), 6)
+                                                        AS empirical_mean_chars
+FROM q
+"""
+
+
+@register(
+    "q_sample_importance_snis",
+    oracle=_QSNIS_ORACLE,
+    description=(
+        "self-normalized importance sampling: estimate mean document "
+        "length under a UNIFORM target source mix from the biased "
+        "corpus, w = (1/k)/(n_s/n) per source, SNIS = Σwx/Σw — the "
+        "reweighting estimator a mixing pipeline uses before "
+        "committing to a resample; DECIMAL-quantized weight sums"
+    ),
+    tags=("sampling", "importance", "mixing", "curation", "llm-pipeline"),
+)
+def q_sample_importance_snis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    tot = per_source.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    w = (F.col("n").cast("double") / F.col("k")) / F.col("n_s")
+    weighted = (
+        d.select("doc_id", "n_chars", "source")
+        .join(F.broadcast(per_source), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(w, 10).cast("decimal(24,10)").alias("wq"),
+            F.round(w * F.col("n_chars"), 6).cast("decimal(28,6)").alias("wxq"),
+            "n",
+            "n_chars",
+        )
+    )
+    return weighted.agg(
+        F.any_value("n").cast("long").alias("n_docs"),
+        F.round(F.sum("wq").cast("double"), 4).alias("sum_weights"),
+        F.round(
+            F.sum("wxq").cast("double") / F.sum("wq").cast("double"), 6
+        ).alias("snis_mean_chars"),
+        F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "empirical_mean_chars"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic class balancing: downsample each lang to the minority.
+# --------------------------------------------------------------------------
+
+_HASH_SQL = sql_hash60("'bal:' || CAST(doc_id AS VARCHAR)")
+
+_QBALANCE_ORACLE = f"""
+WITH sized AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+floor_n AS (SELECT MIN(n_docs) AS k FROM sized),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_HASH_SQL}, doc_id) AS rk
+  FROM documents
+),
+kept AS (
+  SELECT r.lang, r.n_chars FROM ranked r CROSS JOIN floor_n f
+  WHERE r.rk <= f.k
+)
+SELECT s.lang,
+       s.n_docs AS docs_before,
+       CAST(COUNT(k.lang) AS BIGINT) AS docs_after,
+       CAST(SUM(k.n_chars) AS BIGINT) AS chars_after
+FROM sized s LEFT JOIN kept k ON k.lang = s.lang
+GROUP BY s.lang, s.n_docs
+"""
+
+
+@register(
+    "q_sample_balanced_classes",
+    oracle=_QBALANCE_ORACLE,
+    description=(
+        "deterministic class balancing: downsample every language class "
+        "to the minority-class count, selecting members by a seeded "
+        "60-bit hash order (reproducible across runs/engines, unlike "
+        "rand()) — one rank window per class, the label-balance step "
+        "before classifier training"
+    ),
+    tags=("sampling", "balance", "curation", "llm-pipeline"),
+)
+def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sized = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    floor_n = sized.agg(F.min("n_docs").alias("k"))
+    h = hash60(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc()))
+        .alias("rk"),
+    )
+    kept = ranked.crossJoin(F.broadcast(floor_n)).filter(
+        F.col("rk") <= F.col("k")
+    )
+    return (
+        sized.join(
+            kept.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("long").alias("docs_after"),
+                F.sum("n_chars").cast("long").alias("chars_after"),
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            F.col("n_docs").alias("docs_before"),
+            F.coalesce(F.col("docs_after"), F.lit(0)).cast("long").alias(
+                "docs_after"
+            ),
+            F.coalesce(F.col("chars_after"), F.lit(0)).cast("long").alias(
+                "chars_after"
+            ),
+        )
+    )
