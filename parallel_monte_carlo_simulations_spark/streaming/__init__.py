@@ -2,4 +2,4 @@
 session) with batch-equivalent oracles, plus a genuine readStream
 micro-batch job held to the same oracle."""
 
-from . import extras, joins, runtime, sketchstream, stateful, statesource, windows  # noqa: F401
+from . import extras, extras2, joins, runtime, sketchstream, stateful, statesource, windows  # noqa: F401
