@@ -580,3 +580,134 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("lang_a", "lang_b").agg(
         F.round(F.sum("tq").cast("double"), 6).alias("js_divergence")
     )
+
+
+# --------------------------------------------------------------------------
+# Curation funnel: docs/tokens surviving each pipeline stage, cumulative.
+# --------------------------------------------------------------------------
+
+_QFUNNEL_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, md5(text) AS h,
+         len(string_split(text, ' ')) AS n_tokens,
+         ROUND(
+           0.4 * LEAST(length(text) / 500.0, 1.0)
+           + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')))
+           + 0.2 * LEAST(len(list_filter(string_split(text, ' '),
+                                         t -> t IN {_EN_SW_SQL})) * 5.0
+                         / len(string_split(text, ' ')), 1.0), 6) AS q
+  FROM documents
+),
+canon AS (SELECT h, MIN(doc_id) AS keeper FROM scored GROUP BY h),
+flags AS (
+  SELECT s.n_tokens,
+         (s.doc_id = c.keeper)                  AS f_dedup,
+         (s.doc_id = c.keeper AND s.q >= 0.5)   AS f_quality,
+         (s.doc_id = c.keeper AND s.q >= 0.5
+          AND s.lang = 'en')                    AS f_lang
+  FROM scored s JOIN canon c USING (h)
+),
+stages AS (
+  SELECT 0 AS stage_no, 'ingest' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens
+  FROM flags
+  UNION ALL
+  SELECT 1, 'exact_dedup',
+         CAST(COUNT(*) FILTER (WHERE f_dedup) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens) FILTER (WHERE f_dedup), 0) AS BIGINT)
+  FROM flags
+  UNION ALL
+  SELECT 2, 'quality_ge_0.5',
+         CAST(COUNT(*) FILTER (WHERE f_quality) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens) FILTER (WHERE f_quality), 0) AS BIGINT)
+  FROM flags
+  UNION ALL
+  SELECT 3, 'lang_en',
+         CAST(COUNT(*) FILTER (WHERE f_lang) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens) FILTER (WHERE f_lang), 0) AS BIGINT)
+  FROM flags
+),
+base AS (SELECT tokens AS t0, docs AS d0 FROM stages WHERE stage_no = 0)
+SELECT s.stage_no, s.stage, s.docs, s.tokens,
+       ROUND(s.docs * 1.0 / b.d0, 6)   AS doc_retention,
+       ROUND(s.tokens * 1.0 / b.t0, 6) AS token_retention
+FROM stages s CROSS JOIN base b
+"""
+
+
+@register(
+    "q_curation_funnel_report",
+    oracle=_QFUNNEL_ORACLE,
+    description=(
+        "curation funnel: documents and tokens surviving each cumulative "
+        "pipeline stage (ingest -> exact dedup -> quality >= 0.5 -> "
+        "lang=en) with retention ratios — the end-to-end accounting view "
+        "of the LLM curation pipeline; one scan + one content-hash "
+        "keeper join, stages as conditional aggregates"
+    ),
+    tags=("curation", "funnel", "dedup", "quality", "llm-pipeline"),
+)
+def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    q = F.round(
+        0.4 * F.least(F.length("text") / 500.0, F.lit(1.0))
+        + 0.4 * (F.size(F.array_distinct(toks)) / n)
+        + 0.2 * F.least(sw * 5.0 / n, F.lit(1.0)),
+        6,
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        n.alias("n_tokens"),
+        q.alias("q"),
+    )
+    canon = scored.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    flags = scored.join(canon.hint("merge"), "h").select(
+        "n_tokens",
+        (F.col("doc_id") == F.col("keeper")).alias("f_dedup"),
+        ((F.col("doc_id") == F.col("keeper")) & (F.col("q") >= 0.5)).alias(
+            "f_quality"
+        ),
+        (
+            (F.col("doc_id") == F.col("keeper"))
+            & (F.col("q") >= 0.5)
+            & (F.col("lang") == "en")
+        ).alias("f_lang"),
+    )
+
+    def _stage(no: int, name: str, flag):
+        cond = F.lit(True) if flag is None else F.col(flag)
+        return flags.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("docs"),
+            F.coalesce(F.sum(F.when(cond, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("tokens"),
+        )
+
+    stages = (
+        _stage(0, "ingest", None)
+        .unionByName(_stage(1, "exact_dedup", "f_dedup"))
+        .unionByName(_stage(2, "quality_ge_0.5", "f_quality"))
+        .unionByName(_stage(3, "lang_en", "f_lang"))
+    )
+    base = stages.filter(F.col("stage_no") == 0).select(
+        F.col("docs").alias("d0"), F.col("tokens").alias("t0")
+    )
+    return stages.crossJoin(F.broadcast(base)).select(
+        "stage_no",
+        "stage",
+        "docs",
+        "tokens",
+        F.round(F.col("docs") * 1.0 / F.col("d0"), 6).alias("doc_retention"),
+        F.round(F.col("tokens") * 1.0 / F.col("t0"), 6).alias(
+            "token_retention"
+        ),
+    )

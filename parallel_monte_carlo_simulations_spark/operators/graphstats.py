@@ -91,3 +91,57 @@ def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edge_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Co-supplier counts: 2-hop neighborhood size in the bipartite graph.
+# --------------------------------------------------------------------------
+
+_QCOSUP_ORACLE = """
+WITH pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+co AS (
+  SELECT a.s AS s, b.s AS other, COUNT(*) AS shared_parts
+  FROM pairs a JOIN pairs b ON a.p = b.p AND a.s <> b.s
+  GROUP BY a.s, b.s
+)
+SELECT s AS suppkey,
+       CAST(COUNT(*) AS BIGINT)          AS n_cosuppliers,
+       CAST(SUM(shared_parts) AS BIGINT) AS n_shared_part_links,
+       CAST(MAX(shared_parts) AS BIGINT) AS max_shared_with_one
+FROM co GROUP BY s
+"""
+
+
+@register(
+    "q_graph_cosuppliers",
+    oracle=_QCOSUP_ORACLE,
+    description=(
+        "2-hop bipartite neighborhood: per supplier, the distinct "
+        "co-suppliers sharing at least one part, total shared-part "
+        "links, and the strongest single tie — the part-keyed self-join "
+        "whose candidate volume is Σ deg(part)², bounded here because "
+        "part degrees are catalog-bounded (cf. the df-cap discussion in "
+        "dedup/containment.py for the unbounded-df case)"
+    ),
+    tags=("graph", "bipartite", "join", "profiling"),
+)
+def q_graph_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pairs.select(F.col("s"), F.col("p")).alias("a").hint("merge")
+    b = pairs.select(
+        F.col("s").alias("other"), F.col("p")
+    ).alias("b").hint("merge")
+    co = (
+        a.join(b, "p")
+        .filter(F.col("s") != F.col("other"))
+        .groupBy("s", "other")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    return co.groupBy(F.col("s").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cosuppliers"),
+        F.sum("shared_parts").cast("long").alias("n_shared_part_links"),
+        F.max("shared_parts").cast("long").alias("max_shared_with_one"),
+    )

@@ -95,3 +95,112 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_distinct")
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness: distributional distance of each class's sensitive values.
+# --------------------------------------------------------------------------
+
+#: Release threshold on the total-variation distance.
+T_REQUIRED = 0.4
+
+_QTCLOSE_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer
+  GROUP BY c_nationkey, bal_bucket, c_mktsegment
+),
+classes AS (
+  SELECT c_nationkey, bal_bucket, CAST(SUM(n) AS BIGINT) AS class_size
+  FROM cells GROUP BY c_nationkey, bal_bucket
+),
+gdist AS (
+  SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS g
+  FROM cells GROUP BY c_mktsegment
+),
+tot AS (SELECT CAST(SUM(g) AS BIGINT) AS t FROM gdist),
+grid AS (
+  SELECT cl.c_nationkey, cl.bal_bucket, cl.class_size, g.c_mktsegment, g.g, t.t,
+         COALESCE(ce.n, 0) AS n
+  FROM classes cl
+  CROSS JOIN gdist g CROSS JOIN tot t
+  LEFT JOIN cells ce
+    ON ce.c_nationkey = cl.c_nationkey AND ce.bal_bucket = cl.bal_bucket
+   AND ce.c_mktsegment = g.c_mktsegment
+),
+terms AS (
+  SELECT c_nationkey, bal_bucket, class_size,
+         CAST(ROUND(0.5 * ABS(CAST(n AS DOUBLE) / class_size
+                              - CAST(g AS DOUBLE) / t), 10)
+              AS DECIMAL(24,10)) AS tq
+  FROM grid
+)
+SELECT c_nationkey, bal_bucket,
+       CAST(ANY_VALUE(class_size) AS BIGINT)  AS class_size,
+       ROUND(CAST(SUM(tq) AS DOUBLE), 6)      AS t_closeness,
+       CAST(SUM(tq) AS DOUBLE) <= {T_REQUIRED} AS releasable
+FROM terms GROUP BY c_nationkey, bal_bucket
+"""
+
+
+@register(
+    "q_privacy_t_closeness",
+    oracle=_QTCLOSE_ORACLE,
+    description=(
+        "t-closeness audit (the step beyond k-anonymity/l-diversity): "
+        "per quasi-identifier class, the total-variation distance "
+        "between the class's sensitive-value distribution and the "
+        "global one (categorical EMD), with the release decision at "
+        f"t <= {T_REQUIRED} — missing sensitive values contribute their "
+        "full global mass; DECIMAL-quantized per-cell terms"
+    ),
+    tags=("privacy", "t-closeness", "audit", "aggregate"),
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    classes = cells.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("n").cast("long").alias("class_size")
+    )
+    glob = cells.groupBy("c_mktsegment").agg(F.sum("n").cast("long").alias("g"))
+    tot = glob.agg(F.sum("g").cast("long").alias("t"))
+    # glob/tot are segment-dim-sized: true bounded broadcasts. The
+    # grid is classes x segments; class counts left-join in so absent
+    # segments score their full global mass.
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["c_nationkey", "bal_bucket", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            "class_size",
+            "g",
+            "t",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    tq = F.round(
+        0.5
+        * F.abs(
+            F.col("n").cast("double") / F.col("class_size")
+            - F.col("g").cast("double") / F.col("t")
+        ),
+        10,
+    ).cast("decimal(24,10)")
+    return (
+        grid.select("c_nationkey", "bal_bucket", "class_size", tq.alias("tq"))
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.any_value("class_size").cast("long").alias("class_size"),
+            F.round(F.sum("tq").cast("double"), 6).alias("t_closeness"),
+            (F.sum("tq").cast("double") <= T_REQUIRED).alias("releasable"),
+        )
+    )

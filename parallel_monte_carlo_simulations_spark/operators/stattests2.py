@@ -460,3 +460,183 @@ def q_feat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         F.round(F.col("mi"), 6).alias("mi_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality test from exact raw power sums.
+# --------------------------------------------------------------------------
+
+_QJB_ORACLE = """
+WITH sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(l_quantity) AS DOUBLE) AS s1,
+         CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS s2,
+         CAST(SUM(l_quantity * l_quantity * l_quantity) AS DOUBLE) AS s3,
+         CAST(SUM(l_quantity * l_quantity * l_quantity * l_quantity)
+              AS DOUBLE) AS s4
+  FROM lineitem
+),
+mom AS (
+  SELECT n,
+         s1 / n AS m,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n)
+           + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM sums
+)
+SELECT n,
+       ROUND(m, 6)                                   AS mean_q,
+       ROUND(m3 / POW(m2, 1.5), 6)                   AS skewness,
+       ROUND(m4 / (m2 * m2) - 3, 6)                  AS excess_kurtosis,
+       ROUND(n / 6.0 * ((m3 / POW(m2, 1.5)) * (m3 / POW(m2, 1.5))
+             + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0), 4)
+                                                     AS jarque_bera
+FROM mom
+"""
+
+
+@register(
+    "q_stat_jarque_bera",
+    oracle=_QJB_ORACLE,
+    description=(
+        "Jarque-Bera normality test of l_quantity: skewness, excess "
+        "kurtosis, and the JB statistic from exact integer raw power "
+        "sums (quantity^4 sums stay exact in doubles far past sf1.0) — "
+        "one scan, one row, fixed-order arithmetic"
+    ),
+    tags=("statistics", "normality", "hypothesis-test", "aggregate"),
+)
+def q_stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sums = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = F.col("s3") / F.col("n") - 3 * m * (F.col("s2") / F.col("n")) + 2 * m * m * m
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * (F.col("s3") / F.col("n"))
+        + 6 * m * m * (F.col("s2") / F.col("n"))
+        - 3 * m * m * m * m
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    exk = m4 / (m2 * m2) - 3
+    return sums.select(
+        "n",
+        F.round(m, 6).alias("mean_q"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("excess_kurtosis"),
+        F.round(F.col("n") / 6.0 * (skew * skew + exk * exk / 4.0), 4).alias(
+            "jarque_bera"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation matrix over integer-valued lineitem features.
+# --------------------------------------------------------------------------
+
+#: (name, SQL expression, Spark column factory) — integer-valued so all
+#: sufficient statistics are exact. extendedprice is deliberately
+#: excluded: its cents-squared sums exceed 2^53 at scale.
+_PAIR_VARS = ("qty", "disc", "tax", "lineno")
+_SQL_VAR = {
+    "qty": "CAST(l_quantity AS BIGINT)",
+    "disc": "CAST(ROUND(l_discount * 100, 0) AS BIGINT)",
+    "tax": "CAST(ROUND(l_tax * 100, 0) AS BIGINT)",
+    "lineno": "CAST(l_linenumber AS BIGINT)",
+}
+_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_PAIR_VARS)
+    for b in _PAIR_VARS[i + 1 :]
+]
+
+
+def _sql_corr(a: str, b: str) -> str:
+    return (
+        f"ROUND((n * s_{a}_{b} - s_{a} * s_{b}) / "
+        f"(SQRT(n * s_{a}_{a} - s_{a} * s_{a}) * "
+        f"SQRT(n * s_{b}_{b} - s_{b} * s_{b})), 6)"
+    )
+
+
+def _sql_sums() -> str:
+    cols = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for v in _PAIR_VARS:
+        cols.append(f"CAST(SUM({_SQL_VAR[v]}) AS DOUBLE) AS s_{v}")
+    for i, a in enumerate(_PAIR_VARS):
+        for b in _PAIR_VARS[i:]:
+            cols.append(
+                f"CAST(SUM({_SQL_VAR[a]} * {_SQL_VAR[b]}) AS DOUBLE) AS s_{a}_{b}"
+            )
+    return ", ".join(cols)
+
+
+_QPEARSON_ORACLE = (
+    f"WITH sums AS (SELECT {_sql_sums()} FROM lineitem)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS var_x, '{b}' AS var_y, {_sql_corr(a, b)} AS pearson_r "
+        "FROM sums"
+        for a, b in _PAIRS
+    )
+)
+
+
+@register(
+    "q_stat_pearson_matrix",
+    oracle=_QPEARSON_ORACLE,
+    description=(
+        "Pearson correlation matrix over the integer-valued lineitem "
+        "features (quantity, discount%, tax%, linenumber): all 6 pairs "
+        "from ONE scan's exact sufficient statistics (sums and cross "
+        "products of small integers), fixed-order arithmetic per pair"
+    ),
+    tags=("statistics", "correlation", "profiling", "aggregate"),
+)
+def q_stat_pearson_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    var = {
+        "qty": F.col("l_quantity").cast("long"),
+        "disc": F.round(F.col("l_discount") * 100, 0).cast("long"),
+        "tax": F.round(F.col("l_tax") * 100, 0).cast("long"),
+        "lineno": F.col("l_linenumber").cast("long"),
+    }
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for v in _PAIR_VARS:
+        aggs.append(F.sum(var[v]).cast("double").alias(f"s_{v}"))
+    for i, a in enumerate(_PAIR_VARS):
+        for b in _PAIR_VARS[i:]:
+            aggs.append(
+                F.sum(var[a] * var[b]).cast("double").alias(f"s_{a}_{b}")
+            )
+    sums = li.agg(*aggs)
+
+    def _corr(a: str, b: str):
+        n = F.col("n")
+        num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = F.sqrt(n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+        db = F.sqrt(n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        return F.round(num / (da * db), 6)
+
+    frames = [
+        sums.select(
+            F.lit(a).alias("var_x"),
+            F.lit(b).alias("var_y"),
+            _corr(a, b).alias("pearson_r"),
+        )
+        for a, b in _PAIRS
+    ]
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
