@@ -128,7 +128,7 @@ def q_geo_dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat_a") - F.col("lat_b")
     ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
     nbr = (
-        a.join(b, ["jx", "jy"])
+        a.hint("merge").join(b.hint("merge"), ["jx", "jy"])
         .filter(
             (F.col("pid_a") != F.col("pid_b"))
             & (d2 <= _EPS_MICRO * _EPS_MICRO)
@@ -138,7 +138,10 @@ def q_geo_dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         pts.select("pid")
         .join(
-            nbr.groupBy("pid").agg(F.count(F.lit(1)).alias("n")),
+            # per-point neighbor counts are corpus-sized post-explode:
+            # the planner's static estimate would broadcast them (the
+            # round-8 hazard class) — pin sort-merge.
+            nbr.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).hint("merge"),
             "pid",
             "left",
         )

@@ -72,6 +72,11 @@ BOUNDED_OK: dict[str, str] = {
     "q_text_rake_keywords": "doc_id < 250 kernel sample by construction",
     "q_mc_heads_frequency_qmc": "MC config shard frame (models x shards)",
     "q_skew_salted_join": "dim side exploded x64 salts — still dim-bounded",
+    # Round-10 additions:
+    "q_text_js_divergence": (
+        "lang-pair dim (C(|langs|,2) rows, fixed language domain) — "
+        "derived from the token explode so the detector sees a Generate"
+    ),
 }
 
 BOUNDING = re.compile(r"GlobalLimit|TakeOrderedAndProject|CollectLimit")
