@@ -144,3 +144,134 @@ def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("power_norm"),
     ).orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# Spectral entropy: how concentrated is the spectrum? (round 10)
+# --------------------------------------------------------------------------
+
+_QSPECENT_ORACLE = f"""
+WITH counts AS (
+  SELECT epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT MIN(h) AS h0, MAX(h) - MIN(h) + 1 AS n,
+         CAST(SUM(x) AS BIGINT) AS tot
+  FROM counts
+),
+ks AS (SELECT UNNEST(generate_series(1, {_K})) AS k),
+terms AS (
+  SELECT ks.k,
+         CAST(c.x AS DOUBLE)
+           * COS(((2 * 3.141592653589793)
+                  * CAST((ks.k * (c.h - b.h0)) % b.n AS DOUBLE))
+                 / CAST(b.n AS DOUBLE)) AS tc,
+         CAST(c.x AS DOUBLE)
+           * SIN(((2 * 3.141592653589793)
+                  * CAST((ks.k * (c.h - b.h0)) % b.n AS DOUBLE))
+                 / CAST(b.n AS DOUBLE)) AS ts,
+         b.tot
+  FROM counts c CROSS JOIN bounds b CROSS JOIN ks
+),
+spec AS (
+  SELECT k,
+         CAST(ROUND(POW(SUM(tc) / CAST(ANY_VALUE(tot) AS DOUBLE), 2)
+                    + POW(SUM(ts) / CAST(ANY_VALUE(tot) AS DOUBLE), 2), 5)
+              AS DECIMAL(24,5)) AS pw
+  FROM terms GROUP BY k
+),
+norm AS (SELECT CAST(SUM(pw) AS DOUBLE) AS z FROM spec),
+ent_terms AS (
+  SELECT CAST(ROUND(
+           CASE WHEN CAST(pw AS DOUBLE) > 0
+                THEN (CAST(pw AS DOUBLE) / n.z)
+                     * LN(n.z / CAST(pw AS DOUBLE))
+                ELSE 0 END, 10) AS DECIMAL(24,10)) AS tq,
+         CAST(pw AS DOUBLE) / n.z AS p
+  FROM spec CROSS JOIN norm n
+)
+SELECT CAST({_K} AS BIGINT)                          AS n_freqs,
+       ROUND(CAST(SUM(tq) AS DOUBLE), 6)             AS spectral_entropy,
+       ROUND(CAST(SUM(tq) AS DOUBLE) / LN({_K}.0), 6) AS entropy_normalized,
+       ROUND(MAX(p), 6)                              AS peak_share
+FROM ent_terms
+"""
+
+
+@register(
+    "q_ts_spectral_entropy",
+    oracle=_QSPECENT_ORACLE,
+    description=(
+        "spectral entropy of the hourly-volume periodogram (frequencies "
+        f"1..{_K}): Shannon entropy of the normalized power distribution "
+        "plus the peak frequency's share — low entropy = strongly "
+        "periodic traffic, high = broadband noise; entropy terms are "
+        "computed from the ROUNDED powers both engines agree on and "
+        "quantized to DECIMAL before the sum"
+    ),
+    tags=("timeseries", "spectral", "entropy", "aggregate"),
+)
+def q_ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same span-bounded DFT pipeline as q_ts_periodogram; the entropy
+    stage is a K-row reduction."""
+    e = table(spark, sf_dir, "events")
+    counts = (
+        e.select(F.expr("unix_micros(ts) DIV 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = counts.agg(
+        F.min("h").alias("h0"),
+        (F.max("h") - F.min("h") + 1).alias("n"),
+        F.sum("x").cast("long").alias("tot"),
+    )
+    ks = spark.range(1, _K + 1).select(F.col("id").alias("k"))
+    angle = (
+        F.lit(_TWO_PI)
+        * ((F.col("k") * (F.col("h") - F.col("h0"))) % F.col("n")).cast("double")
+    ) / F.col("n").cast("double")
+    terms = (
+        counts.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "k",
+            "tot",
+            (F.col("x").cast("double") * F.cos(angle)).alias("tc"),
+            (F.col("x").cast("double") * F.sin(angle)).alias("ts"),
+        )
+    )
+    spec = terms.groupBy("k").agg(
+        F.round(
+            F.pow(F.sum("tc") / F.any_value("tot").cast("double"), 2)
+            + F.pow(F.sum("ts") / F.any_value("tot").cast("double"), 2),
+            5,
+        )
+        .cast("decimal(24,5)")
+        .alias("pw")
+    )
+    norm = spec.agg(F.sum("pw").cast("double").alias("z"))
+    p = F.col("pw").cast("double") / F.col("z")
+    ent_terms = spec.crossJoin(F.broadcast(norm)).select(
+        F.round(
+            F.when(
+                F.col("pw").cast("double") > 0,
+                p * F.log(F.col("z") / F.col("pw").cast("double")),
+            ).otherwise(0.0),
+            10,
+        )
+        .cast("decimal(24,10)")
+        .alias("tq"),
+        p.alias("p"),
+    )
+    import math as _math
+
+    return ent_terms.agg(
+        F.lit(_K).cast("long").alias("n_freqs"),
+        F.round(F.sum("tq").cast("double"), 6).alias("spectral_entropy"),
+        F.round(
+            F.sum("tq").cast("double") / _math.log(_K), 6
+        ).alias("entropy_normalized"),
+        F.round(F.max("p"), 6).alias("peak_share"),
+    )

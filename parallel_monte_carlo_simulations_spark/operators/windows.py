@@ -282,3 +282,48 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("l_partkey").over(w).alias("cheapest_part"),
         F.last("l_partkey").over(w).alias("priciest_part"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# cume_dist + nth_value: the remaining ranked-window surface (round 10).
+# --------------------------------------------------------------------------
+
+_QCUME_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       ROUND(cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice), 6) AS price_cume_dist,
+       nth_value(o_orderkey, 3) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS third_cheapest_order
+FROM orders
+"""
+
+
+@register(
+    "q_window_cume_dist",
+    oracle=_QCUME_ORACLE,
+    description=(
+        "cume_dist (tie-aware cumulative distribution of order value "
+        "within priority class) + nth_value over the full-partition "
+        "frame — completes the ranked-window surface alongside "
+        "percent_rank/ntile/rank"
+    ),
+    tags=("window", "cume_dist", "nth_value"),
+)
+def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wn = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(wc), 6).alias("price_cume_dist"),
+        F.nth_value("o_orderkey", 3).over(wn).alias("third_cheapest_order"),
+    )
