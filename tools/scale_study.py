@@ -267,6 +267,26 @@ def _sf1new_main() -> None:
     ), timeout=900)
 
 
+#: Round-10 natural-growth column for the heavy ITERATIVE families that
+#: only had tiled (10-disjoint-copies) evidence: one connected
+#: supplier-part graph, catalog-grown name blocks, a single rating
+#: matrix (tools/gen_sf1.py --natural-rel), plus the minhash-inheriting
+#: leakage audit on the natural document corpus.
+ITERATIVE_NATURAL = [
+    "q_graph_pagerank",
+    "q_er_pipeline",
+    "q_recsys_als_rank1",
+    "q_split_leakage_audit",
+]
+
+
+def _natural3_main() -> None:
+    _ladder(ITERATIVE_NATURAL, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf1.0-natural",
+    ), timeout=1800)
+
+
 def _natural2_main() -> None:
     _ladder(TEXT_ANN_NATURAL, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -296,6 +316,9 @@ def main() -> None:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".scale", "sf1.0",
         ), timeout=900)
+        return
+    if "--natural3" in sys.argv:
+        _natural3_main()
         return
     if "--natural2" in sys.argv:
         _natural2_main()
