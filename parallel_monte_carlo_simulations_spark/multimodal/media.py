@@ -108,6 +108,12 @@ def extract_fake_features(batches: Iterator) -> Iterator:
         )
 
 
+#: spread() granularity: one partition per ~128 KB of scan input
+#: (~100 docs, 20-80 ms of codec work — large enough that per-task
+#: overhead stays small, small enough that a 10x corpus fans out).
+_SPREAD_BYTES_PER_PART = 128 * 1024
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Codec-parallelism guard (round-10): Arrow-batched decode stages
     inherit the SCAN's split count, and a small corpus file (one ~6 MB
@@ -117,12 +123,29 @@ def spread(df: DataFrame) -> DataFrame:
     decode). When the scan has fewer partitions than the cluster's
     default parallelism, round-robin repartition the id projection —
     the shuffle moves only the pre-payload id column (8 bytes/row),
-    never synthesized payloads or decoded pixels. At real scale
-    (>= cores input splits, the 100 TB case) this is a no-op: no
-    shuffle is added."""
+    never synthesized payloads or decoded pixels.
+
+    The target is SIZE-PROPORTIONAL (scan bytes / 128 KB, clamped to
+    [splits, cores]), not a flat core count: a flat repartition(32) on
+    the 0.6 MB sf0.1 corpus spent more on 32-task overhead than the
+    ~1 s of decode it spread (same-JVM A/B: 2.67 s vs 1.04 s
+    no-spread vs 1.32 s at 8 parts), while the 5.8 MB sf1.0 corpus
+    wants all 32. At real scale (>= cores input splits, the 100 TB
+    case) the guard is a no-op: no shuffle is added."""
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    cores = spark.sparkContext.defaultParallelism
+    splits = df.rdd.getNumPartitions()
+    if splits >= cores:
+        return df
+    import os as _os
+
+    nbytes = sum(
+        _os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+        for f in df.inputFiles()
+        if not f.startswith(("hdfs:", "s3:", "s3a:"))
+    )
+    target = max(splits, min(cores, round(nbytes / _SPREAD_BYTES_PER_PART)))
+    if target > splits:
         return df.repartition(target)
     return df
 

@@ -280,6 +280,53 @@ ITERATIVE_NATURAL = [
 ]
 
 
+#: Round-10 registrations — tiled sf1.0 cells so every query added this
+#: round ships with scale evidence alongside its oracle (standing gate).
+SF1_NEW_R10 = [
+    "q_dedup_containment_df_report",
+    "q_stat_anova_f",
+    "q_stat_welch_ttest",
+    "q_stat_brown_forsythe",
+    "q_stat_cramers_v",
+    "q_feat_mutual_information",
+    "q_stat_jarque_bera",
+    "q_stat_pearson_matrix",
+    "q_curation_quality_sweep",
+    "q_curation_temperature_mix",
+    "q_curation_dedup_savings",
+    "q_text_token_entropy",
+    "q_text_ngram_novelty",
+    "q_text_js_divergence",
+    "q_curation_funnel_report",
+    "q_join_asof_tolerance",
+    "q_interval_union_coverage",
+    "q_attribution_position_based",
+    "q_dedup_doc_templates",
+    "q_geo_dbscan_points",
+    "q_graph_degree_histogram",
+    "q_graph_cosuppliers",
+    "q_sample_importance_snis",
+    "q_sample_balanced_classes",
+    "q_privacy_t_closeness",
+    "q_cluster_inertia_report",
+    "q_er_blocking_quality",
+    "q_search_bm25f",
+    "q_search_query_expansion",
+    "q_ts_hurst_rs",
+    "q_ts_ljung_box",
+    "q_ts_spectral_entropy",
+    "q_stream_windowed_topk",
+    "q_window_cume_dist",
+]
+
+
+def _sf1new10_main() -> None:
+    _ladder(SF1_NEW_R10, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf1.0",
+    ), timeout=900)
+
+
 def _natural3_main() -> None:
     _ladder(ITERATIVE_NATURAL, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -316,6 +363,9 @@ def main() -> None:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".scale", "sf1.0",
         ), timeout=900)
+        return
+    if "--sf1new10" in sys.argv:
+        _sf1new10_main()
         return
     if "--natural3" in sys.argv:
         _natural3_main()
