@@ -97,8 +97,19 @@ def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Co-supplier counts: 2-hop neighborhood size in the bipartite graph.
 # --------------------------------------------------------------------------
 
-_QCOSUP_ORACLE = """
-WITH pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+#: Hub-part degree cap (round-10, the stop-shingle treatment from
+#: dedup/containment.py applied to the bipartite 2-hop): candidate rows
+#: are Σ deg(part)², so one hub part shared by every supplier mints a
+#: quadratic. Parts above the cap carry no co-supplier signal (they
+#: connect everyone); measured max degree is 52 at both SFs, so the cap
+#: changes nothing at oracle scales — it exists for the 100 TB corpus
+#: whose catalog has degenerate hub SKUs.
+DEG_CAP = 256
+
+_QCOSUP_ORACLE = f"""
+WITH pairs0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+keep AS (SELECT p FROM pairs0 GROUP BY p HAVING COUNT(*) <= {DEG_CAP}),
+pairs AS (SELECT pairs0.s, pairs0.p FROM pairs0 JOIN keep USING (p)),
 co AS (
   SELECT a.s AS s, b.s AS other, COUNT(*) AS shared_parts
   FROM pairs a JOIN pairs b ON a.p = b.p AND a.s <> b.s
@@ -119,17 +130,25 @@ FROM co GROUP BY s
         "2-hop bipartite neighborhood: per supplier, the distinct "
         "co-suppliers sharing at least one part, total shared-part "
         "links, and the strongest single tie — the part-keyed self-join "
-        "whose candidate volume is Σ deg(part)², bounded here because "
-        "part degrees are catalog-bounded (cf. the df-cap discussion in "
-        "dedup/containment.py for the unbounded-df case)"
+        f"whose candidate volume is Σ deg(part)², bounded by the "
+        f"DEG_CAP={DEG_CAP} hub-part cut (the stop-shingle treatment "
+        "from dedup/containment.py — no-op at oracle scales where max "
+        "degree is 52, the guard for degenerate hub SKUs at 100 TB)"
     ),
     tags=("graph", "bipartite", "join", "profiling"),
 )
 def q_graph_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    pairs = li.select(
+    pairs0 = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     ).distinct()
+    keep = (
+        pairs0.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") <= DEG_CAP)
+        .select("p")
+    )
+    pairs = pairs0.join(keep.hint("merge"), "p")
     a = pairs.select(F.col("s"), F.col("p")).alias("a").hint("merge")
     b = pairs.select(
         F.col("s").alias("other"), F.col("p")
