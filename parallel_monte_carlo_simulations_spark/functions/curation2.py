@@ -350,17 +350,16 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram novelty: share of a doc's trigrams it introduced to the corpus.
 # --------------------------------------------------------------------------
 
-_QNOVELTY_ORACLE = """
+def _novelty_oracle() -> str:
+    from .hashing import VERIFY_SEED, sql_hash60_seeded, sql_shingles
+
+    sh = sql_shingles("text", 3)
+    h = sql_hash60_seeded("raw_shingle", VERIFY_SEED)
+    return f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, source, shingle
+  SELECT DISTINCT doc_id, source, {h} AS shingle
   FROM (
-    SELECT doc_id, source,
-           unnest(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-             list_transform(range(1, len(string_split(text, ' ')) - 1),
-               i -> string_split(text, ' ')[i] || ' ' ||
-                    string_split(text, ' ')[i + 1] || ' ' ||
-                    string_split(text, ' ')[i + 2])
-           ELSE [] END) AS shingle
+    SELECT doc_id, source, unnest({sh}) AS raw_shingle
     FROM documents)
 ),
 firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
@@ -385,23 +384,36 @@ FROM per_doc GROUP BY source
 
 @register(
     "q_text_ngram_novelty",
-    oracle=_QNOVELTY_ORACLE,
+    oracle=_novelty_oracle(),
     description=(
         "n-gram novelty: per document, the share of its distinct "
         "trigrams whose FIRST corpus occurrence (min doc_id) is this "
         "document, aggregated per source — measures how much genuinely "
         "new text a source contributes vs recycling earlier content; "
-        "the first-occurrence election is one shingle-keyed groupBy"
+        "the first-occurrence election is one shingle-keyed groupBy "
+        "over 60-bit hashed shingles (8-byte shuffle keys, not strings)"
     ),
     tags=("text", "novelty", "dedup", "curation", "llm-pipeline"),
 )
 def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .hashing import shingles
+    from .hashing import VERIFY_SEED, hash60_seeded, shingles
 
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", "source", F.explode(shingles("text", 3)).alias("shingle")
-    ).distinct()
+    # 60-bit md5 hashes (the dedup convention): the distinct + election
+    # shuffles carry 8-byte longs instead of ~25-byte shingle strings —
+    # the oracle hashes the identical universe so a collision shifts
+    # both engines the same way.
+    sh = (
+        d.select(
+            "doc_id", "source", F.explode(shingles("text", 3)).alias("raw")
+        )
+        .select(
+            "doc_id",
+            "source",
+            hash60_seeded("raw", VERIFY_SEED).alias("shingle"),
+        )
+        .distinct()
+    )
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
     per_doc = (

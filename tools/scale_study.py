@@ -320,6 +320,24 @@ SF1_NEW_R10 = [
 ]
 
 
+#: Round-10 natural cells for the tiled >3x flags: is the growth corpus
+#: density or volume? (documents consumers run on the natural corpus;
+#: cosuppliers on the natural-rel lineitem.)
+NATURAL4 = [
+    "q_dedup_containment_df_report",
+    "q_text_ngram_novelty",
+    "q_text_token_entropy",
+    "q_graph_cosuppliers",
+]
+
+
+def _natural4_main() -> None:
+    _ladder(NATURAL4, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf1.0-natural",
+    ), timeout=900)
+
+
 def _sf1new10_main() -> None:
     _ladder(SF1_NEW_R10, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -363,6 +381,9 @@ def main() -> None:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".scale", "sf1.0",
         ), timeout=900)
+        return
+    if "--natural4" in sys.argv:
+        _natural4_main()
         return
     if "--sf1new10" in sys.argv:
         _sf1new10_main()
