@@ -77,6 +77,11 @@ BOUNDED_OK: dict[str, str] = {
         "lang-pair dim (C(|langs|,2) rows, fixed language domain) — "
         "derived from the token explode so the detector sees a Generate"
     ),
+    "q_search_query_expansion": (
+        "stage-2 df / expanded-query frames: bounded at 3 fixed + 3 "
+        "LIMIT-selected expansion terms; the union hides the GlobalLimit "
+        "from the detector's rebound check"
+    ),
 }
 
 BOUNDING = re.compile(r"GlobalLimit|TakeOrderedAndProject|CollectLimit")
