@@ -182,3 +182,66 @@ def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic source interleaving: the training-order schedule.
+# --------------------------------------------------------------------------
+
+_QINTERLEAVE_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_HASH_SQL}, doc_id) AS rn
+  FROM documents
+),
+src_rank AS (
+  SELECT source,
+         ROW_NUMBER() OVER (ORDER BY source) AS sr,
+         COUNT(*) OVER () AS n_sources
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT r.doc_id, r.source,
+       CAST((r.rn - 1) * s.n_sources + s.sr AS BIGINT) AS global_pos
+FROM ranked r JOIN src_rank s USING (source)
+WHERE (r.rn - 1) * s.n_sources + s.sr <= 200
+"""
+
+
+@register(
+    "q_dataset_interleave",
+    oracle=_QINTERLEAVE_ORACLE,
+    description=(
+        "deterministic source interleaving: round-robin the sources "
+        "(seeded-hash order within each source) into one global "
+        "training-order schedule — the data-ordering step that keeps "
+        "every micro-batch source-balanced; first 200 positions emitted"
+    ),
+    tags=("sampling", "ordering", "curation", "llm-pipeline"),
+)
+def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """global_pos = (rank_within_source - 1) * n_sources + source_rank:
+    a pure function of two window ranks — one shuffle per window, no
+    global sort of the corpus; the LIMIT-equivalent filter keeps the
+    output schedule-prefix-sized."""
+    d = table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc()))
+        .alias("rn"),
+    )
+    srcs = d.select("source").distinct()
+    src_rank = srcs.select(
+        "source",
+        F.row_number().over(Window.orderBy("source")).alias("sr"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sources"),
+    )
+    pos = (F.col("rn") - 1) * F.col("n_sources") + F.col("sr")
+    return (
+        ranked.join(F.broadcast(src_rank), "source")
+        .filter(pos <= 200)
+        .select("doc_id", "source", pos.cast("long").alias("global_pos"))
+    )
