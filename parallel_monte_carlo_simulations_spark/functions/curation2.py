@@ -723,3 +723,154 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_retention"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix: who copies whom.
+# --------------------------------------------------------------------------
+
+_QDUPMATRIX_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+),
+xdup AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM docs a JOIN docs b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE a.source <= b.source
+  UNION ALL
+  SELECT b.source AS source_a, a.source AS source_b
+  FROM docs a JOIN docs b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE a.source > b.source
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM xdup GROUP BY source_a, source_b
+"""
+
+
+@register(
+    "q_curation_dup_flow_matrix",
+    oracle=_QDUPMATRIX_ORACLE,
+    description=(
+        "cross-source duplication matrix: exact-duplicate pairs counted "
+        "per unordered source pair (diagonal = within-source copies, "
+        "off-diagonal = content flowing between sources) — the "
+        "provenance view of exact dedup; content-hash equi-join, "
+        "candidate volume Σ dup-cluster-size², bounded by the dup rate"
+    ),
+    tags=("curation", "dedup", "provenance", "llm-pipeline"),
+)
+def q_curation_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "source", F.md5("text").alias("h"))
+    a = docs.select(
+        F.col("h"), F.col("doc_id").alias("ida"), F.col("source").alias("sa")
+    )
+    b = docs.select(
+        F.col("h"), F.col("doc_id").alias("idb"), F.col("source").alias("sb")
+    )
+    pairs = (
+        a.hint("merge")
+        .join(b.hint("merge"), "h")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.least(F.col("sa"), F.col("sb")).alias("source_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("source_b"),
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs")
+    )
+
+
+# --------------------------------------------------------------------------
+# Heaps-law vocabulary growth: distinct tokens vs corpus fraction.
+# --------------------------------------------------------------------------
+
+_QHEAPS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+firsts AS (SELECT t, MIN(doc_id) AS first_doc FROM tok GROUP BY t),
+bounds AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) - MIN(doc_id) + 1 AS span
+  FROM documents
+),
+tok_per_decile AS (
+  SELECT LEAST(10, 1 + (tok.doc_id - b.lo) * 10 // b.span) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tok CROSS JOIN bounds b GROUP BY 1
+),
+vocab_per_decile AS (
+  SELECT LEAST(10, 1 + (f.first_doc - b.lo) * 10 // b.span) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_new_types
+  FROM firsts f CROSS JOIN bounds b GROUP BY 1
+)
+SELECT t.decile,
+       CAST(SUM(t.n_tokens) OVER w AS BIGINT)                AS tokens_cum,
+       CAST(SUM(COALESCE(v.n_new_types, 0)) OVER w AS BIGINT) AS vocab_cum,
+       ROUND(SUM(COALESCE(v.n_new_types, 0)) OVER w * 1.0
+             / SUM(t.n_tokens) OVER w, 6)                     AS type_token_ratio
+FROM tok_per_decile t LEFT JOIN vocab_per_decile v USING (decile)
+WINDOW w AS (ORDER BY t.decile ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+@register(
+    "q_text_vocab_growth",
+    oracle=_QHEAPS_ORACLE,
+    description=(
+        "Heaps-law vocabulary growth: cumulative distinct token types "
+        "vs cumulative tokens at corpus deciles (doc_id order) — "
+        "saturating vocab means a recycling corpus, growing vocab means "
+        "fresh content; first-occurrence election is one token-keyed "
+        "groupBy, deciles are doc_id RANGE buckets from a scalar "
+        "min/max (no global-sort window), the rollup is 10 rows"
+    ),
+    tags=("text", "vocabulary", "profiling", "curation", "llm-pipeline"),
+)
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    from pyspark.sql import Window as W
+
+    # deciles are doc_id RANGE buckets from a 1-row min/max aggregate —
+    # an ntile window would global-sort the doc list, and a per-doc
+    # decile map is corpus-sized (the audit flagged broadcasting it).
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"),
+        (F.max("doc_id") - F.min("doc_id") + 1).alias("span"),
+    )
+
+    def _decile(idcol):
+        return F.least(
+            F.lit(10),
+            1 + ((F.col(idcol) - F.col("lo")) * 10 / F.col("span")).cast("long"),
+        )
+
+    tok_per_decile = (
+        tok.crossJoin(F.broadcast(bounds))
+        .groupBy(_decile("doc_id").alias("decile"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    vocab_per_decile = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .groupBy(_decile("first_doc").alias("decile"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_types"))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    joined = tok_per_decile.join(vocab_per_decile, "decile", "left").select(
+        "decile",
+        "n_tokens",
+        F.coalesce(F.col("n_new_types"), F.lit(0)).alias("n_new_types"),
+    )
+    return joined.select(
+        "decile",
+        F.sum("n_tokens").over(w).cast("long").alias("tokens_cum"),
+        F.sum("n_new_types").over(w).cast("long").alias("vocab_cum"),
+        F.round(
+            F.sum("n_new_types").over(w) * 1.0 / F.sum("n_tokens").over(w), 6
+        ).alias("type_token_ratio"),
+    )
