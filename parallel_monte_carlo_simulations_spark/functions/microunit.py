@@ -12,17 +12,30 @@ this in the changepoint operator (scaled quotient 1.44e17:
 Two tools, used by every micro-unit site:
 
 ``rdiv_halfup_expr`` / ``rdiv_halfup_duck``
-    The SPLIT-FORM half-up division: whole and the 4-digit half-up
-    fraction stay SEPARATE BIGINTs and combine as
-    ``double(whole) + double(frac)/1e4``. Correctly rounded — equal to
-    ``float(Decimal ROUND_HALF_UP quantize)`` — for every quotient
-    below 2^53 (~9.0e15), because a non-dyadic decimal fraction k/1e4
-    sits >= ~1e-7 from any half-ulp boundary of the sum, nine orders
-    above the single 1e-16 rounding error of frac/1e4 (property-tested
-    in tests/test_microunit.py across the full domain). DECIMAL output
-    was measured and REJECTED: DuckDB evaluates decimal division and
-    decimal->double casts through doubles (double-rounded), and
-    ``fetchdf`` degrades DECIMAL columns to float64.
+    The STRING-FORM half-up division: compute the half-up 4-digit
+    quantization exactly in BIGINT arithmetic (whole + fraction with
+    carry), render it as the decimal string ``"<whole>.<frac:04d>"``,
+    and CAST the string to DOUBLE. String->double parsing is correctly
+    rounded in BOTH engines (Java ``Double.parseDouble`` on the Spark
+    side, fast_float in DuckDB), so the result equals
+    ``float(Decimal ROUND_HALF_UP quantize)`` at ANY magnitude — no
+    2^53 qualifier for this site (property-tested in
+    tests/test_microunit.py).
+
+    History: the previous SPLIT form ``double(whole)+double(frac)/1e4``
+    claimed the same contract for quotients below 2^53, but the claim
+    was FALSE: the final addition is a second rounding, and when the
+    exact value sits within ~1.4e-17 of a half-ulp boundary of the sum
+    (possible: decimal fractions k/1e4 approach dyadic midpoints as
+    closely as ~5e-20) the two-step result lands one ulp off the
+    correctly-rounded conversion. Hypothesis found 85612902/9281852 ->
+    9.2237: split form 9.223700000000001, correct 9.2237. Cross-engine
+    hashing never broke (both engines evaluated the identical IEEE op
+    sequence), but the documented Decimal contract did. DECIMAL output
+    remains REJECTED for the reasons measured in round 8: DuckDB
+    evaluates decimal division and decimal->double casts through
+    doubles (double-rounded), and ``fetchdf`` degrades DECIMAL columns
+    to float64.
 
 ``guard_exact_bigint``
     A loud runtime fence for micro-unit SUMS: wraps a BIGINT column so
@@ -45,27 +58,36 @@ EXACT_DOUBLE_MAX = 2**53
 
 
 def rdiv_halfup_expr(num: str, den: str) -> Column:
-    """Spark Column for split-form half-up division of SQL expressions
-    ``num`` / ``den`` (BIGINT-typed, num >= 0, den > 0)."""
+    """Spark Column for string-form half-up division of SQL expressions
+    ``num`` / ``den`` (BIGINT-typed, num >= 0, den > 0): exact 4-digit
+    half-up quantization in BIGINT (fraction in [0,10000] with carry
+    folded into the whole part), one correctly-rounded string->double
+    cast."""
+    # frac0 in [0, 10000]; the ==10000 carry folds into the whole part.
+    # The whole part is NEVER scaled by 1e4 (that would re-shrink the
+    # BIGINT-exact domain to ~9e14 quotients); max intermediate is
+    # (num % den) * 20000 < den * 2e4.
+    frac0 = f"(((({num}) % ({den})) * 20000 + ({den})) div (2 * ({den})))"
     return F.expr(
-        f"cast(({num}) div ({den}) as double)"
-        f" + cast(((({num}) % ({den})) * 20000 + ({den}))"
-        f"        div (2 * ({den})) as double) / 10000.0"
+        f"cast(concat("
+        f"cast(({num}) div ({den}) + {frac0} div 10000 as string), '.',"
+        f" lpad(cast({frac0} % 10000 as string), 4, '0')) as double)"
     )
 
 
 def rdiv_halfup_duck(num: str, den: str) -> str:
-    """DuckDB SQL text for the identical split-form division.
+    """DuckDB SQL text for the identical string-form division.
 
     Inputs are CAST to BIGINT first: DuckDB types small integer
     LITERALS as INT32, and ``(num % den) * 20000`` then overflows
     INT32 for remainders above ~107k (Hypothesis-found; column inputs
     were already BIGINT and unaffected)."""
     n, d = f"CAST(({num}) AS BIGINT)", f"CAST(({den}) AS BIGINT)"
+    frac0 = f"((({n} % {d}) * 20000 + {d}) // (2 * {d}))"
     return (
-        f"(CAST({n} // {d} AS DOUBLE)"
-        f" + CAST((({n} % {d}) * 20000 + {d})"
-        f"        // (2 * {d}) AS DOUBLE) / 10000.0)"
+        f"CAST(CONCAT("
+        f"CAST({n} // {d} + {frac0} // 10000 AS VARCHAR), '.',"
+        f" LPAD(CAST({frac0} % 10000 AS VARCHAR), 4, '0')) AS DOUBLE)"
     )
 
 

@@ -26,11 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.microunit import rdiv_halfup_expr
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
-_QCUSUM_ORACLE = """
+_QCUSUM_ORACLE = f"""
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -62,15 +62,9 @@ best AS (
 SELECT event_type,
        CAST(n AS BIGINT) AS n_days,
        strftime(day, '%Y-%m-%d') AS cp_day,
-       CAST(ABS(c_scaled) // (n * 100) AS DOUBLE)
-        + CAST(((ABS(c_scaled) % (n * 100)) * 20000 + n * 100)
-               // (2 * n * 100) AS DOUBLE) / 10000.0 AS cusum_stat,
-       CAST(prefix // (i * 100) AS DOUBLE)
-        + CAST(((prefix % (i * 100)) * 20000 + i * 100)
-               // (2 * i * 100) AS DOUBLE) / 10000.0 AS mean_before,
-       CAST((total - prefix) // ((n - i) * 100) AS DOUBLE)
-        + CAST((((total - prefix) % ((n - i) * 100)) * 20000 + (n - i) * 100)
-               // (2 * (n - i) * 100) AS DOUBLE) / 10000.0 AS mean_after
+       {rdiv_halfup_duck("ABS(c_scaled)", "n * 100")} AS cusum_stat,
+       {rdiv_halfup_duck("prefix", "i * 100")} AS mean_before,
+       {rdiv_halfup_duck("total - prefix", "(n - i) * 100")} AS mean_after
 FROM best
 ORDER BY event_type
 """
@@ -122,21 +116,12 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Final divisions rounded half-up in PURE INTEGER arithmetic
     # (quotients can tie exactly at the 5th decimal, where double ROUND
     # and the engines' decimal-division scales both disagree —
-    # observed: 3031.9388 vs .9387). SPLIT form, r8 fix: the old
-    # (whole*1e4 + frac)/1e4 double division double-rounds once the
-    # scaled integer exceeds 2^53 (num ~ 9e11 already breaks it:
-    # 14411518807587.002 != 14411518807587.0). Instead keep whole and
-    # the half-up 4-digit fraction as SEPARATE BIGINTs and combine as
-    # double(whole) + double(frac)/1e4 — correctly rounded (== float of
-    # the Decimal ROUND_HALF_UP quantization) for every quotient below
-    # 2^53 ~ 9.0e15, because decimal fractions k/1e4 that are not
-    # exactly representable sit >= 1/(1e4*2^j) ~ 1e-7 away from any
-    # half-ulp boundary, 9 orders above the 1e-16 division error
-    # (property-tested in tests/test_changepoint.py; DECIMAL output was
-    # rejected because DuckDB evaluates decimal division and
-    # decimal->double casts through doubles, which double-rounds).
-    # Beyond 2^53 both engines still agree bit-for-bit: the IEEE op
-    # sequence is identical.
+    # observed: 3031.9388 vs .9387), then ONE correctly-rounded
+    # string->double cast (rdiv_halfup_expr / rdiv_halfup_duck — see
+    # functions/microunit.py for the full history: the r8 split form
+    # double(whole)+double(frac)/1e4 was one ulp off the Decimal
+    # contract near half-ulp boundaries, Hypothesis falsifier
+    # 85612902/9281852; the string form is exact at any magnitude).
     staged = best.select(
         "event_type",
         F.col("n").cast("long").alias("n_days"),

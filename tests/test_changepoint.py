@@ -1,21 +1,25 @@
-"""CUSUM changepoint unit properties: the split-form half-up division
-both engines evaluate — double(whole) + double(frac4)/1e4 with whole and
-frac4 exact BIGINTs — must equal decimal ROUND_HALF_UP for every
-quotient below 2^53 (~9.0e15), including exact ties at the 5th decimal
+"""CUSUM changepoint unit properties: the string-form half-up division
+both engines evaluate — exact BIGINT 4-digit half-up quantization, one
+correctly-rounded string->double cast — must equal decimal
+ROUND_HALF_UP at any magnitude, including exact ties at the 5th decimal
 (the case where double ROUND and decimal-division scales disagree
 cross-engine).
 
-Why the bound is 2^53 on the QUOTIENT and not on num*1e4: the old
-single-division form (whole*10000 + frac) / 1e4 double-rounds once the
-scaled integer exceeds 2^53 (num ~ 9e11 already breaks:
-14411518807587.002 != 14411518807587.0 — the round-7 red test). The
-split form keeps whole exactly representable and adds a fraction in
-[0, 1]; a decimal fraction k/1e4 that is not exactly a dyadic rational
-sits at least 1/(1e4 * 2^j) ~ 1e-7 from any half-ulp boundary of the
-sum, nine orders above the single 1e-16 rounding error of frac/1e4, so
-the addition rounds identically to the correctly-rounded single
-conversion. DECIMAL(18,4) output was rejected after measurement: DuckDB
-evaluates decimal division and decimal->double casts through doubles
+Form history (each prior form has its falsifier pinned below):
+- (whole*10000 + frac) / 1e4 double-rounds once the scaled integer
+  exceeds 2^53 (num ~ 9e11 already breaks: 14411518807587.002 !=
+  14411518807587.0 — the round-7 red test);
+- double(whole) + double(frac4)/1e4 (the r8 split form) claimed
+  correctness below 2^53 quotients, but the final ADDITION is a second
+  rounding: decimal values k/1e4 can sit ~5e-20 from a dyadic half-ulp
+  boundary of the sum, far inside the ~1.4e-17 representation error of
+  frac/1e4 — Hypothesis falsifier 85612902/9281852 -> one ulp high of
+  9.2237 (the round-10 red test);
+- the string form "<whole>.<frac:04d>" parsed to double is correctly
+  rounded by construction in both engines (Java Double.parseDouble,
+  DuckDB fast_float) — the single rounding the discipline wants.
+DECIMAL(18,4) output was rejected after measurement: DuckDB evaluates
+decimal division and decimal->double casts through doubles
 (double-rounded), and fetchdf degrades DECIMAL columns to float64, so a
 decimal output type would break cross-engine hashing, not fix it.
 """
@@ -29,23 +33,22 @@ from hypothesis import strategies as st
 
 
 def _rdiv_int(num: int, den: int) -> float:
-    """Mirror of the SQL expression in operators/changepoint.py:
-    float(num div den) + float(((num % den)*20000 + den) div (2*den))
-    / 1e4 — whole and 4-digit half-up fraction combined in ONE rounded
-    addition, never a >2^53 scaled integer."""
-    whole = num // den
-    frac = ((num % den) * 20000 + den) // (2 * den)
-    return float(whole) + float(frac) / 10000.0
+    """Mirror of rdiv_halfup_expr (functions/microunit.py): exact
+    BIGINT half-up 4-digit quantization (fraction carry folded into
+    the whole part), one correctly-rounded string->double parse."""
+    frac0 = ((num % den) * 20000 + den) // (2 * den)
+    whole = num // den + frac0 // 10000
+    return float(f"{whole}.{frac0 % 10000:04d}")
 
 
 @given(
-    st.integers(min_value=0, max_value=8 * 10**15),
+    st.integers(min_value=0, max_value=10**18),
     st.integers(min_value=1, max_value=10**7),
 )
 @settings(max_examples=500, deadline=None)
 def test_integer_round_half_up_matches_decimal(num, den):
-    # Exactness contract: valid while the quotient stays below 2^53.
-    # num <= 8e15 with den >= 1 keeps whole <= 8e15 < 2^53 always.
+    # Exactness contract: any magnitude — string parse is the single
+    # correctly-rounded step.
     expect = float(
         (Decimal(num) / Decimal(den)).quantize(
             Decimal("0.0001"), rounding=ROUND_HALF_UP
@@ -56,8 +59,14 @@ def test_integer_round_half_up_matches_decimal(num, den):
 
 def test_round7_falsifier_now_exact():
     # The round-7 red-test case: single-division form returned
-    # 14411518807587.002; the split form is exact.
+    # 14411518807587.002; the string form is exact.
     assert _rdiv_int(14_411_518_807_587, 1) == 14411518807587.0
+
+
+def test_round10_falsifier_now_exact():
+    # The round-10 red-test case: split form returned
+    # 9.223700000000001 (one ulp high); the string form is exact.
+    assert _rdiv_int(85_612_902, 9_281_852) == 9.2237
 
 
 def test_exact_tie_rounds_up():
