@@ -292,3 +292,140 @@ def q_causal_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("variance_reduction"),
     )
+
+
+# --------------------------------------------------------------------------
+# Propensity-score stratification (subclassification): Cochran 1968,
+# Rosenbaum & Rubin 1984 — the third leg of the causal family.
+# --------------------------------------------------------------------------
+
+_QPSTRATA_ORACLE = f"""
+WITH cells AS (
+  SELECT c.c_nationkey AS stratum,
+         CAST(COUNT(*) FILTER (WHERE c.c_mktsegment = '{TREAT_SEGMENT}')
+              AS BIGINT) AS nt,
+         CAST(COUNT(*) FILTER (WHERE c.c_mktsegment <> '{TREAT_SEGMENT}')
+              AS BIGINT) AS nc,
+         CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+              FILTER (WHERE c.c_mktsegment = '{TREAT_SEGMENT}'), 0)
+              AS BIGINT) AS st,
+         CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+              FILTER (WHERE c.c_mktsegment <> '{TREAT_SEGMENT}'), 0)
+              AS BIGINT) AS sc
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+),
+used AS (SELECT * FROM cells WHERE nt > 0 AND nc > 0),
+tot AS (SELECT CAST(SUM(nt + nc) AS BIGINT) AS n_used FROM used),
+terms AS (
+  SELECT u.nt, u.nc,
+         ROUND(CAST(u.nt AS DOUBLE) / (u.nt + u.nc), 4) AS p_hat,
+         CAST(ROUND(
+           CAST(u.nt + u.nc AS DOUBLE) / t.n_used
+           * (ROUND(CAST(u.st AS DOUBLE) / (100.0e0 * u.nt), 4)
+              - ROUND(CAST(u.sc AS DOUBLE) / (100.0e0 * u.nc), 4)),
+           8) AS DECIMAL(30,8)) AS term
+  FROM used u CROSS JOIN tot t
+),
+naive AS (
+  SELECT CAST(SUM(nt + nc) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_strata,
+         ROUND(CAST(SUM(st) AS DOUBLE) / (100.0e0 * SUM(nt))
+               - CAST(SUM(sc) AS DOUBLE) / (100.0e0 * SUM(nc)), 4)
+           AS naive_diff
+  FROM cells
+)
+SELECT n.n_total, n.n_strata,
+       CAST(COUNT(*) AS BIGINT) AS n_strata_used,
+       ROUND(MIN(t.p_hat), 4) AS min_propensity,
+       ROUND(MAX(t.p_hat), 4) AS max_propensity,
+       n.naive_diff,
+       ROUND(CAST(SUM(t.term) AS DOUBLE), 4) AS stratified_ate
+FROM terms t CROSS JOIN naive n
+GROUP BY n.n_total, n.n_strata, n.naive_diff
+"""
+
+
+@register(
+    "q_causal_propensity_strata",
+    oracle=_QPSTRATA_ORACLE,
+    description=(
+        "propensity-score stratification (subclassification) ATE: "
+        "nation strata, within-stratum propensity and treated-control "
+        "mean gap, stratum-share-weighted estimate vs the naive "
+        "difference — exact cent cells, decimal-quantized term sum"
+    ),
+    tags=("causal", "propensity", "statistics", "ab-testing", "aggregate"),
+)
+def q_causal_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subclassification (Cochran 1968; Rosenbaum & Rubin 1984): stratify
+    units on a confounder, estimate the treatment-control outcome gap
+    within each stratum, and weight the per-stratum gaps by stratum
+    share. Within a stratum the empirical propensity nt/(nt+nc) is
+    constant, so this IS propensity stratification with exact strata.
+    Every cell is an exact cent sum; per-stratum terms quantize to
+    DECIMAL(30,8) before the cross-stratum sum so addition order is
+    irrelevant. One groupBy to 25 stratum cells, then scalar frames —
+    one shuffle regardless of fact-table size. (TPC-H segments are
+    assigned independently of nation, so the stratified and naive
+    estimates honestly agree — the estimator, not the dataset, is what's
+    under test; cf. q_causal_cuped's note.)"""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    treated = F.col("c_mktsegment") == TREAT_SEGMENT
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("stratum"))
+        .agg(
+            F.count(F.when(treated, 1)).cast("long").alias("nt"),
+            F.count(F.when(~treated, 1)).cast("long").alias("nc"),
+            F.coalesce(F.sum(F.when(treated, cents)), F.lit(0))
+            .cast("long")
+            .alias("st"),
+            F.coalesce(F.sum(F.when(~treated, cents)), F.lit(0))
+            .cast("long")
+            .alias("sc"),
+        )
+    )
+    used = cells.filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    tot = used.agg(F.sum(F.col("nt") + F.col("nc")).cast("long").alias("n_used"))
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    terms = used.crossJoin(F.broadcast(tot)).select(
+        F.round(d("nt") / (F.col("nt") + F.col("nc")), 4).alias("p_hat"),
+        F.round(
+            (F.col("nt") + F.col("nc")).cast("double")
+            / F.col("n_used")
+            * (
+                F.round(d("st") / (F.lit(100.0) * F.col("nt")), 4)
+                - F.round(d("sc") / (F.lit(100.0) * F.col("nc")), 4)
+            ),
+            8,
+        )
+        .cast("decimal(30,8)")
+        .alias("term"),
+    )
+    naive = cells.agg(
+        F.sum(F.col("nt") + F.col("nc")).cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.round(
+            F.sum("st").cast("double") / (F.lit(100.0) * F.sum("nt"))
+            - F.sum("sc").cast("double") / (F.lit(100.0) * F.sum("nc")),
+            4,
+        ).alias("naive_diff"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n_strata_used"),
+        F.round(F.min("p_hat"), 4).alias("min_propensity"),
+        F.round(F.max("p_hat"), 4).alias("max_propensity"),
+        F.round(F.sum("term").cast("double"), 4).alias("stratified_ate"),
+    )
+    return naive.crossJoin(F.broadcast(agg)).select(
+        "n_total",
+        "n_strata",
+        "n_strata_used",
+        "min_propensity",
+        "max_propensity",
+        "naive_diff",
+        "stratified_ate",
+    )

@@ -46,6 +46,11 @@ REPRESENTATIVE = [
     "q_skyline_pareto_front",
     "q_graph_kcore",
     "q_bitemporal_asof",
+    # round-10 additions
+    "q_search_mmr",
+    "q_dedup_segment_lines",
+    "q_causal_propensity_strata",
+    "q_ts_cross_correlation",
 ]
 
 
