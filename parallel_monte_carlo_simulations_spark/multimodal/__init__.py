@@ -2,4 +2,4 @@
 
 Importing registers the queries."""
 
-from . import adpcm, boxfilter, media, media2  # noqa: F401
+from . import adpcm, boxfilter, media, media2, spectralband  # noqa: F401

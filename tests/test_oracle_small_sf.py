@@ -51,6 +51,8 @@ REPRESENTATIVE = [
     "q_dedup_segment_lines",
     "q_causal_propensity_strata",
     "q_ts_cross_correlation",
+    "q_ml_kmeans_lloyd",
+    "q_multimodal_audio_bands",
 ]
 
 

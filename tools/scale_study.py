@@ -320,6 +320,19 @@ SF1_NEW_R10 = [
 ]
 
 
+#: Round-10 second batch — MMR rerank, segment-line dedup accounting,
+#: propensity stratification, cross-correlation (standing gate: every
+#: new registration ships a tiled sf1.0 cell).
+SF1_NEW_R10B = [
+    "q_search_mmr",
+    "q_dedup_segment_lines",
+    "q_causal_propensity_strata",
+    "q_ts_cross_correlation",
+    "q_ml_kmeans_lloyd",
+    "q_multimodal_audio_bands",
+]
+
+
 #: Round-10 natural cells for the tiled >3x flags: is the growth corpus
 #: density or volume? (documents consumers run on the natural corpus;
 #: cosuppliers on the natural-rel lineitem.)
@@ -384,6 +397,12 @@ def main() -> None:
         return
     if "--natural4" in sys.argv:
         _natural4_main()
+        return
+    if "--sf1new10b" in sys.argv:
+        _ladder(SF1_NEW_R10B, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale", "sf1.0",
+        ), timeout=900)
         return
     if "--sf1new10" in sys.argv:
         _sf1new10_main()
