@@ -266,6 +266,99 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Adamic-Adar link prediction: shared neighbours weighted by 1/ln(deg)
+# (Adamic & Adar 2003) — rare shared parts carry more signal than hubs.
+# --------------------------------------------------------------------------
+
+_QADAMIC_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+pdeg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY p
+),
+w AS (
+  -- shared parts always have d >= 2, so ln(d) > 0; the weight is
+  -- quantized to DECIMAL before the cross-part sum so addition order
+  -- is irrelevant
+  SELECT p, CAST(ROUND(1.0e0 / LN(CAST(d AS DOUBLE)), 12)
+               AS DECIMAL(20,12)) AS aa_w
+  FROM pdeg WHERE d >= 2
+),
+co AS (
+  SELECT a.s AS s1, b.s AS s2,
+         CAST(COUNT(*) AS BIGINT) AS n_shared,
+         SUM(w.aa_w) AS aa_sum
+  FROM pairs a
+  JOIN pairs b ON a.p = b.p AND a.s < b.s
+  JOIN w ON w.p = a.p
+  GROUP BY a.s, b.s
+)
+SELECT s1, s2, n_shared,
+       ROUND(CAST(aa_sum AS DOUBLE), 6) AS adamic_adar
+FROM co
+ORDER BY ROUND(CAST(aa_sum AS DOUBLE), 6) DESC, s1, s2
+LIMIT 20
+"""
+
+
+@register(
+    "q_graph_adamic_adar",
+    oracle=_QADAMIC_ORACLE,
+    description=(
+        "Adamic-Adar link prediction: supplier pairs scored by shared "
+        "parts weighted 1/ln(part degree) — hub neighbours discounted, "
+        "the canonical complement to the Jaccard ranker; decimal-"
+        "quantized weights make the per-pair sum order-independent"
+    ),
+    tags=("graph", "link-prediction", "adamic-adar", "join", "aggregate"),
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same part-keyed co-occurrence geometry as
+    ``q_graph_link_prediction`` (work = sum of squared part degrees,
+    never |suppliers|^2 — and the degree-skew diagnostic/cap story is
+    q_graph_cosuppliers'), but each shared part contributes 1/ln(deg)
+    instead of 1: common parts say little about a specific pair. The
+    weight is rounded to 12 dp and summed as DECIMAL so the score is
+    independent of partition merge order."""
+    l = table(spark, sf_dir, "lineitem")
+    pairs = l.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    w = (
+        pairs.groupBy("p")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= 2)
+        .select(
+            "p",
+            F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 12)
+            .cast("decimal(20,12)")
+            .alias("aa_w"),
+        )
+    )
+    b = pairs.select(F.col("s").alias("s2"), F.col("p").alias("p2"))
+    co = (
+        pairs.join(b, (F.col("p2") == F.col("p")) & (F.col("s") < F.col("s2")))
+        .join(w, "p")
+        .groupBy(F.col("s").alias("s1"), "s2")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.sum("aa_w").alias("aa_sum"),
+        )
+    )
+    return (
+        co.select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.round(F.col("aa_sum").cast("double"), 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), "s1", "s2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Degree assortativity: do high-degree nodes link to high-degree nodes?
 # (Newman 2002) — Pearson correlation of endpoint degrees over edges.
 # --------------------------------------------------------------------------

@@ -53,6 +53,8 @@ REPRESENTATIVE = [
     "q_ts_cross_correlation",
     "q_ml_kmeans_lloyd",
     "q_multimodal_audio_bands",
+    "q_graph_adamic_adar",
+    "q_text_gopher_rules",
 ]
 
 

@@ -330,6 +330,8 @@ SF1_NEW_R10B = [
     "q_ts_cross_correlation",
     "q_ml_kmeans_lloyd",
     "q_multimodal_audio_bands",
+    "q_graph_adamic_adar",
+    "q_text_gopher_rules",
 ]
 
 
