@@ -55,6 +55,7 @@ REPRESENTATIVE = [
     "q_multimodal_audio_bands",
     "q_graph_adamic_adar",
     "q_text_gopher_rules",
+    "q_graph_modularity",
 ]
 
 

@@ -332,6 +332,7 @@ SF1_NEW_R10B = [
     "q_multimodal_audio_bands",
     "q_graph_adamic_adar",
     "q_text_gopher_rules",
+    "q_graph_modularity",
 ]
 
 
