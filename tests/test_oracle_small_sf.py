@@ -56,6 +56,7 @@ REPRESENTATIVE = [
     "q_graph_adamic_adar",
     "q_text_gopher_rules",
     "q_graph_modularity",
+    "q_dedup_cdc_chunks",
 ]
 
 

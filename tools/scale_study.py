@@ -333,6 +333,7 @@ SF1_NEW_R10B = [
     "q_graph_adamic_adar",
     "q_text_gopher_rules",
     "q_graph_modularity",
+    "q_dedup_cdc_chunks",
 ]
 
 
