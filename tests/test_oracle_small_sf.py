@@ -57,6 +57,7 @@ REPRESENTATIVE = [
     "q_text_gopher_rules",
     "q_graph_modularity",
     "q_dedup_cdc_chunks",
+    "q_ts_sax_words",
 ]
 
 

@@ -82,6 +82,11 @@ BOUNDED_OK: dict[str, str] = {
         "LIMIT-selected expansion terms; the union hides the GlobalLimit "
         "from the detector's rebound check"
     ),
+    "q_ts_sax_words": (
+        "per-type tercile breakpoints: |event types| x 2 rows (fixed "
+        "type domain) — derived from the day-grid explode so the "
+        "detector sees a Generate"
+    ),
     "q_ml_kmeans_lloyd": (
         "centroid frames: K x dims = 256 rows by construction (init is "
         "vec_id < K; updates group by (cid, dim), cid domain = K) — "

@@ -334,6 +334,7 @@ SF1_NEW_R10B = [
     "q_text_gopher_rules",
     "q_graph_modularity",
     "q_dedup_cdc_chunks",
+    "q_ts_sax_words",
 ]
 
 
