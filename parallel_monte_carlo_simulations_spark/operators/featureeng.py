@@ -394,3 +394,132 @@ def q_feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe K-fold (out-of-fold) target encoding — the production
+# form of q_feat_target_encoding: a row's own fold never contributes to
+# its encoding, so the feature carries no target leakage into training.
+# --------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+_QTEKF_ORACLE = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         o.o_orderkey % {_KFOLDS} AS fold,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS target
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+prior AS (
+  SELECT CAST(SUM(target) AS BIGINT) AS gpos,
+         CAST(COUNT(*) AS BIGINT) AS gn
+  FROM base
+),
+cells AS (
+  SELECT segment, fold,
+         CAST(SUM(target) AS BIGINT) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY segment, fold
+),
+cat AS (
+  SELECT segment,
+         CAST(SUM(pos) AS BIGINT) AS cpos,
+         CAST(SUM(n) AS BIGINT) AS cn
+  FROM cells GROUP BY segment
+)
+SELECT ce.segment,
+       CAST(ce.fold AS BIGINT) AS fold,
+       CAST(ce.n AS BIGINT) AS n_infold,
+       CAST(ca.cn - ce.n AS BIGINT) AS n_outfold,
+       ROUND((CAST(ca.cpos - ce.pos AS DOUBLE)
+              + {SMOOTH_M}.0e0 * (CAST(p.gpos AS DOUBLE) / CAST(p.gn AS DOUBLE)))
+             / (CAST(ca.cn - ce.n AS DOUBLE) + {SMOOTH_M}.0e0), 6)
+         AS enc_oof,
+       ROUND((CAST(ca.cpos AS DOUBLE)
+              + {SMOOTH_M}.0e0 * (CAST(p.gpos AS DOUBLE) / CAST(p.gn AS DOUBLE)))
+             / (CAST(ca.cn AS DOUBLE) + {SMOOTH_M}.0e0), 6)
+         AS enc_full,
+       ROUND(ROUND((CAST(ca.cpos AS DOUBLE)
+              + {SMOOTH_M}.0e0 * (CAST(p.gpos AS DOUBLE) / CAST(p.gn AS DOUBLE)))
+             / (CAST(ca.cn AS DOUBLE) + {SMOOTH_M}.0e0), 6)
+           - ROUND((CAST(ca.cpos - ce.pos AS DOUBLE)
+              + {SMOOTH_M}.0e0 * (CAST(p.gpos AS DOUBLE) / CAST(p.gn AS DOUBLE)))
+             / (CAST(ca.cn - ce.n AS DOUBLE) + {SMOOTH_M}.0e0), 6), 6)
+         AS leakage_delta
+FROM cells ce
+JOIN cat ca ON ca.segment = ce.segment
+CROSS JOIN prior p
+ORDER BY ce.segment, ce.fold
+"""
+
+
+@register(
+    "q_feat_target_encoding_kfold",
+    oracle=_QTEKF_ORACLE,
+    description=(
+        f"leakage-safe {_KFOLDS}-fold out-of-fold target encoding "
+        f"(smoothing m={SMOOTH_M}): per (segment, fold) the encoding "
+        "computed WITHOUT that fold's rows, beside the full-data "
+        "encoding and the leakage delta — the production variant of "
+        "q_feat_target_encoding, sibling of q_split_leakage_audit"
+    ),
+    tags=("featureeng", "target-encoding", "kfold", "leakage", "ml"),
+)
+def q_feat_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold encoding from ONE pass of sufficient statistics:
+    per-(category, fold) cells aggregate once; the out-of-fold encoding
+    for fold f is (cat_sum - cell_sum_f) / (cat_n - cell_n_f) with the
+    usual m-smoothed global prior — no per-fold re-scan, so K costs
+    nothing extra at 100 TB. Folds are deterministic (o_orderkey mod
+    K), matching both engines bit-for-bit."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderkey") % _KFOLDS).alias("fold"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("target"),
+    )
+    prior = base.agg(
+        F.sum("target").cast("long").alias("gpos"),
+        F.count("*").cast("long").alias("gn"),
+    )
+    cells = base.groupBy("segment", "fold").agg(
+        F.sum("target").cast("long").alias("pos"),
+        F.count("*").cast("long").alias("n"),
+    )
+    cat = cells.groupBy("segment").agg(
+        F.sum("pos").cast("long").alias("cpos"),
+        F.sum("n").cast("long").alias("cn"),
+    )
+    m = float(SMOOTH_M)
+    gprior = F.col("gpos").cast("double") / F.col("gn").cast("double")
+    enc_oof = F.round(
+        ((F.col("cpos") - F.col("pos")).cast("double") + F.lit(m) * gprior)
+        / ((F.col("cn") - F.col("n")).cast("double") + F.lit(m)),
+        6,
+    )
+    enc_full = F.round(
+        (F.col("cpos").cast("double") + F.lit(m) * gprior)
+        / (F.col("cn").cast("double") + F.lit(m)),
+        6,
+    )
+    return (
+        cells.join(F.broadcast(cat), "segment")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "segment",
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n").cast("long").alias("n_infold"),
+            (F.col("cn") - F.col("n")).cast("long").alias("n_outfold"),
+            enc_oof.alias("enc_oof"),
+            enc_full.alias("enc_full"),
+            F.round(enc_full - enc_oof, 6).alias("leakage_delta"),
+        )
+        .orderBy("segment", "fold")
+    )

@@ -58,6 +58,7 @@ REPRESENTATIVE = [
     "q_graph_modularity",
     "q_dedup_cdc_chunks",
     "q_ts_sax_words",
+    "q_feat_target_encoding_kfold",
 ]
 
 

@@ -335,6 +335,7 @@ SF1_NEW_R10B = [
     "q_graph_modularity",
     "q_dedup_cdc_chunks",
     "q_ts_sax_words",
+    "q_feat_target_encoding_kfold",
 ]
 
 
