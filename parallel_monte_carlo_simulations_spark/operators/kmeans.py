@@ -5,8 +5,13 @@ recompute centroids as member means, repeat — expressed so every step
 is EXACT integer arithmetic and therefore bit-identical cross-engine:
 
 - coordinates quantize once to 1e-6 micro-units (BIGINT);
-- squared L2 distances are exact integer sums (64 dims x (1e6 range)^2
-  x corpus count stays far below 2^63);
+- squared L2 distances are exact integer sums. Headroom: per-point
+  d2 <= 64 dims x (2e6)^2 = 2.56e14, so the per-cluster inertia sum
+  stays BIGINT-exact up to ~3.6e4 WORST-CASE points per cluster and
+  far beyond for clustered data (real d2 is orders smaller); past
+  that, ANSI mode (the driver session) raises loudly rather than
+  wrapping — drop the micro-unit scale to 1e-5 per the
+  functions/microunit.py discipline if a corpus ever trips it;
 - the centroid mean rounds half-up in pure integers via the SHIFT
   trick: coordinates can be negative and Spark's ``div`` truncates
   toward zero while DuckDB's ``//`` floors, so the numerator is shifted

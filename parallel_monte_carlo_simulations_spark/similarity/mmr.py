@@ -22,6 +22,14 @@ candidate-filtered token pass (the 20-row candidate list broadcasts
 into the scan — bounded by LIMIT, like the PRF stage-2 broadcasts).
 Everything after is 20-row/190-pair frames: the greedy loop unrolls
 lazily over scalar-sized plans, the pagerank pattern at toy size.
+
+Caller contract (the erpipeline.py persist convention): each invocation
+eagerly localCheckpoints 7 bounded frames (cands 20 rows, sims <= 380
+rows, five 1-row picks — KB-sized total). The blocks are not released
+inside the query (the result plan reads them); a long-lived session
+invoking this repeatedly should clear them with
+``spark.catalog.clearCache()`` / session teardown, as the test and
+bench fixtures do.
 """
 
 from __future__ import annotations
