@@ -2,4 +2,4 @@
 approximate scale paths (random-hyperplane LSH, KMeans IVF).
 Importing registers the queries."""
 
-from . import brute, centroid, hybrid, irmetrics, ivf, lsh, metrics, mining, mmr, pca, pq, quality, prep, randproj, recall  # noqa: F401
+from . import brute, centroid, hybrid, irmetrics, ivf, knneval, lsh, metrics, mining, mmr, pca, pq, quality, prep, randproj, recall  # noqa: F401

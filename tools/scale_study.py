@@ -336,6 +336,8 @@ SF1_NEW_R10B = [
     "q_dedup_cdc_chunks",
     "q_ts_sax_words",
     "q_feat_target_encoding_kfold",
+    "q_ml_knn_eval",
+    "q_stat_runs_test",
 ]
 
 
