@@ -378,3 +378,147 @@ def q_tree_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_threshold")
     )
+
+
+# --------------------------------------------------------------------------
+# PR-AUC (trapezoidal average precision) — the imbalanced-data companion
+# to q_roc_auc: ROC flatters skewed classes, the PR curve does not.
+# --------------------------------------------------------------------------
+
+_QPRAUC_ORACLE = """
+WITH scored AS (
+  SELECT o_orderpriority AS segment,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS score,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+grp AS (
+  SELECT segment, score,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS pos
+  FROM scored GROUP BY segment, score
+),
+tot AS (
+  SELECT segment, CAST(SUM(pos) AS BIGINT) AS n1,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM grp GROUP BY segment
+),
+cum AS (
+  SELECT g.segment, t.n1, t.n,
+         SUM(g.cnt) OVER w AS n_cum,
+         SUM(g.pos) OVER w AS pos_cum
+  FROM grp g JOIN tot t ON t.segment = g.segment
+  WINDOW w AS (PARTITION BY g.segment ORDER BY g.score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pts AS (
+  SELECT segment, n1, n,
+         CAST(pos_cum AS DOUBLE) / n1 AS r,
+         CAST(pos_cum AS DOUBLE) / n_cum AS p,
+         COALESCE(LAG(CAST(pos_cum AS DOUBLE) / n1) OVER w2, 0.0e0) AS r0,
+         COALESCE(LAG(CAST(pos_cum AS DOUBLE) / n_cum) OVER w2, 1.0e0) AS p0
+  FROM cum
+  WHERE n1 > 0
+  WINDOW w2 AS (PARTITION BY segment ORDER BY n_cum)
+),
+terms AS (
+  SELECT segment, n1, n,
+         CAST(ROUND((r - r0) * (p + p0) / 2.0e0, 12) AS DECIMAL(24,12))
+           AS term
+  FROM pts
+)
+SELECT segment,
+       CAST(ANY_VALUE(n1) AS BIGINT) AS n_pos,
+       CAST(ANY_VALUE(n) - ANY_VALUE(n1) AS BIGINT) AS n_neg,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS pr_auc
+FROM terms
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register(
+    "q_pr_auc",
+    oracle=_QPRAUC_ORACLE,
+    description=(
+        "PR-AUC (trapezoidal average precision) of order total-price as "
+        "a ranking score for status 'F', per priority: tie-exact "
+        "score-group curve anchored at (recall 0, precision 1), "
+        "decimal-quantized trapezoid terms — the imbalanced-data "
+        "companion to q_roc_auc"
+    ),
+    tags=("ml", "evaluation", "pr-auc", "ranking", "statistics", "window"),
+)
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PR curve is evaluated at score-GROUP boundaries (ties form
+    one block, so the curve — and the metric — is deterministic under
+    ties), anchored at (r=0, p=1). Each trapezoid term is computed from
+    exact integer (pos_cum, n_cum, n1) in identical double ops on both
+    engines, rounded to 12 dp and summed as DECIMAL so cross-group
+    addition order is irrelevant. Window input is distinct-score-sized
+    per segment (the q_roc_auc scale shape)."""
+    o = table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.col("o_orderpriority").alias("segment"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    grp = scored.groupBy("segment", "score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos"),
+    )
+    tot = grp.groupBy("segment").agg(
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grp.join(tot, "segment")
+        .select(
+            "segment",
+            "n1",
+            "n",
+            "score",
+            F.sum("cnt").over(w).alias("n_cum"),
+            F.sum("pos").over(w).alias("pos_cum"),
+        )
+        .filter(F.col("n1") > 0)
+    )
+    r = F.col("pos_cum").cast("double") / F.col("n1")
+    p = F.col("pos_cum").cast("double") / F.col("n_cum")
+    w2 = Window.partitionBy("segment").orderBy("n_cum")
+    pts = cum.select(
+        "segment",
+        "n1",
+        "n",
+        r.alias("r"),
+        p.alias("p"),
+        F.coalesce(F.lag(r).over(w2), F.lit(0.0)).alias("r0"),
+        F.coalesce(F.lag(p).over(w2), F.lit(1.0)).alias("p0"),
+    )
+    terms = pts.select(
+        "segment",
+        "n1",
+        "n",
+        F.round(
+            (F.col("r") - F.col("r0"))
+            * (F.col("p") + F.col("p0"))
+            / F.lit(2.0),
+            12,
+        )
+        .cast("decimal(24,12)")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("segment")
+        .agg(
+            F.any_value("n1").cast("long").alias("n_pos"),
+            (F.any_value("n") - F.any_value("n1")).cast("long").alias("n_neg"),
+            F.round(F.sum("term").cast("double"), 6).alias("pr_auc"),
+        )
+        .orderBy("segment")
+    )

@@ -61,6 +61,7 @@ REPRESENTATIVE = [
     "q_feat_target_encoding_kfold",
     "q_ml_knn_eval",
     "q_stat_runs_test",
+    "q_pr_auc",
 ]
 
 

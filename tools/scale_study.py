@@ -338,6 +338,7 @@ SF1_NEW_R10B = [
     "q_feat_target_encoding_kfold",
     "q_ml_knn_eval",
     "q_stat_runs_test",
+    "q_pr_auc",
 ]
 
 
