@@ -339,6 +339,8 @@ SF1_NEW_R10B = [
     "q_ml_knn_eval",
     "q_stat_runs_test",
     "q_pr_auc",
+    "q_stat_mcnemar",
+    "q_ml_lift_deciles",
 ]
 
 
