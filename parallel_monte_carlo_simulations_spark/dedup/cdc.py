@@ -13,8 +13,10 @@ Construction (all exact integers, identical cross-engine):
 - per-token hash: first 8 hex digits of md5(token) mod 1000003;
 - Karp-Rabin window over the last 4 tokens, base 31:
   rh = (th + 31*lag1 + 961*lag2 + 29791*lag3) mod 1000003;
-- boundary AFTER position p when p >= 3 and rh % 16 == 0 (expected
-  chunk length 16 tokens, measured ~12.6 on this corpus);
+- boundary BEFORE position p when p >= 3 and rh % 16 == 0 (the masked
+  token starts the new chunk: the running boundary count's frame ends
+  at CURRENT ROW, so the increment lands on p itself; expected chunk
+  length 16 tokens, measured ~12.6 on this corpus);
 - chunk id = running boundary count (one ordered window per doc);
 - chunk fingerprint = md5 of the order-joined chunk tokens.
 

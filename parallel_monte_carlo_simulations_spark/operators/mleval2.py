@@ -60,9 +60,13 @@ cells AS (
   FROM paired
 )
 SELECT n_pairs, a, b, c, d,
-       ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6) AS mcnemar_chi2,
-       ROUND(CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE) / (b + c), 6)
-         AS mcnemar_chi2_cc
+       CASE WHEN b + c > 0
+            THEN ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+            END AS mcnemar_chi2,
+       CASE WHEN b + c > 0
+            THEN ROUND(CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE)
+                       / (b + c), 6)
+            END AS mcnemar_chi2_cc
 FROM cells
 """
 
@@ -106,16 +110,27 @@ def q_stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = F.col("b") - F.col("c")
     tot = F.col("b") + F.col("c")
+    # zero discordant pairs: Spark NULL vs DuckDB NaN would diverge on
+    # degenerate data, so both engines emit NULL via a mirrored guard
+    # (ADVICE r10).
     return cells.select(
         "n_pairs",
         "a",
         "b",
         "c",
         "d",
-        F.round((diff * diff).cast("double") / tot, 6).alias("mcnemar_chi2"),
-        F.round(
-            ((F.abs(diff) - 1) * (F.abs(diff) - 1)).cast("double") / tot, 6
-        ).alias("mcnemar_chi2_cc"),
+        F.when(tot > 0, F.round((diff * diff).cast("double") / tot, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("mcnemar_chi2"),
+        F.when(
+            tot > 0,
+            F.round(
+                ((F.abs(diff) - 1) * (F.abs(diff) - 1)).cast("double") / tot,
+                6,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("mcnemar_chi2_cc"),
     )
 
 

@@ -72,11 +72,15 @@ stats AS (
   FROM runs GROUP BY event_type
 )
 SELECT event_type, n1 AS n_up, n2 AS n_down, n_runs,
+       -- sigma is 0 whenever 2*n1*n2 <= n1+n2 (all moves one sign, or
+       -- n1=n2=1): emit NULL from BOTH engines instead of diverging
+       -- NaN-vs-NULL on degenerate series (ADVICE r10).
+       CASE WHEN 2 * n1 * n2 > n1 + n2 THEN
        ROUND((CAST(n_runs AS DOUBLE)
               - (1.0e0 + 2.0e0 * n1 * n2 / (n1 + n2)))
              / SQRT(2.0e0 * n1 * n2 * (2.0e0 * n1 * n2 - (n1 + n2))
                     / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
-                       * (n1 + n2 - 1))), 6) AS z_score
+                       * (n1 + n2 - 1))), 6) END AS z_score
 FROM stats
 ORDER BY event_type
 """
@@ -161,10 +165,17 @@ def q_stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(2.0) * F.col("n1") * F.col("n2") - n)
         / (n.cast("double") * n * (n - 1))
     )
+    # sigma degenerates to 0 when 2*n1*n2 <= n (one-signed series or
+    # n1=n2=1): mirrored NULL guard in both engines (ADVICE r10).
+    nondegenerate = (F.lit(2) * F.col("n1") * F.col("n2")) > (
+        F.col("n1") + F.col("n2")
+    )
     return stats.select(
         "event_type",
         F.col("n1").alias("n_up"),
         F.col("n2").alias("n_down"),
         "n_runs",
-        F.round((d("n_runs") - mu) / sigma, 6).alias("z_score"),
+        F.when(nondegenerate, F.round((d("n_runs") - mu) / sigma, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("z_score"),
     ).orderBy("event_type")
