@@ -99,18 +99,28 @@ def q_text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = scored.groupBy("text").agg(
         F.count("*").cast("long").alias("n_same")
     )
+    # deciles via the range-bucketed rank kernel + closed-form NTILE
+    # (round 11) — identical cuts, no global-sort window.
+    from ..operators.rankstats import bucketed_running, sql_ntile
+
+    base = scored.join(dup, "text").select(
+        "doc_id",
+        "score",
+        F.when(F.col("n_same") > 1, 1).otherwise(0).alias("is_dup"),
+        F.round(F.col("score") * 1000000, 0).cast("long")
+        .alias("score_micro"),
+    )
+    nt = base.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
     labeled = (
-        scored.join(dup, "text")
-        .select(
-            "doc_id",
-            "score",
-            F.when(F.col("n_same") > 1, 1).otherwise(0).alias("is_dup"),
-            F.round(F.col("score") * 1000000, 0).cast("long")
-            .alias("score_micro"),
+        bucketed_running(
+            base,
+            axis="score",
+            order=[F.col("score").asc(), F.col("doc_id").asc()],
+            cums={"rank": F.lit(1)},
         )
+        .crossJoin(F.broadcast(nt))
         .withColumn(
-            "decile",
-            F.ntile(10).over(Window.orderBy("score", "doc_id")),
+            "decile", sql_ntile(F.col("rank"), F.col("n_all"), 10)
         )
     )
     return (

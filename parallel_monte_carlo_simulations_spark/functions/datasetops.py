@@ -116,8 +116,18 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    # per-language running token sum via the range-bucketed kernel
+    # (round 11): a |langs|-partition window serializes the corpus
+    # through a handful of tasks at scale.
+    from ..operators.rankstats import bucketed_running
+
+    packed = bucketed_running(
+        toks,
+        axis="doc_id",
+        order=[F.col("doc_id").asc()],
+        cums={"cum": F.col("n_tokens")},
+        partition_by=("lang",),
+    )
     bin_id = F.floor((F.col("cum") - F.col("n_tokens")) / float(_PACK_BUDGET))
     return (
         packed.groupBy("lang", bin_id.cast("long").alias("bin_id"))

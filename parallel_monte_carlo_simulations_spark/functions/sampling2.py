@@ -151,14 +151,18 @@ def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     floor_n = sized.agg(F.min("n_docs").alias("k"))
     h = hash60(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
-    ranked = d.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.row_number()
-        .over(Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc()))
-        .alias("rk"),
-    )
+    # per-language rank via the range-bucketed kernel (round 11):
+    # |langs|-way window parallelism over the corpus is the same
+    # straggler as an empty partition spec, just K-way.
+    from ..operators.rankstats import bucketed_running
+
+    ranked = bucketed_running(
+        d.select("doc_id", "lang", "n_chars", h.alias("hk")),
+        axis="hk",
+        order=[F.col("hk").asc(), F.col("doc_id").asc()],
+        cums={"rk": F.lit(1)},
+        partition_by=("lang",),
+    ).select("doc_id", "lang", "n_chars", "rk")
     kept = ranked.crossJoin(F.broadcast(floor_n)).filter(
         F.col("rk") <= F.col("k")
     )
@@ -226,13 +230,18 @@ def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     output schedule-prefix-sized."""
     d = table(spark, sf_dir, "documents")
     h = hash60(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
-    ranked = d.select(
-        "doc_id",
-        "source",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc()))
-        .alias("rn"),
-    )
+    # per-source rank via the range-bucketed kernel (round 11): the
+    # handful of sources would otherwise cap window parallelism at
+    # |sources| over the whole corpus.
+    from ..operators.rankstats import bucketed_running
+
+    ranked = bucketed_running(
+        d.select("doc_id", "source", h.alias("hk")),
+        axis="hk",
+        order=[F.col("hk").asc(), F.col("doc_id").asc()],
+        cums={"rn": F.lit(1)},
+        partition_by=("source",),
+    ).select("doc_id", "source", "rn")
     srcs = d.select("source").distinct()
     src_rank = srcs.select(
         "source",

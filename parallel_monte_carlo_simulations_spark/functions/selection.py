@@ -137,13 +137,21 @@ def q_curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     spent = above.agg(
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("used")
     )
-    wb = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # the boundary bucket can adversarially hold the whole corpus (all
+    # docs sharing one 3-dp quality score), so its doc_id-ordered fill
+    # runs through the range-bucketed kernel (round 11), not a global
+    # window.
+    from ..operators.rankstats import bucketed_running
+
     boundary = (
-        scored.join(F.broadcast(boundary_q))
-        .filter(F.col("q") == F.col("b_q"))
-        .withColumn("cum_b", F.sum("n_tokens").over(wb))
+        bucketed_running(
+            scored.join(F.broadcast(boundary_q)).filter(
+                F.col("q") == F.col("b_q")
+            ),
+            axis="doc_id",
+            order=[F.col("doc_id").asc()],
+            cums={"cum_b": F.col("n_tokens")},
+        )
         .join(F.broadcast(spent))
         .filter(F.col("cum_b") + F.col("used") <= TOKEN_BUDGET)
         .select("doc_id", "source", "n_tokens")

@@ -129,10 +129,15 @@ def q_ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ncal = resid.agg(F.count("*").alias("n"))
-    from pyspark.sql import Window
+    # calibration-residual rank via the range-bucketed kernel
+    # (round 11): the quantile pick needs ranks, not a global sort.
+    from .rankstats import bucketed_running
 
-    ranked = resid.withColumn(
-        "rk", F.row_number().over(Window.orderBy("r", "segment"))
+    ranked = bucketed_running(
+        resid,
+        axis="r",
+        order=[F.col("r").asc(), F.col("segment").asc()],
+        cums={"rk": F.lit(1)},
     )
     target_rk = F.ceil(
         (F.col("n") + 1)

@@ -90,10 +90,18 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("lat_s"),
         )
     )
-    w = Window.orderBy("lat_s", "user_id")
-    ranked = conv.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy())
-    )
+    # percentile selection ranks via the range-bucketed kernel
+    # (round 11): no global-sort window over the converted-user table;
+    # n is a broadcast scalar, not a whole-frame window.
+    from .rankstats import bucketed_running
+
+    nconv = conv.agg(F.count("*").cast("long").alias("n"))
+    ranked = bucketed_running(
+        conv,
+        axis="lat_s",
+        order=[F.col("lat_s").asc(), F.col("user_id").asc()],
+        cums={"rn": F.lit(1)},
+    ).crossJoin(F.broadcast(nconv))
     stats = conv.agg(
         F.count("*").cast("long").alias("n_converted"),
         F.min("lat_s").cast("long").alias("min_s"),

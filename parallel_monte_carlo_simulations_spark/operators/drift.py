@@ -184,11 +184,19 @@ FROM tot t
     tags=("statistics", "wasserstein", "drift", "window"),
 )
 def q_wasserstein_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle walks raw pooled rows, but every walk step INSIDE a
+    tie group has nxt - value = 0 (contrib rounds to exactly 0), so only
+    the LAST row of each distinct value contributes — with the group-end
+    cumulative counts and the gap to the next DISTINCT value. The engine
+    therefore integrates over the distinct-value frame: cumulative
+    counts via the range-bucketed running-sum kernel (rankstats.py),
+    next-value via a within-bucket lead stitched across buckets by the
+    <= n_buckets-row per-bucket-min rollup. Identical terms, identical
+    DECIMAL quantization, no global window."""
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
     )
     pooled = ev.select(
-        "event_id",
         "value",
         F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_b"),
@@ -197,15 +205,38 @@ def q_wasserstein_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").cast("long").alias("n1"),
         F.sum("is_b").cast("long").alias("n2"),
     )
-    wcum = Window.orderBy("value", "is_a", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    byval = pooled.groupBy("value").agg(
+        F.sum("is_a").cast("long").alias("ta"),
+        F.sum("is_b").cast("long").alias("tb"),
     )
-    wlead = Window.orderBy("value", "is_a", "event_id")
-    walk = pooled.select(
-        "value",
-        F.sum("is_a").over(wcum).alias("c1"),
-        F.sum("is_b").over(wcum).alias("c2"),
-        F.lead("value").over(wlead).alias("nxt"),
+    from .rankstats import BUCKET_COL, bucketed_running
+
+    cum = bucketed_running(
+        byval,
+        axis="value",
+        order=[F.col("value").asc()],
+        cums={"c1": F.col("ta"), "c2": F.col("tb")},
+        keep_bucket=True,
+    )
+    # next distinct value: lead within the bucket, and for each bucket's
+    # last row the MIN of the next non-empty bucket (a <= n_buckets-row
+    # rollup; its lead window is bounded by construction).
+    bmins = cum.groupBy(BUCKET_COL).agg(F.min("value").alias("bmin"))
+    nxt_bucket = bmins.select(
+        BUCKET_COL,
+        F.lead("bmin").over(Window.orderBy(BUCKET_COL)).alias("next_bmin"),
+    )
+    wlead = Window.partitionBy(BUCKET_COL).orderBy("value")
+    walk = (
+        cum.join(F.broadcast(nxt_bucket), BUCKET_COL)
+        .select(
+            "value",
+            "c1",
+            "c2",
+            F.coalesce(
+                F.lead("value").over(wlead), F.col("next_bmin")
+            ).alias("nxt"),
+        )
     )
     contrib = F.round(
         F.abs((F.col("c1") * F.col("n2")) - (F.col("c2") * F.col("n1")))
@@ -321,14 +352,24 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     act = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "value"
     )
-    wcum = Window.orderBy("value", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # decile edges need, per distinct value v, the count of reference
+    # rows <= v: the oracle's raw-row running count satisfies
+    # "exists c in group with c*10 >= k*n" iff the group-end cumulative
+    # does, so the distinct-value cumulative (range-bucketed kernel, no
+    # global window) yields identical edges; n comes from a broadcast
+    # scalar instead of a whole-frame window.
+    from .rankstats import bucketed_running
+
+    byval_r = ref.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    rcum = ref.select(
-        "value",
-        F.sum(F.lit(1)).over(wcum).alias("c"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    nref = ref.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rcum = bucketed_running(
+        byval_r,
+        axis="value",
+        order=[F.col("value").asc()],
+        cums={"c": F.col("cnt")},
+    ).crossJoin(F.broadcast(nref))
     edges = None
     for k in _EDGE_KS:
         e_k = rcum.agg(

@@ -206,9 +206,23 @@ ORDER BY bin
 )
 def q_feat_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = o.select(
-        "o_totalprice", F.ntile(10).over(w).alias("bin")
+    # deciles via the range-bucketed rank kernel + closed-form NTILE
+    # (round 11) — identical bins, no global-sort window.
+    from .rankstats import bucketed_running, sql_ntile
+
+    nt = o.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    binned = (
+        bucketed_running(
+            o.select("o_totalprice", "o_orderkey"),
+            axis="o_totalprice",
+            order=[F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+            cums={"rank": F.lit(1)},
+        )
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "o_totalprice",
+            sql_ntile(F.col("rank"), F.col("n_all"), 10).alias("bin"),
+        )
     )
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return (

@@ -31,13 +31,28 @@ WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
     tags=("window", "rank"),
 )
 def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist from the range-bucketed rank kernel
+    (round 11): the (s_acctbal, s_suppkey) order key is UNIQUE, so
+    rank == row_number == rn and percent_rank = (rn-1)/(n-1),
+    cume_dist = rn/n — bit-identical to the oracle's window form with
+    no single-partition sort."""
+    from .rankstats import bucketed_running
+
     s = table(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
-    return s.select(
+    nt = s.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    ranked = bucketed_running(
+        s.select("s_suppkey", "s_nationkey", "s_acctbal"),
+        axis="s_acctbal",
+        order=[F.asc("s_acctbal"), F.asc("s_suppkey")],
+        cums={"rn": F.lit(1)},
+    )
+    return ranked.crossJoin(F.broadcast(nt)).select(
         "s_suppkey",
         "s_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            (F.col("rn") - 1).cast("double") / (F.col("n_all") - 1), 6
+        ).alias("pct_rank"),
+        F.round(F.col("rn").cast("double") / F.col("n_all"), 6).alias("cume"),
     )
 
 

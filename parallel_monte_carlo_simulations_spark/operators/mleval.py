@@ -104,16 +104,22 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.sum("pos").cast("long").alias("pos"),
     )
-    w = (
-        Window.partitionBy("segment")
-        .orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = grp.select(
+    # cum_before via the range-bucketed kernel (round 11): the
+    # 5-priority partition spec would serialize the distinct-score
+    # frame through 5 window tasks at scale.
+    from .rankstats import bucketed_running
+
+    ranked = bucketed_running(
+        grp,
+        axis="score",
+        order=[F.col("score").asc()],
+        cums={"cum_incl": F.col("cnt")},
+        partition_by=("segment",),
+    ).select(
         "segment",
         "cnt",
         "pos",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+        (F.col("cum_incl") - F.col("cnt")).alias("cum_before"),
     )
     agg = ranked.groupBy("segment").agg(
         F.sum(
@@ -207,20 +213,34 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
     )
-    dx = (
-        (2 * F.rank().over(Window.partitionBy("flag").orderBy("x")))
-        + F.count(F.lit(1)).over(Window.partitionBy("flag", "x"))
-        - 1
-    )
-    dy = (
-        (2 * F.rank().over(Window.partitionBy("flag").orderBy("y")))
-        + F.count(F.lit(1)).over(Window.partitionBy("flag", "y"))
-        - 1
-    )
-    ranked = vals.select(
-        "flag",
-        dx.cast("decimal(18,0)").alias("dx"),
-        dy.cast("decimal(18,0)").alias("dy"),
+    # Doubled midranks per distinct value — 2*RANK + tie_count - 1 ==
+    # 2*cum_before + cnt + 1 — come from the range-bucketed kernel per
+    # axis and join back (round 11): the per-flag rank windows would
+    # otherwise serialize all lineitems through |flags| tasks.
+    from .rankstats import bucketed_running
+
+    def _midranks(col: str, out: str) -> DataFrame:
+        byv = vals.groupBy("flag", col).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        return bucketed_running(
+            byv,
+            axis=col,
+            order=[F.col(col).asc()],
+            cums={"cum": F.col("cnt")},
+            partition_by=("flag",),
+        ).select(
+            "flag",
+            col,
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+            .cast("decimal(18,0)")
+            .alias(out),
+        )
+
+    ranked = (
+        vals.join(_midranks("x", "dx"), ["flag", "x"])
+        .join(_midranks("y", "dy"), ["flag", "y"])
+        .select("flag", "dx", "dy")
     )
     stats = ranked.groupBy("flag").agg(
         F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),

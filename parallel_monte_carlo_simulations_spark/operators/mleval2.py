@@ -20,11 +20,11 @@ deterministic (score DESC, orderkey tiebreak; both engines implement
 SQL NTILE's larger-first-buckets rule identically).
 
 Scale: McNemar is one customer-keyed groupBy then a scalar frame. The
-lift table's exact NTILE needs a global sort of scored rows — fine at
-warehouse scale for a one-off report; the streaming-scale path is
-range-assignment against precomputed score-quantile boundaries (the
-``q_feat_quantile_binning`` shape), trading exact decile sizes for a
-sort-free plan.
+lift table's exact NTILE is computed sort-free since round 11: the
+range-bucketed rank kernel (operators/rankstats.py) assigns exact
+global ranks in parallel and ``sql_ntile`` closed-forms the decile from
+(rank, n) — same decile cuts as the window form, bit-for-bit, with no
+single-partition global sort.
 """
 
 from __future__ import annotations
@@ -190,17 +190,29 @@ ORDER BY decile
     tags=("ml", "evaluation", "lift", "gains", "window", "ranking"),
 )
 def q_ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) over (score desc, orderkey) — but computed WITHOUT the
+    global-sort window: the range-bucketed rank kernel (rankstats.py)
+    gives each row its exact global rank in parallel, and sql_ntile()
+    closed-forms SQL NTILE's larger-buckets-first rule from (rank, n).
+    Bit-identical to the oracle's window form at any scale."""
+    from .rankstats import bucketed_running, sql_ntile
+
     o = table(spark, sf_dir, "orders")
     scored = o.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("score"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
     )
-    tiled = scored.select(
+    nt = scored.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    ranked = bucketed_running(
+        scored,
+        axis=-F.col("score"),
+        order=[F.desc("score"), F.col("o_orderkey").asc()],
+        cums={"rank": F.lit(1)},
+    )
+    tiled = ranked.crossJoin(F.broadcast(nt)).select(
         "pos",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score"), "o_orderkey"))
-        .alias("decile"),
+        sql_ntile(F.col("rank"), F.col("n_all"), 10).alias("decile"),
     )
     per = tiled.groupBy("decile").agg(
         F.count("*").cast("long").alias("n"),

@@ -172,22 +172,29 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-weighted sums and the top-ceil(n/100) selection are all exact
     integers (the threshold is integer (n+99) div 100, never a float
     percent), so only the two final divisions run in doubles — mirrored
-    association, exact oracle. One sorted window pass over per-customer
-    aggregates — the same envelope as any ranked window."""
+    association, exact oracle. Ranks come from the range-bucketed kernel
+    (rankstats.py) over per-customer aggregates — no global-sort
+    window; the oracle keeps the window form."""
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
         .cast("long")
         .alias("v")
     )
-    from pyspark.sql import Window
+    # rank via the range-bucketed kernel (round 11) — no global-sort
+    # window; n/tv come from a broadcast scalar, not whole-frame windows.
+    from .rankstats import bucketed_running
 
-    ranked = spend.select(
-        "v",
-        F.row_number().over(Window.orderBy("v", "o_custkey")).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("v").over(Window.partitionBy()).alias("tv"),
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("tv"),
     )
+    ranked = bucketed_running(
+        spend,
+        axis="v",
+        order=[F.col("v").asc(), F.col("o_custkey").asc()],
+        cums={"i": F.lit(1)},
+    ).crossJoin(F.broadcast(tot))
     agg = ranked.agg(
         F.sum(F.col("i") * F.col("v")).cast("long").alias("siv"),
         F.max("n").cast("long").alias("n"),

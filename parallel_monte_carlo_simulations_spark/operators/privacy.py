@@ -76,11 +76,27 @@ FROM classes
 def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    quasi = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    # price deciles via the range-bucketed rank kernel + closed-form
+    # NTILE (round 11) — identical cuts, no global-sort window.
+    from .rankstats import bucketed_running, sql_ntile
+
+    nt = o.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    ranked = bucketed_running(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            "o_totalprice",
+            "o_orderkey",
+            "c_mktsegment",
+            "c_nationkey",
+            "o_orderpriority",
+        ),
+        axis="o_totalprice",
+        order=[F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        cums={"rank": F.lit(1)},
+    )
+    quasi = ranked.crossJoin(F.broadcast(nt)).select(
         F.col("c_mktsegment").alias("segment"),
         F.col("c_nationkey").alias("nation"),
-        F.ntile(10).over(w).alias("price_decile"),
+        sql_ntile(F.col("rank"), F.col("n_all"), 10).alias("price_decile"),
         F.col("o_orderpriority").alias("sensitive"),
     )
     classes = quasi.groupBy("segment", "nation", "price_decile").agg(
@@ -225,17 +241,25 @@ def q_privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surrogate-key issuance for data sharing: ranking customers by a
     salted portable hash yields dense ids whose order carries no
     business meaning; the per-segment distinct-count equality IS the
-    bijection proof. At 100 TB the dense_rank becomes a two-pass
-    zipWithIndex-style assignment (per-partition counts + offset), the
-    standard surrogate-key pattern; the hash ordering is identical."""
+    bijection proof. The id assignment is the standard two-pass
+    surrogate-key pattern (per-bucket counts + broadcast offsets +
+    local walk — operators/rankstats.py), identical to the oracle's
+    dense_rank because the (hash, custkey) order key is unique."""
     c = table(spark, sf_dir, "customer")
-    w = Window.orderBy(
-        hash60(F.concat(F.lit("pseud:"), F.col("c_custkey").cast("string"))),
-        "c_custkey",
-    )
-    mapped = c.select(
+    # the docstring's promised two-pass assignment, delivered (round
+    # 11): the (hash, custkey) order key is unique, so dense_rank ==
+    # row_number == the range-bucketed kernel's rank — no global sort.
+    from .rankstats import bucketed_running
+
+    h = hash60(F.concat(F.lit("pseud:"), F.col("c_custkey").cast("string")))
+    mapped = bucketed_running(
+        c.select("c_mktsegment", "c_custkey", h.alias("hk")),
+        axis="hk",
+        order=[F.col("hk").asc(), F.col("c_custkey").asc()],
+        cums={"pseudonym": F.lit(1)},
+    ).select(
         F.col("c_mktsegment").alias("segment"),
-        F.dense_rank().over(w).alias("pseudonym"),
+        F.col("pseudonym"),
     )
     return (
         mapped.groupBy("segment")

@@ -312,16 +312,20 @@ def q_abc_pareto(spark, sf_dir: str):
         .cast("decimal(18,2)")
         .alias("revenue")
     )
-    running = Window.orderBy(F.desc("revenue"), "part").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # running share via the range-bucketed kernel (round 11): exact
+    # decimal offsets + within-bucket decimal cumsum reproduce the
+    # global running sum bit-for-bit with no single-partition sort;
+    # the grand total is a broadcast scalar, not a whole-frame window.
+    from .rankstats import bucketed_running
+
+    cum = bucketed_running(
+        rev,
+        axis=-F.col("revenue").cast("double"),
+        order=[F.desc("revenue"), F.col("part").asc()],
+        cums={"cum": F.col("revenue")},
     )
-    total = Window.partitionBy()
-    classed = rev.select(
-        "part",
-        "revenue",
-        F.sum("revenue").over(running).alias("cum"),
-        F.sum("revenue").over(total).alias("total"),
-    ).select(
+    total = rev.agg(F.sum("revenue").alias("total"))
+    classed = cum.crossJoin(F.broadcast(total)).select(
         "part",
         "revenue",
         F.when(F.col("cum") * 100 <= 80 * F.col("total"), "A")
@@ -380,11 +384,36 @@ def q_customer_rfm(spark, sf_dir: str):
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    scored = base.select(
+    # three NTILE(5) cuts without three global-sort windows (round 11):
+    # chain the range-bucketed rank kernel once per metric (each pass
+    # preserves the frame and appends a rank), then closed-form the
+    # quintile from (rank, n) — identical cuts to the window form.
+    from .rankstats import bucketed_running, sql_ntile
+
+    nc = base.agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    ranked = bucketed_running(
+        base,
+        axis=-F.col("last_order").cast("timestamp").cast("double"),
+        order=[F.desc("last_order"), F.col("cust").asc()],
+        cums={"rank_r": F.lit(1)},
+    )
+    ranked = bucketed_running(
+        ranked,
+        axis=-F.col("frequency"),
+        order=[F.desc("frequency"), F.col("cust").asc()],
+        cums={"rank_f": F.lit(1)},
+    )
+    ranked = bucketed_running(
+        ranked,
+        axis=-F.col("monetary"),
+        order=[F.desc("monetary"), F.col("cust").asc()],
+        cums={"rank_m": F.lit(1)},
+    )
+    scored = ranked.crossJoin(F.broadcast(nc)).select(
         "cust",
-        F.ntile(5).over(Window.orderBy(F.desc("last_order"), "cust")).alias("r"),
-        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "cust")).alias("f"),
-        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "cust")).alias("m"),
+        sql_ntile(F.col("rank_r"), F.col("n_cust"), 5).alias("r"),
+        sql_ntile(F.col("rank_f"), F.col("n_cust"), 5).alias("f"),
+        sql_ntile(F.col("rank_m"), F.col("n_cust"), 5).alias("m"),
     )
     return scored.groupBy(
         F.col("r").cast("int").alias("r"),

@@ -250,22 +250,26 @@ FROM tot t CROSS JOIN d
     tags=("statistics", "ks-test", "hypothesis-test", "window"),
 )
 def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The KS distance is a max over the pooled sorted walk — one global
-    window pass. The D numerator is kept INTEGER (max |c1*n2 - c2*n1|,
-    exact in both engines regardless of float behavior) and divided only
-    at the end; ties across samples are resolved by the identical
-    (value, sample, event_id) walk order in both engines, so the max is
-    taken over the same step function. The 5% critical value uses the
-    asymptotic c(alpha)=1.358 as a mirrored literal expression. At scale
-    the single global sort is the cost — the same envelope as any global
-    ranked window; per-group KS would partition it."""
-    from pyspark.sql import Window
+    """The KS distance is a max over the pooled sorted walk. The oracle
+    (and the engine through round 10) expresses it as ONE GLOBAL WINDOW
+    over raw pooled events — correct, but the sort serializes through a
+    single window partition at 100 TB. The engine now computes the same
+    integer D numerator from the DISTINCT-VALUE frame with the
+    range-bucketed running-sum kernel (operators/rankstats.py):
 
+    within a tie group the oracle's walk order (value, is_a, event_id)
+    adds all is_b rows then all is_a rows, and |c1*n2 - c2*n1| is
+    |linear| in each counter — maximized at the sub-phase ENDPOINTS. So
+    the walk's max equals, per distinct value, the max of the two
+    checkpoints (after b's: c1=ca-ta, c2=cb) and (group end: ca, cb),
+    where ca/cb are bucketed cumulative per-value counts. The event_id
+    tiebreak never matters (same-counter increments are endpoint-
+    dominated). D stays INTEGER (exact in both engines); the 5% critical
+    value is the asymptotic c(alpha)=1.358 mirrored literal."""
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
     )
     pooled = ev.select(
-        "event_id",
         "value",
         F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_a"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_b"),
@@ -274,18 +278,25 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").cast("long").alias("n1"),
         F.sum("is_b").cast("long").alias("n2"),
     )
-    w = Window.orderBy("value", "is_a", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    byval = pooled.groupBy("value").agg(
+        F.sum("is_a").cast("long").alias("ta"),
+        F.sum("is_b").cast("long").alias("tb"),
     )
-    walk = pooled.select(
-        F.sum("is_a").over(w).alias("c1"), F.sum("is_b").over(w).alias("c2")
+    from .rankstats import bucketed_running
+
+    cum = bucketed_running(
+        byval,
+        axis="value",
+        order=[F.col("value").asc()],
+        cums={"ca": F.col("ta"), "cb": F.col("tb")},
     )
-    d = walk.crossJoin(F.broadcast(tot)).agg(
-        F.max(
-            F.abs((F.col("c1") * F.col("n2")) - (F.col("c2") * F.col("n1")))
-        )
-        .cast("long")
-        .alias("d_num")
+    mid = F.abs(
+        ((F.col("ca") - F.col("ta")) * F.col("n2"))
+        - (F.col("cb") * F.col("n1"))
+    )
+    end = F.abs((F.col("ca") * F.col("n2")) - (F.col("cb") * F.col("n1")))
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.greatest(mid, end)).cast("long").alias("d_num")
     )
     n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
     ks = F.col("d_num").cast("double") / (n1d * n2d)
@@ -358,11 +369,21 @@ FROM tot t
 def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from ..functions.hashing import hash60
+    from .rankstats import bucketed_running
 
     ev = table(spark, sf_dir, "events").select("event_id", "value")
-    rows0 = ev.select(
+    # rn = ROW_NUMBER() OVER (ORDER BY event_id), computed as the
+    # range-bucketed two-pass rank (operators/rankstats.py) so no
+    # corpus-sized frame serializes through one window partition; the
+    # oracle keeps the window form and the rn values are identical.
+    rows0 = bucketed_running(
+        ev,
+        axis="event_id",
+        order=[F.col("event_id").asc()],
+        cums={"rn": F.lit(1)},
+    ).select(
         F.round(F.col("value") * 100, 0).cast("long").alias("v"),
-        F.row_number().over(Window.orderBy("event_id")).alias("rn"),
+        F.col("rn").cast("int").alias("rn"),
     )
     tot = rows0.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -489,8 +510,12 @@ FROM tot t CROSS JOIN agg a
     tags=("statistics", "rank-sum", "hypothesis-test", "nonparametric"),
 )
 def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    """U depends only on per-value tie-group ranks, so the cumulative
+    count over distinct values is the whole ordered computation — and
+    since round 11 it runs through the range-bucketed running-sum
+    kernel (operators/rankstats.py) instead of a single global window:
+    same hi values bit-for-bit, parallelism = n_buckets instead of 1.
+    The oracle keeps the window form."""
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
     )
@@ -507,13 +532,13 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("t"),
         F.sum("is_a").cast("long").alias("ta"),
     )
-    cum = byval.withColumn(
-        "hi",
-        F.sum("t").over(
-            Window.orderBy("value").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ),
+    from .rankstats import bucketed_running
+
+    cum = bucketed_running(
+        byval,
+        axis="value",
+        order=[F.col("value").asc()],
+        cums={"hi": F.col("t")},
     )
     agg = cum.agg(
         F.sum(

@@ -116,12 +116,19 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = merged.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
         merged.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
     )
-    # Global running sum over island boundaries only — bounded input
-    # (2 rows per merged session), so the single-partition order is safe.
-    w_sweep = Window.orderBy("t", "delta").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Global running sum over session boundaries — 2 points per merged
+    # session, which still SCALES WITH THE CORPUS, so the sweep runs
+    # through the range-bucketed kernel (round 11), not a
+    # single-partition window: per-time-bucket delta totals give the
+    # prefix offsets, each bucket walks its own points in parallel.
+    from .rankstats import bucketed_running
+
+    swept = bucketed_running(
+        pts,
+        axis="t",
+        order=[F.col("t").asc(), F.col("delta").asc()],
+        cums={"concurrency": F.col("delta")},
     )
-    swept = pts.withColumn("concurrency", F.sum("delta").over(w_sweep))
     return (
         swept.groupBy(
             F.expr("t DIV 3600000000").alias("hour_no")

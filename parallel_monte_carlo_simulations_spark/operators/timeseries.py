@@ -766,23 +766,28 @@ def q_gaps_islands_key_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = o.where(F.col("o_orderstatus") == "F").select(
         F.col("o_orderkey").alias("k")
     )
-    w = Window.orderBy("k")
-    grouped = keys.select(
-        "k", (F.col("k") - F.row_number().over(w)).alias("grp")
-    )
+    # the k - row_number() grouping key and the island LEAD both run
+    # through the range-bucketed kernel (round 11): rank and
+    # next-island-start come from bucket-parallel walks, never a
+    # single-partition sort over the key sequence.
+    from .rankstats import bucketed_next_value, bucketed_running
+
+    grouped = bucketed_running(
+        keys, axis="k", order=[F.col("k").asc()], cums={"rn": F.lit(1)}
+    ).select("k", (F.col("k") - F.col("rn")).alias("grp"))
     islands = grouped.groupBy("grp").agg(
         F.min("k").alias("island_start"),
         F.max("k").alias("island_end"),
         F.count("*").alias("island_len"),
     )
-    wi = Window.orderBy("island_start")
     return (
-        islands.select(
+        bucketed_next_value(islands, "island_start")
+        .select(
             "island_start",
             "island_end",
             "island_len",
             (
-                F.lead("island_start").over(wi) - F.col("island_end") - 1
+                F.col("next_island_start") - F.col("island_end") - 1
             ).alias("gap_after"),
         )
         .orderBy(F.desc("island_len"), "island_start")

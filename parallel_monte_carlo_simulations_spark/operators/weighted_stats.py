@@ -67,19 +67,27 @@ GROUP BY l_returnflag
 )
 def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
-    cum = F.sum("l_quantity").over(
-        Window.partitionBy("l_returnflag")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # The oracle's per-row cumulative-weight walk satisfies
+    # "exists row at value v with cum*den >= num*total" iff the
+    # GROUP-END cumulative at v does (cum is monotone within a tie
+    # group), so the distinct-value frame + the range-bucketed kernel
+    # yields identical percentile edges with no 3-partition window.
+    from .rankstats import bucketed_running
+
+    byval = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("l_quantity").alias("qty")
     )
-    total = F.sum("l_quantity").over(Window.partitionBy("l_returnflag"))
-    w = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        cum.alias("cum"),
-        total.alias("total"),
+    totals = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_rows_flag"),
     )
+    w = bucketed_running(
+        byval,
+        axis="l_extendedprice",
+        order=[F.col("l_extendedprice").asc()],
+        cums={"cum": F.col("qty")},
+        partition_by=("l_returnflag",),
+    ).join(F.broadcast(totals), "l_returnflag")
     aggs = [
         (
             F.floor(
@@ -96,8 +104,10 @@ def q_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"wp{pct}")
         for pct, num, den in PCTS
     ]
+    # n_rows is the per-flag LINEITEM count (w now has one row per
+    # distinct value, so it comes from the totals frame, not count(*)).
     return w.groupBy("l_returnflag").agg(
-        *aggs, F.count(F.lit(1)).cast("long").alias("n_rows")
+        *aggs, F.max("n_rows_flag").cast("long").alias("n_rows")
     )
 
 
@@ -165,42 +175,41 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import table as _t
 
     ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    wv = (
-        Window.partitionBy("event_type")
-        .orderBy("value", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Both median selections use the group-end cumulative equivalence
+    # (cum*2 >= n is monotone in cum within a tie group), so each pass
+    # is a distinct-value rollup + the range-bucketed kernel — no
+    # |event_type|-partition window over raw events.
+    from .rankstats import bucketed_running
+
+    ntot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
     )
-    wn = Window.partitionBy("event_type")
-    v = ev.select(
-        "event_type",
-        "value",
-        F.sum(F.lit(1)).over(wv).alias("cum"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    med = v.groupBy("event_type").agg(
-        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("value"))).alias("med")
-    )
+
+    def _exact_median(df: DataFrame, col: str) -> DataFrame:
+        byval = df.groupBy("event_type", col).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        cum = bucketed_running(
+            byval,
+            axis=col,
+            order=[F.col(col).asc()],
+            cums={"cum": F.col("cnt")},
+            partition_by=("event_type",),
+        ).join(F.broadcast(ntot), "event_type")
+        return cum.groupBy("event_type").agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("n"), F.col(col))
+            ).alias(f"med_{col}")
+        )
+
+    med = _exact_median(ev, "value").withColumnRenamed("med_value", "med")
     d = ev.join(F.broadcast(med), on="event_type").select(
         "event_type",
         "event_id",
         "med",
         F.abs(F.col("value") - F.col("med")).alias("adiff"),
     )
-    wa = (
-        Window.partitionBy("event_type")
-        .orderBy("adiff", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    dc = d.select(
-        "event_type",
-        "med",
-        "adiff",
-        F.sum(F.lit(1)).over(wa).alias("cum"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    mad = dc.groupBy("event_type").agg(
-        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("adiff"))).alias("mad")
-    )
+    mad = _exact_median(d, "adiff").withColumnRenamed("med_adiff", "mad")
     return (
         d.join(F.broadcast(mad), on="event_type")
         .groupBy("event_type")
@@ -290,18 +299,21 @@ def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
     )
-    wc = (
-        Window.partitionBy("rf")
-        .orderBy("v", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # exact 5/95 percentile thresholds from the distinct-value rollup +
+    # range-bucketed kernel (group-end cumulative equivalence; round 11)
+    from .rankstats import bucketed_running
+
+    byval = cents.groupBy("rf", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    wn = Window.partitionBy("rf")
-    cum = cents.select(
-        "rf",
-        "v",
-        F.sum(F.lit(1)).over(wc).alias("c"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    ntot = cents.groupBy("rf").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cum = bucketed_running(
+        byval,
+        axis="v",
+        order=[F.col("v").asc()],
+        cums={"c": F.col("cnt")},
+        partition_by=("rf",),
+    ).join(F.broadcast(ntot), "rf")
     thr = cum.groupBy("rf").agg(
         F.min(F.when(F.col("c") * 20 >= F.col("n"), F.col("v"))).alias("p05"),
         F.min(F.when(F.col("c") * 20 >= 19 * F.col("n"), F.col("v"))).alias("p95"),

@@ -193,10 +193,25 @@ GROUP BY quartile
     tags=("window", "ntile"),
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) via the range-bucketed rank kernel + closed-form
+    sql_ntile (round 11) — identical quartile cuts to the oracle's
+    window form, no single-partition global sort."""
+    from .rankstats import bucketed_running, sql_ntile
+
     c = table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    nt = c.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    ranked = bucketed_running(
+        c.select("c_acctbal", "c_custkey"),
+        axis="c_acctbal",
+        order=[F.asc("c_acctbal"), F.asc("c_custkey")],
+        cums={"rank": F.lit(1)},
+    )
     return (
-        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        ranked.crossJoin(F.broadcast(nt))
+        .select(
+            "c_acctbal",
+            sql_ntile(F.col("rank"), F.col("n_all"), 4).alias("quartile"),
+        )
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -314,16 +329,70 @@ FROM orders
     tags=("window", "cume_dist", "nth_value"),
 )
 def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle's window form partitions by o_orderpriority — 5
+    distinct values, so at 100 TB the whole orders table serializes
+    through 5 window partitions. The engine computes the identical
+    tie-aware cume_dist two-pass (round 11): per-(priority, price)
+    counts, cumulative over price via the range-bucketed kernel
+    (rankstats.py; parallelism = 5 x n_buckets), joined back — cume =
+    rows_le / n_priority, exactly cume_dist's definition. nth_value(3)
+    is a local-then-global top-3: row_number <= 3 within each
+    (priority, bucket) shrinks candidates to <= 3 x n_buckets per
+    priority before the tiny global pick."""
     o = table(spark, sf_dir, "orders")
-    wc = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    wn = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("o_totalprice", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    from .rankstats import BUCKET_COL, bucketed_running, with_range_bucket
+
+    byval = o.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    return o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.round(F.cume_dist().over(wc), 6).alias("price_cume_dist"),
-        F.nth_value("o_orderkey", 3).over(wn).alias("third_cheapest_order"),
+    cum = bucketed_running(
+        byval,
+        axis="o_totalprice",
+        order=[F.col("o_totalprice").asc()],
+        cums={"cum_le": F.col("cnt")},
+        partition_by=("o_orderpriority",),
+    )
+    nprio = F.broadcast(
+        o.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_prio")
+        )
+    )
+    # third-cheapest (price, orderkey) per priority: local top-3 per
+    # range bucket, then the global pick over <= 3 x n_buckets rows.
+    slim = o.select("o_orderpriority", "o_totalprice", "o_orderkey")
+    bucketed = with_range_bucket(
+        slim, "o_totalprice", partition_by=("o_orderpriority",)
+    )
+    wloc = Window.partitionBy("o_orderpriority", BUCKET_COL).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    cand = bucketed.withColumn("lrn", F.row_number().over(wloc)).filter(
+        F.col("lrn") <= 3
+    )
+    wglob = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    third = F.broadcast(
+        cand.withColumn("grn", F.row_number().over(wglob))
+        .filter(F.col("grn") == 3)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderkey").alias("third_cheapest_order"),
+        )
+    )
+    return (
+        o.join(
+            cum.select("o_orderpriority", "o_totalprice", "cum_le"),
+            ["o_orderpriority", "o_totalprice"],
+        )
+        .join(nprio, "o_orderpriority")
+        .join(third, "o_orderpriority", "left")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                F.col("cum_le").cast("double") / F.col("n_prio"), 6
+            ).alias("price_cume_dist"),
+            "third_cheapest_order",
+        )
     )

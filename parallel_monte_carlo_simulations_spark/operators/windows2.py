@@ -34,13 +34,44 @@ FROM supplier
     tags=("window", "range_frame"),
 )
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE frame without the global sort (round 11): tile the
+    value axis into fixed 1000-wide grid cells (= 2x the 500 radius) and
+    replicate each row into every cell its +-500 frame touches — a
+    length-1000 closed interval spans at most TWO width-1000 cells, so
+    each row gets <= 2 copies. The range frame then runs PER CELL: for a
+    home row x, every peer within 500 has a copy in x's cell (floor is
+    monotone), copies outside the frame are excluded by the RANGE bound
+    itself, and results are kept only for home rows. Same frame row-set
+    as the oracle's global window, cell-parallel."""
     s = table(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal").rangeBetween(-500, 500)
-    return s.select(
+    cells = F.array_distinct(
+        F.array(
+            F.floor((F.col("s_acctbal") - 500) / 1000),
+            F.floor((F.col("s_acctbal") + 500) / 1000),
+        )
+    )
+    tiled = s.select(
         "s_suppkey",
-        F.round("s_acctbal", 2).alias("acctbal"),
-        F.count(F.lit(1)).over(w).alias("n_peers_within_500"),
-        F.round(F.avg("s_acctbal").over(w), 4).alias("band_avg"),
+        "s_acctbal",
+        F.floor(F.col("s_acctbal") / 1000).alias("home"),
+        F.explode(cells).alias("cell"),
+    )
+    w = (
+        Window.partitionBy("cell")
+        .orderBy("s_acctbal")
+        .rangeBetween(-500, 500)
+    )
+    return (
+        tiled.select(
+            "s_suppkey",
+            "home",
+            "cell",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.count(F.lit(1)).over(w).alias("n_peers_within_500"),
+            F.round(F.avg("s_acctbal").over(w), 4).alias("band_avg"),
+        )
+        .filter(F.col("cell") == F.col("home"))
+        .drop("home", "cell")
     )
 
 

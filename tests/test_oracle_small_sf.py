@@ -64,6 +64,16 @@ REPRESENTATIVE = [
     "q_pr_auc",
     "q_stat_mcnemar",
     "q_ml_lift_deciles",
+    # round-11: global-ranked-window family converted to the
+    # range-bucketed kernel — same oracles, tiny-sf equivalence here
+    "q_ks_two_sample",
+    "q_mann_whitney_u",
+    "q_wasserstein_two_sample",
+    "q_psi_drift",
+    "q_bootstrap_ci_mean",
+    "q_customer_rfm",
+    "q_window_cume_dist",
+    "q_abc_pareto",
 ]
 
 

@@ -546,3 +546,105 @@ def test_periodogram_frequency_dim_broadcast(spark):
     ) >= 2
     # the series aggregate keys on the hour bucket: partial+final
     assert "partial_count" in plan
+
+
+# --------------------------------------------------------------------------
+# Round 11: global-ranked-window gate (the WindowExec twin of the
+# broadcast audit) + kernel-conversion pins.
+# --------------------------------------------------------------------------
+
+#: The round-10 verdict's weak family + the queries the round-11 sweep
+#: converted alongside them: each previously carried a Window whose
+#: partition spec was empty or a handful of values over a corpus-sized
+#: frame; all now run through operators/rankstats.py.
+CONVERTED_TO_RANK_KERNEL = [
+    "q_ks_two_sample",
+    "q_mann_whitney_u",
+    "q_wasserstein_two_sample",
+    "q_psi_drift",
+    "q_bootstrap_ci_mean",
+    "q_ml_lift_deciles",
+    "q_customer_rfm",
+    "q_window_cume_dist",
+    "q_abc_pareto",
+    "q_window_ntile",
+    "q_window_percent_rank",
+    "q_window_range_frame",
+    "q_gini_concentration",
+    "q_funnel_time_to_convert",
+    "q_interval_concurrency",
+    "q_gaps_islands_key_ranges",
+    "q_ml_conformal_interval",
+    "q_privacy_k_anonymity",
+    "q_privacy_pseudonymize",
+    "q_feat_quantile_binning",
+    "q_text_quality_calibration",
+    "q_dataset_interleave",
+    "q_sample_balanced_classes",
+    "q_sequence_packing",
+    "q_weighted_percentiles",
+    "q_mad_outliers",
+    "q_winsorized_means",
+    "q_roc_auc",
+    "q_spearman_corr",
+    # q_curation_token_budget is PARTIALLY converted (the corpus-sized
+    # boundary-bucket fill); its remaining windows run over the 3-dp
+    # quantized score rollup (<= 1001 rows) and stay whitelisted in
+    # tools/audit_windows.py, so it is exercised by the registry-wide
+    # gate below rather than this zero-window pin.
+]
+
+
+@pytest.mark.parametrize("name", CONVERTED_TO_RANK_KERNEL)
+def test_converted_queries_have_no_global_window(spark, name):
+    """Every converted query's plan must be free of corpus-over-one-
+    (or-K-)partition windows: all remaining Window nodes either
+    partition by the kernel's bucket column or consume a structurally
+    bounded rollup."""
+    _tools_path()
+    from tools.audit_windows import unbounded_global_windows
+
+    assert unbounded_global_windows(_plan(spark, name)) == 0, (
+        f"{name}: corpus-sized global/low-card window survived conversion"
+    )
+
+
+@pytest.mark.timeout_s(900)
+def test_registry_wide_window_audit_clean(spark):
+    """Continuous form of tools/audit_windows.py (round-11): compile
+    EVERY registered plan and require (a) zero non-whitelisted
+    global-ranked windows, (b) zero STALE whitelist entries, (c) zero
+    plan-compilation errors — same design as the broadcast gate above."""
+    _tools_path()
+    from tools.audit_windows import audit
+
+    out = audit(spark)
+    assert out["errors"] == {}, out["errors"]
+    assert out["not_whitelisted"] == [], (
+        f"unreviewed global-window hazards: {out['not_whitelisted']}"
+    )
+    assert out["whitelist_unused"] == [], (
+        f"stale BOUNDED_OK entries (plan no longer flags): "
+        f"{out['whitelist_unused']}"
+    )
+
+
+def test_registry_counts_agree():
+    """OPERATORS.md's header count, the registry, and the driver
+    contract surface must never drift apart (round-11 hygiene gate)."""
+    import re
+
+    import __spark_entry__ as ent
+
+    n_reg = len(SPECS)
+    assert len(ent.queries()) == n_reg
+    assert len(ent.oracle_sql()) <= n_reg
+    repo = __file__.rsplit("/", 2)[0]
+    with open(f"{repo}/OPERATORS.md") as fh:
+        head = fh.read(2000)
+    m = re.search(r"\*\*(\d+) queries,", head)
+    assert m is not None, "OPERATORS.md lost its registry-count header"
+    assert int(m.group(1)) == n_reg, (
+        f"OPERATORS.md says {m.group(1)} queries, registry has {n_reg} — "
+        "regenerate with tools/gen_operators_md.py"
+    )
