@@ -6,6 +6,18 @@ Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
 
+Quiet-box median protocol (round 11, default): the round-9 and
+first round-10 records were polluted by ambient load and only the
+quiet-box reruns were comparable, so the DEFAULT path now runs
+$SPARK_GRAFT_BENCH_ATTEMPTS (default 3) fresh-process attempts, records
+each attempt's 1-min load and CPU-calibration probes, auto-reruns
+attempts whose mean calibration deviates >1.5x from the fastest
+attempt's (up to 2 extras, inside a $SPARK_GRAFT_BENCH_BUDGET_SEC=900
+wall budget), and reports ``value`` = SUM OF PER-QUERY MEDIANS over the
+accepted attempts. Per-attempt loads/calibrations ride on the JSON line;
+full per-attempt tables go to BENCH_DETAIL_r{N}.json. Set
+SPARK_GRAFT_BENCH_ATTEMPTS=1 for the old single-shot behavior.
+
 Includes ``mc_demo_workload1``: the reference's own demo battery
 (100,000 sims x 16 pts fair coin + 60,000 x 32 biased —
 demos/demo_coin_sequences.ipynb cell 16) with the same pure-Python
@@ -196,7 +208,11 @@ def _cpu_calibration() -> float:
     return round(time.time() - t0, 3)
 
 
-def main() -> None:
+def _attempt_main(child_out: str | None = None) -> None:
+    """One full bench attempt in THIS process (fresh JVM required —
+    the heap pin below enforces it). Standalone mode (child_out=None)
+    prints the driver line and writes the detail file; child mode dumps
+    the detail dict to ``child_out`` for the parent aggregator."""
     from parallel_monte_carlo_simulations_spark.registry import load_all_queries
     from parallel_monte_carlo_simulations_spark.session import get_spark
 
@@ -352,6 +368,10 @@ def main() -> None:
         k: round(v * ratio, 3) for k, v in times.items()
     }
     detail["rep_detail"] = rep_detail
+    if child_out is not None:
+        with open(child_out, "w") as fh:
+            json.dump(detail, fh)
+        return
     _write_detail(detail)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # hard guard: stay inside the driver's tail buffer
@@ -359,6 +379,109 @@ def main() -> None:
         # re-check after EVERY pop (round 6 advice: a single unchecked pop
         # could still overflow on a future long field)
         for field in ("queries", "load_warning", "metric"):
+            out.pop(field, None)
+            line = json.dumps(out, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+        assert len(line) <= 1900, f"bench line still {len(line)} bytes"
+    print(line)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return round(s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0, 3)
+
+
+def main() -> None:
+    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    child_out = os.environ.get("SPARK_GRAFT_BENCH_CHILD_OUT")
+    if child_out is not None or attempts <= 1:
+        _attempt_main(child_out)
+        return
+
+    # Parent: N fresh-process attempts -> per-query medians. A fresh
+    # JVM per attempt keeps the 1g heap pin honest and removes heap/
+    # codegen state carryover between attempts.
+    import subprocess
+    import tempfile
+
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
+    t_start = time.time()
+    runs: list[dict] = []
+    max_extra = 2
+    scheduled, launched = attempts, 0
+    while launched < scheduled and (
+        not runs or time.time() - t_start < budget
+    ):
+        launched += 1
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            out_path = tf.name
+        env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD_OUT=out_path)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=sys.stderr,
+            stderr=sys.stderr,
+        )
+        if r.returncode != 0:
+            print(f"attempt {launched} failed rc={r.returncode}",
+                  file=sys.stderr)
+            continue
+        with open(out_path) as fh:
+            runs.append(json.load(fh))
+        os.unlink(out_path)
+        # pollution check: mean calibration > 1.5x the fastest attempt's
+        # means the box slowed mid-run (co-tenant) — schedule a rerun.
+        cals = [
+            (x["cpu_calibration_sec_start"] + x["cpu_calibration_sec_end"])
+            / 2.0
+            for x in runs
+        ]
+        polluted = sum(1 for c in cals if c > 1.5 * min(cals))
+        if polluted and scheduled < attempts + max_extra:
+            scheduled = min(attempts + polluted, attempts + max_extra)
+
+    if not runs:
+        raise SystemExit("bench: every attempt failed")
+    cals = [
+        (x["cpu_calibration_sec_start"] + x["cpu_calibration_sec_end"]) / 2.0
+        for x in runs
+    ]
+    best = min(cals)
+    accepted = [x for x, c in zip(runs, cals) if c <= 1.5 * best]
+    names = list(accepted[0]["queries"])
+    med = {
+        k: _median([x["queries"][k] for x in accepted if k in x["queries"]])
+        for k in names
+    }
+    out = {
+        "metric": accepted[0]["metric"]
+        + f" — sum of per-query medians over {len(accepted)} attempts",
+        "value": round(sum(med.values()), 3),
+        "unit": "sec",
+        "queries": med,
+        "sf": accepted[0]["sf"],
+        # NOTE: attempt k>0's load1 includes the 1-min decay of attempt
+        # k-1's own 32-core run — the calibration probe, not load1, is
+        # the accept/rerun criterion for exactly this reason.
+        "attempt_load1": [x["ambient_load1_at_start"] for x in runs],
+        "attempt_cal": [round(c, 3) for c in cals],
+        "attempts_accepted": len(accepted),
+        "attempts_total": len(runs),
+    }
+    contended = [x.get("contended_with_spark_jvms", 0) for x in runs]
+    if any(contended):
+        out["contended_with_spark_jvms"] = max(contended)
+    ratio = REF_CALIBRATION_SEC / best if best > 0 else 1.0
+    out["calibration_ratio_vs_r4"] = round(ratio, 4)
+    out["value_normalized"] = round(out["value"] * ratio, 3)
+    detail = dict(out)
+    detail["attempts"] = runs
+    _write_detail(detail)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        for field in ("queries", "attempt_load1", "attempt_cal", "metric"):
             out.pop(field, None)
             line = json.dumps(out, separators=(",", ":"))
             if len(line) <= 1900:

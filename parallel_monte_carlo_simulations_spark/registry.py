@@ -95,16 +95,21 @@ def load_all_queries() -> dict[str, QuerySpec]:
 #: Judge-named verification asks for the CURRENT round: hoisted to the
 #: head of the tier-0 backlog (they are already-waiting backlog members,
 #: so this reorders within the tier, never jumps new work over it).
-#: Round 10 (VERDICT item 1): the final 6 never-windowed round-9
-#: registrations — landing these in the r10 window completes real-driver
-#: closure (every registered query verified in an actual driver window).
+#: Round 11 (VERDICT item 2): the 11 late round-10 registrations that
+#: have only judge-mirror evidence — landing these in the r11 window
+#: gives every oracled query REAL driver-window evidence.
 _ROUND_ASKS = (
-    "q_feat_woe_iv",
-    "q_split_leakage_audit",
-    "q_stream_dedup_within_watermark",
-    "q_text_pmi_collocations",
-    "q_ts_haar_transform",
-    "q_ts_periodogram",
+    "q_curation_dup_flow_matrix",
+    "q_curation_funnel_report",
+    "q_feat_mutual_information",
+    "q_stat_brown_forsythe",
+    "q_stat_cramers_v",
+    "q_stat_jarque_bera",
+    "q_stat_pearson_matrix",
+    "q_text_js_divergence",
+    "q_text_ngram_novelty",
+    "q_text_token_entropy",
+    "q_text_vocab_growth",
 )
 
 
