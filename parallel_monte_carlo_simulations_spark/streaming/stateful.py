@@ -12,9 +12,15 @@ state size is bounded per key, not per stream.
 
 Spark 4's successor API (``transformWithStateInPandas``, typed state
 variables + timers) was evaluated and is unusable in this container:
-its state-server protocol needs ``google.protobuf``, which is not
-installed (driver worker crashes with ImportError). The v1 API below
-covers the custom-stateful surface.
+its state-server protocol module
+(``pyspark.sql.streaming.proto.StateMessage_pb2``) is protobuf-generated
+code whose first import is ``from google.protobuf import descriptor``,
+and google.protobuf is not installed (installs disallowed). The exact
+blocker is PINNED by
+tests/test_state_backend.py::test_transform_with_state_blocker_still_pinned —
+if the sandbox ever gains protobuf that test fails loudly, which is the
+signal to register a real ``q_stream_tws_*`` query. The v1 API below
+covers the custom-stateful surface meanwhile.
 """
 
 from __future__ import annotations

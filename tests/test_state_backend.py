@@ -13,6 +13,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.observation import Observation
 
@@ -92,3 +93,33 @@ def test_observe_metrics_match_direct_aggregation(spark):
     assert got["n_rows"] == direct["n_rows"] == n_out
     assert got["sum_price"] == direct["sum_price"]
     assert got["min_date"] == direct["min_date"]
+
+
+def test_transform_with_state_blocker_still_pinned():
+    """transformWithStateInPandas (the Spark 4 typed-state successor of
+    applyInPandasWithState) is environment-blocked in this container:
+    its state-server protocol module is protobuf-GENERATED code whose
+    first import is ``from google.protobuf import descriptor``, and
+    google.protobuf is not installed (and installs are disallowed).
+
+    This test PINS the blocker (documented at streaming/stateful.py):
+    the exact module and the exact error. The moment the sandbox gains
+    protobuf, the pytest.fail below fires — the signal to register a
+    real ``q_stream_tws_*`` query instead of this sentinel."""
+    import importlib
+
+    try:
+        importlib.import_module(
+            "pyspark.sql.streaming.proto.StateMessage_pb2"
+        )
+    except ModuleNotFoundError as e:
+        assert e.name in ("google", "google.protobuf"), (
+            f"tws blocker CHANGED: now fails on {e.name!r} ({e}) — "
+            "update streaming/stateful.py's documented blocker"
+        )
+        return
+    pytest.fail(
+        "google.protobuf is now importable: the transformWithState "
+        "blocker has lifted — implement and register q_stream_tws_* "
+        "(see streaming/stateful.py docstring) and retire this sentinel"
+    )
