@@ -181,11 +181,11 @@ ORDER BY decile
     oracle=_QLIFT_ORACLE,
     description=(
         "decile lift/gains table of total-price ranking vs status 'F': "
-        "deterministic NTILE(10) (score desc, orderkey tiebreak), "
+        "deterministic NTILE(10) (score desc, orderkey tiebreak) via "
+        "the range-bucketed rank kernel + closed-form sql_ntile, "
         "per-decile response rate, lift vs base rate, cumulative "
         "capture — the campaign-targeting report companion to "
-        "q_roc_auc/q_pr_auc; scale path for the global sort documented "
-        "(quantile-boundary range assignment)"
+        "q_roc_auc/q_pr_auc"
     ),
     tags=("ml", "evaluation", "lift", "gains", "window", "ranking"),
 )

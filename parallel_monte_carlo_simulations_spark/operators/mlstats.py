@@ -161,7 +161,7 @@ FROM agg
     oracle=_QGINI_ORACLE,
     description=(
         "Gini coefficient and top-1% share of customer spend — exact "
-        "integer rank-weighted sums, one sorted window pass"
+        "integer rank-weighted sums, ranks via the range-bucketed kernel"
     ),
     tags=("statistics", "gini", "concentration", "curation", "window"),
 )

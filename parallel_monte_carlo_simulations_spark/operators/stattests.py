@@ -245,7 +245,8 @@ FROM tot t CROSS JOIN d
     oracle=_QKS_ORACLE,
     description=(
         "two-sample Kolmogorov-Smirnov (view vs purchase values): exact "
-        "integer D numerator max|c1*n2 - c2*n1|, one sorted window pass"
+        "integer D numerator max|c1*n2 - c2*n1| from per-value tie-group "
+        "checkpoints via the range-bucketed rank kernel (no global sort)"
     ),
     tags=("statistics", "ks-test", "hypothesis-test", "window"),
 )

@@ -61,7 +61,8 @@ GROUP BY l_returnflag
     oracle=_QWMED_ORACLE,
     description=(
         "exact weighted percentiles (25/50/90) of price weighted by "
-        "quantity per return flag, via one cumulative-weight window pass"
+        "quantity per return flag — bucketed cumulative weights over "
+        "distinct values (group-end threshold equivalence, no K-partition window)"
     ),
     tags=("window", "statistics", "weighted", "percentile"),
 )
@@ -156,7 +157,7 @@ ORDER BY d.event_type
     oracle=_QMAD_ORACLE,
     description=(
         "robust outlier detection per event type: exact median + MAD via "
-        "two cumulative-count window passes, 3-sigma-equivalent threshold"
+        "two bucketed cumulative-count passes, 3-sigma-equivalent threshold"
     ),
     tags=("statistics", "robust", "outliers", "median", "window"),
 )
