@@ -537,3 +537,86 @@ def q_feat_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "fold")
     )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the "hashing trick", round 11): fixed-dimension
+# signed bag-of-words with NO vocabulary state — the vectorizer that
+# scales to unbounded vocabularies because the dimension is a hash
+# codomain, not a dictionary.
+# --------------------------------------------------------------------------
+
+_FH_D = 64  #: hashed feature dimension
+
+_QFHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, t,
+         {sql_hash60("'fh:' || t")} % {_FH_D} AS dim,
+         CASE WHEN {sql_hash60("'fs:' || t")} % 2 = 0 THEN 1 ELSE -1 END
+           AS sgn
+  FROM tok
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT)           AS n_occurrences,
+       CAST(COUNT(DISTINCT t) AS BIGINT)  AS n_distinct_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(sgn) AS BIGINT)           AS sum_signed
+FROM h
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+@register(
+    "q_feat_hashing_text",
+    oracle=_QFHASH_ORACLE,
+    description=(
+        f"feature hashing: tokens -> {_FH_D} signed hashed dimensions "
+        "(portable 60-bit hash for index, an independent hash bit for "
+        "the sign, so collisions cancel in expectation); per-dimension "
+        "occupancy / collision-pressure / signed-mass report"
+    ),
+    tags=("feature-engineering", "ml", "hashing", "text", "llm-pipeline"),
+)
+def q_feat_hashing_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary-free vectorizer: dim = h(token) mod D with an
+    independent sign hash (Weinberger et al.'s unbiased variant). No
+    fitted dictionary means no driver-side state and no vocabulary
+    broadcast — the property that makes it THE featurizer at 100 TB.
+    The per-dimension report is the practical audit: occupancy shows
+    load balance across dims, distinct-token counts show collision
+    pressure (vocabulary / D per dim if the hash is uniform), and the
+    signed mass shows how well collisions cancel. One token explode +
+    one 64-key aggregation; everything exact integers."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("t"),
+    )
+    h = tok.select(
+        "doc_id",
+        "t",
+        (hash60(F.concat(F.lit("fh:"), F.col("t"))) % _FH_D).alias("dim"),
+        F.when(
+            hash60(F.concat(F.lit("fs:"), F.col("t"))) % 2 == 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        h.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("t").cast("long").alias("n_distinct_tokens"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("sgn").cast("long").alias("sum_signed"),
+        )
+        .orderBy("dim")
+    )

@@ -450,3 +450,127 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation community detection (round 11): synchronized LPA
+# with a deterministic tie-break — the O(edges)-per-round community
+# finder (Raghavan et al. 2007), complementing modularity (which SCORES
+# a given partition) and k-core (which peels density).
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p FROM lineitem
+),
+e AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL
+  SELECT p AS src, s AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)"""
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.dst AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e JOIN l{i - 1} l ON l.node = e.src
+  GROUP BY e.dst, l.lbl
+),
+m{i} AS (SELECT node, MAX(c) AS mx FROM c{i} GROUP BY node),
+l{i} AS (
+  SELECT c.node, MIN(c.lbl) AS lbl
+  FROM c{i} c JOIN m{i} m ON m.node = c.node AND c.c = m.mx
+  GROUP BY c.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(lbl AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN node >= {_PART_OFFSET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN node < {_PART_OFFSET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_suppliers
+FROM l{_LPA_ROUNDS}
+GROUP BY lbl
+ORDER BY n_members DESC, community
+LIMIT 10"""
+    )
+    return "".join(parts)
+
+
+_QLPA_ORACLE = _lpa_oracle()
+
+
+@register(
+    "q_graph_label_propagation",
+    oracle=_QLPA_ORACLE,
+    description=(
+        f"label-propagation community detection ({_LPA_ROUNDS} "
+        "synchronized rounds) on the supplier-part graph: new label = "
+        "most frequent neighbor label with a min-label tie-break "
+        "(fully deterministic, unlike classic random-order LPA); top-10 "
+        "communities with bipartite composition"
+    ),
+    tags=("graph", "community", "label-propagation", "iterative", "scale"),
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronized LPA: every node simultaneously adopts its
+    neighborhood's plurality label; ties break to the SMALLEST label so
+    both engines converge identically (the classic algorithm breaks
+    ties randomly — useless for an oracle). Each round is two
+    edge-keyed aggregations + one join: O(|E|) work, no corpus
+    broadcast, no window — the plan shape that survives a billion-edge
+    graph because labels flow along edges, never through the driver.
+    Initial label = own node id (integer; parts offset above
+    suppliers), so community ids are stable meaningful anchors."""
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") + _PART_OFFSET).alias("p"),
+    ).distinct()
+    e = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionAll(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    e = e.persist()
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            e.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        # argmax count, tie -> MIN label, in ONE aggregation: max of
+        # struct(c, -lbl) compares count first, then prefers the
+        # smaller label (bigger negation). Equivalent to the oracle's
+        # max-count + min-label join, two shuffles per round instead
+        # of four.
+        best = F.max(
+            F.struct(F.col("c"), (-F.col("lbl")).alias("neg"), F.col("lbl"))
+        )
+        labels = counts.groupBy("node").agg(best.getField("lbl").alias("lbl"))
+    return (
+        labels.groupBy(F.col("lbl").cast("long").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.when(F.col("node") >= _PART_OFFSET, 1).otherwise(0))
+            .cast("long")
+            .alias("n_parts"),
+            F.sum(F.when(F.col("node") < _PART_OFFSET, 1).otherwise(0))
+            .cast("long")
+            .alias("n_suppliers"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(10)
+    )

@@ -640,3 +640,99 @@ def q_stat_pearson_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out
+
+
+# --------------------------------------------------------------------------
+# Cochran-Armitage trend test: ordered categories vs a binary response
+# (round 11) — the trend companion the chi-square independence test
+# cannot answer ("is the F-rate MONOTONE in priority?" vs "dependent?").
+# --------------------------------------------------------------------------
+
+_QCATREND_ORACLE = """
+WITH g AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(n) AS BIGINT)      AS nn,
+         CAST(SUM(f) AS BIGINT)      AS r,
+         CAST(SUM(w * f) AS BIGINT)  AS swf,
+         CAST(SUM(w * n) AS BIGINT)  AS swn,
+         CAST(SUM(w * w * n) AS BIGINT) AS swwn,
+         CAST(COUNT(*) AS BIGINT)    AS k
+  FROM g
+)
+SELECT k AS n_groups, nn AS n_orders, r AS n_responders,
+       ROUND(CAST(nn * swf - r * swn AS DOUBLE)
+             / CAST(nn AS DOUBLE), 4) AS trend_t,
+       ROUND(CAST(nn * swf - r * swn AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
+             / sqrt(CAST(r AS DOUBLE) * CAST(nn - r AS DOUBLE)
+                    * CAST(nn * swwn - swn * swn AS DOUBLE)), 6) AS z_trend,
+       ABS(CAST(nn * swf - r * swn AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
+           / sqrt(CAST(r AS DOUBLE) * CAST(nn - r AS DOUBLE)
+                  * CAST(nn * swwn - swn * swn AS DOUBLE))) > 1.96e0
+         AS significant_05
+FROM s
+"""
+
+
+@register(
+    "q_stat_cochran_armitage",
+    oracle=_QCATREND_ORACLE,
+    description=(
+        "Cochran-Armitage trend test: is the 'F'-status rate monotone "
+        "in order priority (scores 1..5)? T = sum w_i (f_i - n_i R/N) "
+        "with variance R(N-R)[N sum(w^2 n) - (sum w n)^2] / N^3 — all "
+        "sufficient statistics exact integers, z in one mirrored double "
+        "expression"
+    ),
+    tags=("statistics", "trend", "hypothesis-test", "ordinal", "aggregate"),
+)
+def q_stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing ordered-categories test: chi-square asks "are
+    priority and status dependent at all?"; Cochran-Armitage asks the
+    sharper monotone question with 1 dof. Scaled to integers:
+    T*N = N*sum(w f) - R*sum(w n) and Var*N^3 = R(N-R)(N*sum(w^2 n) -
+    (sum w n)^2) are exact BIGINTs, so z = T*N*sqrt(N)/sqrt(R(N-R)V)
+    is one mirrored double expression over exact integers. One 5-row
+    grouped rollup — the 100 TB shape (shuffle carries 5 group sums)."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1))
+        .cast("long")
+        .alias("f"),
+    )
+    s = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("f").cast("long").alias("r"),
+        F.sum(F.col("w") * F.col("f")).cast("long").alias("swf"),
+        F.sum(F.col("w") * F.col("n")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n"))
+        .cast("long")
+        .alias("swwn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    tn = (F.col("nn") * F.col("swf") - F.col("r") * F.col("swn")).cast(
+        "double"
+    )
+    v = (
+        F.col("r").cast("double")
+        * (F.col("nn") - F.col("r")).cast("double")
+        * (F.col("nn") * F.col("swwn") - F.col("swn") * F.col("swn")).cast(
+            "double"
+        )
+    )
+    z = tn * F.sqrt(F.col("nn").cast("double")) / F.sqrt(v)
+    return s.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_orders"),
+        F.col("r").alias("n_responders"),
+        F.round(tn / F.col("nn").cast("double"), 4).alias("trend_t"),
+        F.round(z, 6).alias("z_trend"),
+        (F.abs(z) > F.lit(1.96)).alias("significant_05"),
+    )

@@ -74,6 +74,10 @@ REPRESENTATIVE = [
     "q_customer_rfm",
     "q_window_cume_dist",
     "q_abc_pareto",
+    # round-11 registrations
+    "q_stat_cochran_armitage",
+    "q_feat_hashing_text",
+    "q_graph_label_propagation",
 ]
 
 
