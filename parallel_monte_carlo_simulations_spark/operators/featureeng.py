@@ -610,13 +610,34 @@ def q_feat_hashing_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .alias("sgn"),
     )
+    # Two pre-aggregated pipelines instead of one multi-countDistinct
+    # aggregation: Spark plans 2 distincts as a 3x Expand of the token
+    # stream (measured 4.7x at natural x10); pre-grouping by (dim, t)
+    # and (dim, doc) keeps each shuffle at most token-stream-sized.
+    # sgn is a function of t, so per-token occurrence counts carry the
+    # signed sum exactly.
+    per_tok = h.groupBy("dim", "t", "sgn").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    tok_stats = per_tok.groupBy("dim").agg(
+        F.sum("occ").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.sum(F.col("sgn") * F.col("occ")).cast("long").alias("sum_signed"),
+    )
+    doc_stats = (
+        h.select("dim", "doc_id")
+        .distinct()
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
     return (
-        h.groupBy(F.col("dim").cast("long").alias("dim"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            F.countDistinct("t").cast("long").alias("n_distinct_tokens"),
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.sum("sgn").cast("long").alias("sum_signed"),
+        tok_stats.join(doc_stats, "dim")
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n_occurrences",
+            "n_distinct_tokens",
+            "n_docs",
+            "sum_signed",
         )
         .orderBy("dim")
     )
