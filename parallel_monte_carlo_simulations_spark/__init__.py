@@ -20,7 +20,23 @@ express the semantics (the user model callables of the MC battery).
 """
 
 from .mc.battery import MCBattery
+from .operators.rankstats import (
+    bucketed_next_value,
+    bucketed_running,
+    sql_ntile,
+    with_range_bucket,
+)
 from .registry import REGISTRY, register
 
-__all__ = ["MCBattery", "REGISTRY", "register"]
+__all__ = [
+    "MCBattery",
+    "REGISTRY",
+    "register",
+    # the scale-safe ranked-computation kernel (round 11): global
+    # running sums / ranks / NTILE / LEAD without a global-sort window
+    "bucketed_running",
+    "bucketed_next_value",
+    "with_range_bucket",
+    "sql_ntile",
+]
 __version__ = "0.1.0"

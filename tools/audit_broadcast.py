@@ -92,6 +92,12 @@ BOUNDED_OK: dict[str, str] = {
         "vec_id < K; updates group by (cid, dim), cid domain = K) — "
         "derived from the posexplode so the detector sees a Generate"
     ),
+    # Round-11 addition:
+    "q_feat_hashing_text": (
+        "per-dimension rollups: dim = hash % 64, so both join sides are "
+        "<= 64 rows by construction — derived from the token explode so "
+        "the detector sees a Generate"
+    ),
 }
 
 BOUNDING = re.compile(r"GlobalLimit|TakeOrderedAndProject|CollectLimit")
