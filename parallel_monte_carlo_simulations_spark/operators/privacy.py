@@ -25,7 +25,7 @@ class table is bounded by the quasi-identifier domain.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, sql_hash60
