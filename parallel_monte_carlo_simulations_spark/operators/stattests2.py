@@ -736,3 +736,221 @@ def q_stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_trend"),
         (F.abs(z) > F.lit(1.96)).alias("significant_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa (round 11): chance-corrected agreement between two
+# binary "raters" — here the repetition screen (type-token diversity
+# < 0.5) and the exact-duplicate label. The curation audit question:
+# does the cheap heuristic AGREE with ground-truth duplication beyond
+# chance? Raw accuracy flatters imbalanced labels; kappa doesn't.
+# --------------------------------------------------------------------------
+
+_QKAPPA_ORACLE = """
+WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
+                   < len(string_split(text, ' ')) THEN 1 ELSE 0 END AS a,
+         CASE WHEN COUNT(*) OVER (PARTITION BY text) > 1 THEN 1 ELSE 0 END
+           AS b
+  FROM documents
+),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE a = 1 AND b = 1) AS BIGINT) AS n11,
+         CAST(COUNT(*) FILTER (WHERE a = 1 AND b = 0) AS BIGINT) AS n10,
+         CAST(COUNT(*) FILTER (WHERE a = 0 AND b = 1) AS BIGINT) AS n01,
+         CAST(COUNT(*) FILTER (WHERE a = 0 AND b = 0) AS BIGINT) AS n00
+  FROM lab
+)
+SELECT n AS n_docs, n11, n10, n01, n00,
+       ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS observed_agreement,
+       CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00)) <> 0
+            THEN ROUND(CAST(n * (n11 + n00)
+                            - ((n11 + n10) * (n11 + n01)
+                               + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                       / CAST(n * n - ((n11 + n10) * (n11 + n01)
+                                       + (n01 + n00) * (n10 + n00))
+                              AS DOUBLE), 6)
+            END AS cohens_kappa
+FROM cells
+"""
+
+
+@register(
+    "q_stat_cohens_kappa",
+    oracle=_QKAPPA_ORACLE,
+    description=(
+        "Cohen's kappa between the repetition screen (type-token "
+        "diversity < 0.5, an integer comparison) and the exact-duplicate "
+        "label: kappa reduces to ONE exact integer ratio "
+        "(n(n11+n00) - sum(r_i c_i)) / (n^2 - sum(r_i c_i)) — "
+        "chance-corrected agreement for curation-rule audits"
+    ),
+    tags=("statistics", "agreement", "kappa", "curation", "aggregate"),
+)
+def q_stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kappa = (p_o - p_e)/(1 - p_e) with p_o = (n11+n00)/n and
+    p_e = (r1 c1 + r0 c0)/n^2 clears denominators into a single exact
+    integer fraction — ONE double division total, so the statistic is
+    order-independent and oracles bit-for-bit. Degenerate chance
+    agreement (p_e = 1: a rater is constant) yields a mirrored NULL in
+    both engines rather than NULL-vs-NaN drift. Everything before the
+    division is two corpus aggregations (the dup label is a text-keyed
+    window count in the oracle; the engine uses the equivalent groupBy
+    + join)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    a = F.when(
+        F.size(F.array_distinct(toks)) * 2 < F.size(toks), 1
+    ).otherwise(0)
+    dup = (
+        d.groupBy("text")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_same"))
+    )
+    lab = d.join(dup, "text").select(
+        a.alias("a"),
+        F.when(F.col("n_same") > 1, 1).otherwise(0).alias("b"),
+    )
+    cells = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1))
+        .cast("long")
+        .alias("n11"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1))
+        .cast("long")
+        .alias("n10"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1))
+        .cast("long")
+        .alias("n01"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1))
+        .cast("long")
+        .alias("n00"),
+    )
+    n = F.col("n")
+    chance = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    num = n * (F.col("n11") + F.col("n00")) - chance
+    den = n * n - chance
+    return cells.select(
+        n.alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            (F.col("n11") + F.col("n00")).cast("double") / n, 6
+        ).alias("observed_agreement"),
+        F.when(den != 0, F.round(num.cast("double") / den.cast("double"), 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("cohens_kappa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Partial correlation (round 11): does the qty-discount association
+# survive controlling for tax? r_xy.z from the three pairwise Pearson
+# r's — the confounder-adjusted companion to q_stat_pearson_matrix.
+# --------------------------------------------------------------------------
+
+_QPARTIAL_ORACLE = """
+WITH v AS (
+  SELECT CAST(l_quantity AS HUGEINT) AS x,
+         CAST(ROUND(l_discount * 100, 0) AS HUGEINT) AS y,
+         CAST(ROUND(l_tax * 100, 0) AS HUGEINT) AS z
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(z) AS DOUBLE) AS sz,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(z * z) AS DOUBLE) AS szz,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * z) AS DOUBLE) AS sxz,
+         CAST(SUM(y * z) AS DOUBLE) AS syz,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM v
+),
+r AS (
+  SELECT n_rows,
+         (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
+                                * sqrt(n * syy - sy * sy)) AS rxy,
+         (n * sxz - sx * sz) / (sqrt(n * sxx - sx * sx)
+                                * sqrt(n * szz - sz * sz)) AS rxz,
+         (n * syz - sy * sz) / (sqrt(n * syy - sy * sy)
+                                * sqrt(n * szz - sz * sz)) AS ryz
+  FROM s
+)
+SELECT n_rows,
+       ROUND(rxy, 6) AS r_xy,
+       ROUND(rxz, 6) AS r_xz,
+       ROUND(ryz, 6) AS r_yz,
+       ROUND((rxy - rxz * ryz)
+             / (sqrt(1.0e0 - rxz * rxz) * sqrt(1.0e0 - ryz * ryz)), 6)
+         AS r_xy_given_z
+FROM r
+"""
+
+
+@register(
+    "q_stat_partial_corr",
+    oracle=_QPARTIAL_ORACLE,
+    description=(
+        "partial correlation r_xy.z of quantity vs discount controlling "
+        "for tax: (r_xy - r_xz r_yz)/sqrt((1-r_xz^2)(1-r_yz^2)) over "
+        "exact integer moments — the confounder-adjusted companion to "
+        "the Pearson matrix"
+    ),
+    tags=("statistics", "correlation", "partial", "aggregate"),
+)
+def q_stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregation ships ten exact integer moments (the variables
+    are small integers, so the double sums are exact far past sf1.0);
+    the three pairwise r's and the partial r evaluate as ONE mirrored
+    double expression tree in both engines — same association, rounded
+    once. The statistic every 'X drives Y' claim needs before anyone
+    believes it (here: qty-discount net of the tax bracket)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_discount") * 100, 0).cast("long")
+    z = F.round(F.col("l_tax") * 100, 0).cast("long")
+    s = li.select(
+        x.alias("x"), y.alias("y"), z.alias("z")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("double").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("double").alias("syz"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    n = F.col("n")
+
+    def _r(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)) / (
+            F.sqrt(n * F.col(saa) - F.col(sa) * F.col(sa))
+            * F.sqrt(n * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+
+    rxy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = _r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = _r("syz", "sy", "sz", "syy", "szz")
+    partial = (rxy - rxz * ryz) / (
+        F.sqrt(F.lit(1.0) - rxz * rxz) * F.sqrt(F.lit(1.0) - ryz * ryz)
+    )
+    return s.select(
+        "n_rows",
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(partial, 6).alias("r_xy_given_z"),
+    )

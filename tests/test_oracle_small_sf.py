@@ -78,6 +78,8 @@ REPRESENTATIVE = [
     "q_stat_cochran_armitage",
     "q_feat_hashing_text",
     "q_graph_label_propagation",
+    "q_stat_cohens_kappa",
+    "q_stat_partial_corr",
 ]
 
 
