@@ -393,6 +393,39 @@ def _median(xs: list[float]) -> float:
     return round(s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0, 3)
 
 
+#: Load-aware attempt acceptance (round 12, r11 verdict #4): an attempt
+#: that STARTS on a busy box (1-min load above this) is rerun and, if a
+#: quiet attempt exists, excluded from the medians — the _solo protocol
+#: SCALE_NATURAL5 already used. The calibration probe stays as the
+#: secondary gate (it catches CPU-speed drift; load1 catches core
+#: contention — r11's mc_demo +34% phantom regression started at
+#: load1 16.8 with a stable calibration).
+LOAD_QUIET = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_QUIET", "2.0"))
+LOAD_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "180"))
+
+
+def _load1() -> float:
+    with open("/proc/loadavg") as fh:
+        return float(fh.read().split()[0])
+
+
+def _wait_for_quiet(deadline: float) -> float:
+    """Poll load1 until the box is quiet, LOAD_WAIT_SEC elapses, or the
+    overall bench budget deadline passes; return the final load1. The
+    wait is BEFORE the attempt so attempt k never pays attempt k-1's
+    32-core decay tail."""
+    t0 = time.time()
+    ld = _load1()
+    while (
+        ld > LOAD_QUIET
+        and time.time() - t0 < LOAD_WAIT_SEC
+        and time.time() < deadline
+    ):
+        time.sleep(10)
+        ld = _load1()
+    return ld
+
+
 def main() -> None:
     attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     child_out = os.environ.get("SPARK_GRAFT_BENCH_CHILD_OUT")
@@ -415,6 +448,17 @@ def main() -> None:
         not runs or time.time() - t_start < budget
     ):
         launched += 1
+        # _solo discipline: wait out ambient load before launching, so
+        # the attempt's numbers are comparable round-over-round without
+        # normalization (r11 verdict #4).
+        pre_load = _wait_for_quiet(t_start + budget)
+        if pre_load > LOAD_QUIET:
+            print(
+                f"attempt {launched}: box still at load1={pre_load:.1f} "
+                f"after {LOAD_WAIT_SEC:.0f}s wait — running anyway, "
+                "attempt will be load-flagged",
+                file=sys.stderr,
+            )
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             out_path = tf.name
         env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD_OUT=out_path)
@@ -429,27 +473,42 @@ def main() -> None:
                   file=sys.stderr)
             continue
         with open(out_path) as fh:
-            runs.append(json.load(fh))
+            run = json.load(fh)
+        run["pre_load1"] = round(pre_load, 2)
+        runs.append(run)
         os.unlink(out_path)
-        # pollution check: mean calibration > 1.5x the fastest attempt's
-        # means the box slowed mid-run (co-tenant) — schedule a rerun.
+        # pollution checks — either schedules a bounded rerun:
+        # (a) calibration: box slowed mid-run (CPU-speed drift);
+        # (b) load: attempt started contended despite the wait.
         cals = [
             (x["cpu_calibration_sec_start"] + x["cpu_calibration_sec_end"])
             / 2.0
             for x in runs
         ]
-        polluted = sum(1 for c in cals if c > 1.5 * min(cals))
+        polluted = sum(
+            1
+            for x, c in zip(runs, cals)
+            if c > 1.5 * min(cals) or x["pre_load1"] > LOAD_QUIET
+        )
         if polluted and scheduled < attempts + max_extra:
             scheduled = min(attempts + polluted, attempts + max_extra)
 
     if not runs:
         raise SystemExit("bench: every attempt failed")
+    # acceptance: prefer load-quiet attempts; within the pool, the
+    # calibration gate drops CPU-drift outliers as before.
+    quiet = [x for x in runs if x["pre_load1"] <= LOAD_QUIET]
+    pool = quiet if quiet else runs
     cals = [
         (x["cpu_calibration_sec_start"] + x["cpu_calibration_sec_end"]) / 2.0
         for x in runs
     ]
-    best = min(cals)
-    accepted = [x for x, c in zip(runs, cals) if c <= 1.5 * best]
+    pool_cals = [
+        (x["cpu_calibration_sec_start"] + x["cpu_calibration_sec_end"]) / 2.0
+        for x in pool
+    ]
+    best = min(pool_cals)
+    accepted = [x for x, c in zip(pool, pool_cals) if c <= 1.5 * best]
     names = list(accepted[0]["queries"])
     med = {
         k: _median([x["queries"][k] for x in accepted if k in x["queries"]])
@@ -462,13 +521,15 @@ def main() -> None:
         "unit": "sec",
         "queries": med,
         "sf": accepted[0]["sf"],
-        # NOTE: attempt k>0's load1 includes the 1-min decay of attempt
-        # k-1's own 32-core run — the calibration probe, not load1, is
-        # the accept/rerun criterion for exactly this reason.
-        "attempt_load1": [x["ambient_load1_at_start"] for x in runs],
+        # pre_load1 is measured AFTER the quiet-wait, BEFORE the child
+        # launches — unlike r11's ambient_load1_at_start it is the
+        # accept criterion (attempts starting above LOAD_QUIET are
+        # excluded whenever a quiet attempt exists).
+        "attempt_pre_load1": [x["pre_load1"] for x in runs],
         "attempt_cal": [round(c, 3) for c in cals],
         "attempts_accepted": len(accepted),
         "attempts_total": len(runs),
+        "load_quiet_threshold": LOAD_QUIET,
     }
     contended = [x.get("contended_with_spark_jvms", 0) for x in runs]
     if any(contended):
@@ -481,7 +542,7 @@ def main() -> None:
     _write_detail(detail)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
-        for field in ("queries", "attempt_load1", "attempt_cal", "metric"):
+        for field in ("queries", "attempt_pre_load1", "attempt_cal", "metric"):
             out.pop(field, None)
             line = json.dumps(out, separators=(",", ":"))
             if len(line) <= 1900:

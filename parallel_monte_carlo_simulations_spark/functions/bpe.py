@@ -122,17 +122,34 @@ WITH t0 AS (
     tags=("text", "bpe", "tokenizer", "llm-pipeline", "iterative"),
 )
 def q_bpe_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _word_tokens(spark, sf_dir)
+    _, summaries = _merge_rounds(toks, ROUNDS)
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("merge_round")
+
+
+def _word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
+    return docs.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
 
+
+def _merge_rounds(
+    toks: DataFrame, rounds: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Run ``rounds`` greedy merge rounds; return (final token frame,
+    per-round summary frames). The final frame IS the corpus encoded
+    with the learned merge table applied in priority order — BPE
+    training and encoding share the merge scan by construction."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     summaries = []
     persisted = []
-    for r in range(1, ROUNDS + 1):
+    for r in range(1, rounds + 1):
         # One lead-window pass per round, shared between the pair count
         # and the merge scan (computing it twice was a measured ~9%
         # same-JVM penalty at sf0.1).
@@ -200,7 +217,99 @@ def q_bpe_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).crossJoin(F.broadcast(n_after))
         )
 
-    out = summaries[0]
-    for s in summaries[1:]:
-        out = out.unionAll(s)
-    return out.orderBy("merge_round")
+    return toks, summaries
+
+
+# --------------------------------------------------------------------------
+# BPE encode (round 12): apply the learned merge table, report the
+# tokens-per-doc distribution — the tokenizer-economics half that feeds
+# q_curation_token_budget (how many tokens does the corpus REALLY cost
+# once the tokenizer's merges are in effect?).
+# --------------------------------------------------------------------------
+
+_ENCODE_BUCKET = 16  #: tokens-per-doc histogram granularity
+
+
+_BPE_ENCODE_ORACLE = (
+    """
+WITH t0 AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT)
+           AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),"""
+    + ",".join(_sql_round(r) for r in range(1, ROUNDS + 1))
+    + f""",
+before AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n0 FROM t0 GROUP BY doc_id
+),
+after AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n3,
+         CAST(COUNT(*) FILTER (WHERE contains(tok, '_')) AS BIGINT) AS nm
+  FROM t{ROUNDS} GROUP BY doc_id
+)
+SELECT CAST(n3 // {_ENCODE_BUCKET} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT)   AS n_docs,
+       CAST(SUM(n3) AS BIGINT)    AS tokens_after,
+       CAST(SUM(n0) AS BIGINT)    AS tokens_before,
+       CAST(SUM(nm) AS BIGINT)    AS merged_tokens,
+       ROUND(SUM(n3) * 1.0 / SUM(n0), 6) AS compression
+FROM before JOIN after USING (doc_id)
+GROUP BY 1
+"""
+)
+
+
+@register(
+    "q_bpe_encode",
+    oracle=_BPE_ENCODE_ORACLE,
+    description=(
+        f"BPE tokenizer APPLICATION: encode every document with the "
+        f"{ROUNDS}-round learned merge table (merges applied in priority "
+        f"order — the training scan's final state), then report the "
+        f"tokens-per-doc histogram (bucket = count // {_ENCODE_BUCKET}) "
+        "with before/after token totals, merged-token counts, and the "
+        "per-bucket compression ratio — tokenizer economics feeding "
+        "q_curation_token_budget"
+    ),
+    tags=("text", "bpe", "tokenizer", "llm-pipeline", "encode"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding with a merge table == replaying the merges in learned
+    priority order, one doc-partitioned gaps-and-islands pass per merge
+    (each pass is a per-doc LINEAR scan; the merge pair rides in as a
+    one-row broadcast). At 100 TB nothing corpus-sized shuffles beyond
+    the doc key, and the output is a bounded histogram. The oracle
+    replays the identical unrolled rounds, so the distribution is
+    exact."""
+    toks0 = _word_tokens(spark, sf_dir)
+    encoded, _ = _merge_rounds(toks0, ROUNDS)
+    before = toks0.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n0")
+    )
+    after = encoded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n3"),
+        F.count(F.when(F.col("tok").contains("_"), 1))
+        .cast("long")
+        .alias("nm"),
+    )
+    # both sides are corpus-sized per-doc aggregates whose static size
+    # estimates are bogus-small — pin the spill-safe sort-merge strategy
+    # so the planner never broadcasts a |docs|-row frame (same pinning
+    # discipline as the dedup family; caught by tools/audit_broadcast.py).
+    return (
+        before.hint("merge").join(after, "doc_id")
+        .groupBy(
+            (F.col("n3") / _ENCODE_BUCKET)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n3").cast("long").alias("tokens_after"),
+            F.sum("n0").cast("long").alias("tokens_before"),
+            F.sum("nm").cast("long").alias("merged_tokens"),
+            F.round(F.sum("n3") * 1.0 / F.sum("n0"), 6).alias("compression"),
+        )
+    )

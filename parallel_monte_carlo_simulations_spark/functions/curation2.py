@@ -731,7 +731,9 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QDUPMATRIX_ORACLE = """
 WITH docs AS (
-  SELECT doc_id, source, md5(text) AS h FROM documents
+  SELECT doc_id, source,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h
+  FROM documents
 ),
 xdup AS (
   SELECT a.source AS source_a, b.source AS source_b
@@ -752,17 +754,25 @@ FROM xdup GROUP BY source_a, source_b
     "q_curation_dup_flow_matrix",
     oracle=_QDUPMATRIX_ORACLE,
     description=(
-        "cross-source duplication matrix: exact-duplicate pairs counted "
-        "per unordered source pair (diagonal = within-source copies, "
-        "off-diagonal = content flowing between sources) — the "
-        "provenance view of exact dedup; content-hash equi-join, "
-        "candidate volume Σ dup-cluster-size², bounded by the dup rate"
+        "cross-source duplication matrix: duplicate-prefix pairs (same "
+        "first-8-token fingerprint) counted per unordered source pair "
+        "(diagonal = within-source copies, off-diagonal = content "
+        "flowing between sources) — the provenance view of dedup; "
+        "fingerprint equi-join, candidate volume Σ dup-cluster-size², "
+        "bounded by the dup rate (prefix fingerprint per r11 verdict so "
+        "the matrix is non-vacuous at every driver sf, not only sf0.1)"
     ),
     tags=("curation", "dedup", "provenance", "llm-pipeline"),
 )
 def q_curation_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", "source", F.md5("text").alias("h"))
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))).alias(
+            "h"
+        ),
+    )
     a = docs.select(
         F.col("h"), F.col("doc_id").alias("ida"), F.col("source").alias("sa")
     )

@@ -65,7 +65,18 @@ def with_range_bucket(
 ) -> DataFrame:
     """``df`` + a ``__rsbucket`` column: range bucket of ``axis`` in
     [0, n_buckets), monotone non-decreasing in the axis, cut points from
-    a broadcast min/max frame (per ``partition_by`` group if given)."""
+    a broadcast min/max frame (per ``partition_by`` group if given).
+
+    NULL axis rows get bucket -1 — ordered BEFORE every real bucket —
+    matching the NULLS FIRST default of the ascending ``ORDER BY`` the
+    kernel reproduces (without this they'd fall into the LAST bucket
+    because ``F.least`` ignores NULLs; r11 ADVICE).
+
+    Cost note: computing the min/max bounds is a second full scan of
+    ``df`` (aggregate + rejoin) — ``.cache()`` the input upstream if the
+    frame is expensive to recompute, and note the broadcast ``bounds``
+    frame is |partition_by groups| rows, so ``partition_by`` must be
+    bounded cardinality (same contract as any broadcast dimension)."""
     axis_col = F.col(axis) if isinstance(axis, str) else axis
     tmp = df.withColumn(_AXIS, axis_col.cast("double"))
     pb = list(partition_by)
@@ -78,7 +89,8 @@ def with_range_bucket(
     )
     span = F.col(_HI) - F.col(_LO)
     bucket = (
-        F.when(span <= 0, F.lit(0))
+        F.when(F.col(_AXIS).isNull(), F.lit(-1))
+        .when(span <= 0, F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_buckets - 1),

@@ -667,13 +667,19 @@ s AS (
 SELECT k AS n_groups, nn AS n_orders, r AS n_responders,
        ROUND(CAST(nn * swf - r * swn AS DOUBLE)
              / CAST(nn AS DOUBLE), 4) AS trend_t,
-       ROUND(CAST(nn * swf - r * swn AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
-             / sqrt(CAST(r AS DOUBLE) * CAST(nn - r AS DOUBLE)
-                    * CAST(nn * swwn - swn * swn AS DOUBLE)), 6) AS z_trend,
-       ABS(CAST(nn * swf - r * swn AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
-           / sqrt(CAST(r AS DOUBLE) * CAST(nn - r AS DOUBLE)
-                  * CAST(nn * swwn - swn * swn AS DOUBLE))) > 1.96e0
-         AS significant_05
+       CASE WHEN r > 0 AND r < nn AND nn * swwn - swn * swn > 0
+            THEN ROUND(CAST(nn * swf - r * swn AS DOUBLE)
+                       * sqrt(CAST(nn AS DOUBLE))
+                       / sqrt(CAST(r AS DOUBLE) * CAST(nn - r AS DOUBLE)
+                              * CAST(nn * swwn - swn * swn AS DOUBLE)), 6)
+            END AS z_trend,
+       CASE WHEN r > 0 AND r < nn AND nn * swwn - swn * swn > 0
+            THEN CAST(ABS(CAST(nn * swf - r * swn AS DOUBLE)
+                          * sqrt(CAST(nn AS DOUBLE))
+                          / sqrt(CAST(r AS DOUBLE) * CAST(nn - r AS DOUBLE)
+                                 * CAST(nn * swwn - swn * swn AS DOUBLE)))
+                      > 1.96e0 AS INT)
+            END AS significant_05
 FROM s
 """
 
@@ -728,13 +734,27 @@ def q_stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     z = tn * F.sqrt(F.col("nn").cast("double")) / F.sqrt(v)
+    # degenerate-variance guard mirrored with the oracle's CASE WHEN
+    # (r=0, r=N, or constant w => v=0): NULL in both engines rather than
+    # Spark-NULL-vs-DuckDB-inf drift (r11 ADVICE; same class as the
+    # McNemar and runs-test guards).
+    ok = (
+        (F.col("r") > 0)
+        & (F.col("r") < F.col("nn"))
+        & (F.col("nn") * F.col("swwn") - F.col("swn") * F.col("swn") > 0)
+    )
     return s.select(
         F.col("k").alias("n_groups"),
         F.col("nn").alias("n_orders"),
         F.col("r").alias("n_responders"),
         F.round(tn / F.col("nn").cast("double"), 4).alias("trend_t"),
-        F.round(z, 6).alias("z_trend"),
-        (F.abs(z) > F.lit(1.96)).alias("significant_05"),
+        F.when(ok, F.round(z, 6)).alias("z_trend"),
+        # INT (not BOOLEAN): a nullable boolean round-trips as
+        # None-vs-NaN across the two engines' pandas bridges; a nullable
+        # int lands as NaN in both.
+        F.when(ok, (F.abs(z) > F.lit(1.96)).cast("int")).alias(
+            "significant_05"
+        ),
     )
 
 
@@ -806,10 +826,13 @@ def q_stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)) * 2 < F.size(toks), 1
     ).otherwise(0)
     dup = (
-        d.groupBy("text")
+        d.groupBy(F.col("text").alias("__dup_text"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_same"))
     )
-    lab = d.join(dup, "text").select(
+    # null-safe equi-join key: the oracle's COUNT(*) OVER (PARTITION BY
+    # text) groups NULL texts into one retained partition, so the engine
+    # must not drop them through a plain inner join (r11 ADVICE).
+    lab = d.join(dup, F.col("text").eqNullSafe(F.col("__dup_text"))).select(
         a.alias("a"),
         F.when(F.col("n_same") > 1, 1).otherwise(0).alias("b"),
     )
@@ -877,21 +900,29 @@ s AS (
 ),
 r AS (
   SELECT n_rows,
-         (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
-                                * sqrt(n * syy - sy * sy)) AS rxy,
-         (n * sxz - sx * sz) / (sqrt(n * sxx - sx * sx)
-                                * sqrt(n * szz - sz * sz)) AS rxz,
-         (n * syz - sy * sz) / (sqrt(n * syy - sy * sy)
-                                * sqrt(n * szz - sz * sz)) AS ryz
+         CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+              THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
+                                          * sqrt(n * syy - sy * sy))
+              END AS rxy,
+         CASE WHEN n * sxx - sx * sx > 0 AND n * szz - sz * sz > 0
+              THEN (n * sxz - sx * sz) / (sqrt(n * sxx - sx * sx)
+                                          * sqrt(n * szz - sz * sz))
+              END AS rxz,
+         CASE WHEN n * syy - sy * sy > 0 AND n * szz - sz * sz > 0
+              THEN (n * syz - sy * sz) / (sqrt(n * syy - sy * sy)
+                                          * sqrt(n * szz - sz * sz))
+              END AS ryz
   FROM s
 )
 SELECT n_rows,
        ROUND(rxy, 6) AS r_xy,
        ROUND(rxz, 6) AS r_xz,
        ROUND(ryz, 6) AS r_yz,
-       ROUND((rxy - rxz * ryz)
-             / (sqrt(1.0e0 - rxz * rxz) * sqrt(1.0e0 - ryz * ryz)), 6)
-         AS r_xy_given_z
+       CASE WHEN rxz * rxz < 1.0e0 AND ryz * ryz < 1.0e0
+            THEN ROUND((rxy - rxz * ryz)
+                       / (sqrt(1.0e0 - rxz * rxz)
+                          * sqrt(1.0e0 - ryz * ryz)), 6)
+            END AS r_xy_given_z
 FROM r
 """
 
@@ -936,16 +967,24 @@ def q_stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
 
     def _r(sab, sa, sb, saa, sbb):
-        return (n * F.col(sab) - F.col(sa) * F.col(sb)) / (
-            F.sqrt(n * F.col(saa) - F.col(sa) * F.col(sa))
-            * F.sqrt(n * F.col(sbb) - F.col(sb) * F.col(sb))
+        # zero-variance guard mirrored with the oracle's CASE WHEN
+        # (constant column => denominator 0): NULL in both engines
+        # rather than Spark-NULL-vs-DuckDB-inf drift (r11 ADVICE).
+        va = n * F.col(saa) - F.col(sa) * F.col(sa)
+        vb = n * F.col(sbb) - F.col(sb) * F.col(sb)
+        return F.when(
+            (va > 0) & (vb > 0),
+            (n * F.col(sab) - F.col(sa) * F.col(sb))
+            / (F.sqrt(va) * F.sqrt(vb)),
         )
 
     rxy = _r("sxy", "sx", "sy", "sxx", "syy")
     rxz = _r("sxz", "sx", "sz", "sxx", "szz")
     ryz = _r("syz", "sy", "sz", "syy", "szz")
-    partial = (rxy - rxz * ryz) / (
-        F.sqrt(F.lit(1.0) - rxz * rxz) * F.sqrt(F.lit(1.0) - ryz * ryz)
+    partial = F.when(
+        (rxz * rxz < 1.0) & (ryz * ryz < 1.0),
+        (rxy - rxz * ryz)
+        / (F.sqrt(F.lit(1.0) - rxz * rxz) * F.sqrt(F.lit(1.0) - ryz * ryz)),
     )
     return s.select(
         "n_rows",

@@ -80,6 +80,9 @@ REPRESENTATIVE = [
     "q_graph_label_propagation",
     "q_stat_cohens_kappa",
     "q_stat_partial_corr",
+    # round-12: prefix-fingerprint dup matrix must be non-vacuous at
+    # EVERY sf (the r11 evidence gap was a 0-row-vs-0-row pass)
+    "q_curation_dup_flow_matrix",
 ]
 
 

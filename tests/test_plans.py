@@ -648,3 +648,64 @@ def test_registry_counts_agree():
         f"OPERATORS.md says {m.group(1)} queries, registry has {n_reg} — "
         "regenerate with tools/gen_operators_md.py"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 12: record-file + audit-artifact hygiene gates (r11 verdict #2/#3).
+# --------------------------------------------------------------------------
+
+
+def test_round_record_files_tracked():
+    """Every driver round-record file present in the repo root must be
+    git-TRACKED (r10 and r11 both shipped HEADs asserting counts whose
+    evidence files were untracked — twice is a pattern, so it's a gate
+    now). Covers BENCH_r*, BENCH_DETAIL_r*, CORRECTNESS_r*, SCALE_*."""
+    import glob
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tracked = set(
+        subprocess.run(
+            ["git", "ls-files"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.splitlines()
+    )
+    missing = []
+    for pat in (
+        "BENCH_r*.json",
+        "BENCH_DETAIL_r*.json",
+        "CORRECTNESS_r*.json",
+        "SCALE_*.json",
+    ):
+        for path in glob.glob(os.path.join(repo, pat)):
+            rel = os.path.relpath(path, repo)
+            if rel not in tracked:
+                missing.append(rel)
+    assert missing == [], (
+        f"round-record files not git-tracked: {missing} — "
+        "`git add` them in the same change that asserts their counts"
+    )
+
+
+@pytest.mark.parametrize(
+    "artifact", ["AUDIT_WINDOWS.json", "AUDIT_BROADCAST.json"]
+)
+def test_audit_artifacts_fresh(artifact):
+    """The committed audit artifacts must describe the CURRENT registry
+    population (r11 shipped AUDIT_WINDOWS.json at 457 of 459): their
+    n_queries stamp must equal the live registry count, else regenerate
+    with tools/audit_windows.py / tools/audit_broadcast.py."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, artifact)) as fh:
+        data = json.load(fh)
+    assert data["n_queries"] == len(SPECS), (
+        f"{artifact} audited {data['n_queries']} queries, registry has "
+        f"{len(SPECS)} — regenerate the artifact alongside registry changes"
+    )

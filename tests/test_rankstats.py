@@ -223,3 +223,40 @@ def test_local_windows_are_bucket_partitioned(spark):
     from tools.audit_windows import unbounded_global_windows
 
     assert unbounded_global_windows(plan) == 0, plan
+
+
+def test_null_axis_rows_sort_first_like_the_window(spark):
+    """NULL axis rows must land in a dedicated FIRST bucket (-1) so the
+    kernel reproduces the window's NULLS FIRST ascending default — the
+    r11 ADVICE fix (F.least used to drop them into the LAST bucket)."""
+    rows = [(i, None if i % 5 == 0 else float(i % 97), 1) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, v double, flag int")
+    out = bucketed_running(
+        df,
+        axis="v",
+        order=[F.col("v").asc_nulls_first(), F.col("id").asc()],
+        cums={"c": F.lit(1)},
+        n_buckets=16,
+    )
+    w = Window.orderBy(
+        F.col("v").asc_nulls_first(), F.col("id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.select("id", F.sum(F.lit(1)).over(w).alias("rc"))
+    bad = (
+        out.select("id", "c")
+        .join(ref, "id")
+        .filter(F.col("c") != F.col("rc"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_null_axis_bucket_is_minus_one(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 3.0), (3, 9.0)], "id long, v double"
+    )
+    got = {
+        r["id"]: r[BUCKET_COL]
+        for r in with_range_bucket(df, "v", n_buckets=4).collect()
+    }
+    assert got[1] == -1 and got[2] == 0 and got[3] == 3
