@@ -659,9 +659,17 @@ def test_round_record_files_tracked():
     """Every driver round-record file present in the repo root must be
     git-TRACKED (r10 and r11 both shipped HEADs asserting counts whose
     evidence files were untracked — twice is a pattern, so it's a gate
-    now). Covers BENCH_r*, BENCH_DETAIL_r*, CORRECTNESS_r*, SCALE_*."""
+    now). Covers BENCH_r*, BENCH_DETAIL_r*, CORRECTNESS_r*, SCALE_*.
+
+    The IN-FLIGHT round is exempt: the round driver writes
+    BENCH_r{N}/CORRECTNESS_r{N} for the round being evaluated BEFORE
+    anyone can commit them (they're committed at the next round's
+    start), so files whose round number exceeds the newest TRACKED
+    round don't fail the gate — the gate catches records that linger
+    untracked a full round later, which is the r10/r11 failure mode."""
     import glob
     import os
+    import re
     import subprocess
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -674,17 +682,50 @@ def test_round_record_files_tracked():
             check=True,
         ).stdout.splitlines()
     )
+
+    def _round(rel: str) -> int | None:
+        m = re.search(r"_r(\d+)\b", rel)
+        return int(m.group(1)) if m else None
+
+    # Driver-written families get the in-flight exemption, keyed per
+    # family so builder-committed files from the current round (e.g.
+    # BENCH_SF1_r12) can't raise the bar on the driver's own records.
+    DRIVER_FAMILIES = ("BENCH_r", "BENCH_DETAIL_r", "CORRECTNESS_r")
+
+    def _family(rel: str) -> str | None:
+        for fam in DRIVER_FAMILIES:
+            if rel.startswith(fam) and re.match(
+                rf"{fam}\d+\.json$", rel
+            ):
+                return fam
+        return None
+
+    newest_tracked: dict[str, int] = {}
+    for rel in tracked:
+        fam = _family(rel)
+        if fam is not None and (r := _round(rel)) is not None:
+            newest_tracked[fam] = max(newest_tracked.get(fam, -1), r)
+
     missing = []
     for pat in (
         "BENCH_r*.json",
         "BENCH_DETAIL_r*.json",
+        "BENCH_SF1*.json",
         "CORRECTNESS_r*.json",
         "SCALE_*.json",
     ):
         for path in glob.glob(os.path.join(repo, pat)):
             rel = os.path.relpath(path, repo)
-            if rel not in tracked:
-                missing.append(rel)
+            if rel in tracked:
+                continue
+            fam, rnd = _family(rel), _round(rel)
+            if (
+                fam is not None
+                and rnd is not None
+                and rnd > newest_tracked.get(fam, -1)
+            ):
+                continue  # driver's in-flight round, not committable yet
+            missing.append(rel)
     assert missing == [], (
         f"round-record files not git-tracked: {missing} — "
         "`git add` them in the same change that asserts their counts"
