@@ -136,12 +136,14 @@ def q_pandas_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QCOGROUP_ORACLE = """
 WITH ev AS (
   SELECT user_id AS key, COUNT(*) AS n_events,
-         ROUND(SUM(value), 2) AS event_value
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+           AS event_value
   FROM events GROUP BY user_id
 ),
 od AS (
   SELECT o_custkey AS key, COUNT(*) AS n_orders,
-         ROUND(SUM(o_totalprice), 2) AS order_value
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+           AS order_value
   FROM orders WHERE o_custkey <= 150 GROUP BY o_custkey
 )
 SELECT COALESCE(ev.key, od.key) AS key,
@@ -175,13 +177,22 @@ def q_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(evs: pd.DataFrame, ods: pd.DataFrame) -> pd.DataFrame:
         key = evs["key"].iloc[0] if len(evs) else ods["key"].iloc[0]
+
+        def _cents_sum(s: pd.Series) -> float:
+            # exact integer cents (inputs are 2-decimal money), so the
+            # sum is order-independent and mirrors the oracle's decimal
+            # sum (r12 float discipline, see streaming/windows.py)
+            return int(s.mul(100).round().sum()) / 100.0
+
         return pd.DataFrame(
             {
                 "key": [int(key)],
                 "n_events": [len(evs)],
-                "event_value": [round(float(evs["value"].sum()), 2) if len(evs) else 0.0],
+                "event_value": [_cents_sum(evs["value"]) if len(evs) else 0.0],
                 "n_orders": [len(ods)],
-                "order_value": [round(float(ods["o_totalprice"].sum()), 2) if len(ods) else 0.0],
+                "order_value": [
+                    _cents_sum(ods["o_totalprice"]) if len(ods) else 0.0
+                ],
             }
         )
 

@@ -87,7 +87,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QFEB_ORACLE = """
 SELECT event_type,
        COUNT(*)             AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+                            AS total_value
 FROM events
 WHERE value > 50
 GROUP BY event_type
@@ -125,9 +126,13 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     back = spark.read.parquet(out_dir)
+    # element-wise decimal quantization before the sum: exact and
+    # order-independent (r12 float discipline, see streaming/windows.py)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("total_value"),
     )
 
 

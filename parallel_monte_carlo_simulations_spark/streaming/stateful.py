@@ -39,25 +39,37 @@ from .confscope import state_partitions_scope
 from .runtime import read_events_stream
 
 _OUT_SCHEMA = "user_id long, n_events long, total_value double"
-_STATE_SCHEMA = "n long, total double"
+_STATE_SCHEMA = "n long, total_cents long"
 
 
 def _update_user_state(key, pdfs, state: GroupState):
-    """Accumulate (count, value-sum) per user across micro-batches."""
-    n, total = state.get if state.exists else (0, 0.0)
+    """Accumulate (count, value-sum) per user across micro-batches.
+
+    The running sum is kept in EXACT integer cents (values are 2-decimal
+    by construction; each element x100 rounds to an exact int), so the
+    state is order-independent across micro-batch arrival orders and
+    matches the oracle's decimal sum bit-for-bit — float accumulation
+    here is the same scale-dependent rounding-flip class the r12 sf0.1
+    sweep caught in the sliding window."""
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        cents += int(pdf["value"].mul(100).round().sum())
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [cents / 100.0],
+        }
     )
 
 
 _QSTATE_ORACLE = """
 SELECT user_id,
        COUNT(*)             AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+                            AS total_value
 FROM events
 GROUP BY user_id
 """

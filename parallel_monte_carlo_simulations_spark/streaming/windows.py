@@ -9,6 +9,15 @@ what the batch plan does (Structured Streaming's core promise).
 
 NOTE: window starts are formatted as strings; events timestamps are
 naive micros interpreted as UTC (driver session runs Etc/UTC — verified).
+
+Float discipline (r12): ``value`` aggregates quantize each element to
+DECIMAL(18,6) BEFORE summing (lossless — the generator emits 2-decimal
+values), so the sums are exact integers-in-decimal and order-
+independent. The r12 sf0.1 sweep caught the raw-double form flipping a
+4th-decimal rounding in ONE of 7205 sliding-window groups (33.38625
+summed in different orders landing on opposite sides of the boundary) —
+invisible at sf0.01, the exact scale-dependent class the sweep exists
+to surface.
 """
 
 from __future__ import annotations
@@ -16,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -30,7 +40,7 @@ SELECT
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
   event_type,
   COUNT(*)                                              AS n_events,
-  ROUND(SUM(value), 2)                                  AS total_value
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
 FROM events
 GROUP BY window_start, event_type
 """
@@ -44,7 +54,7 @@ def tumbling_hourly(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("total_value"),
         )
         .select(
             F.date_format(F.col("w.start"), _FMT).alias("window_start"),
@@ -69,7 +79,7 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sliding window: 1 hour wide, 30 min slide (each event lands in 2 windows).
 # --------------------------------------------------------------------------
 
-_QSLIDE_ORACLE = """
+_QSLIDE_ORACLE = f"""
 WITH grid AS (
   SELECT
     unnest([
@@ -79,14 +89,19 @@ WITH grid AS (
     event_type,
     value
   FROM events
+),
+g AS (
+  SELECT
+    strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+    event_type,
+    COUNT(*)                                   AS n_events,
+    SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM grid
+  GROUP BY window_start, event_type
 )
-SELECT
-  strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
-  event_type,
-  COUNT(*)                              AS n_events,
-  ROUND(AVG(value), 4)                  AS avg_value
-FROM grid
-GROUP BY window_start, event_type
+SELECT window_start, event_type, n_events,
+       {rdiv_halfup_duck("cents", "(100 * n_events)")} AS avg_value
+FROM g
 """
 
 
@@ -97,19 +112,27 @@ GROUP BY window_start, event_type
     tags=("streaming", "window", "sliding"),
 )
 def q_stream_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-decimal AVG is a genuine division (unlike the 2-decimal
+    value SUMS, which stay >=0.005 away from every rounding boundary by
+    construction), so it goes through the string-form half-up division:
+    exact integer cents / (100 * n), quantized half-up in BIGINT — the
+    r12 sf0.1 sweep caught one window (avg exactly 33.38625) where the
+    two engines' double ROUND fell on opposite sides."""
     e = table(spark, sf_dir, "events")
-    return (
+    g = (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "__cents"
+            ),
         )
-        .select(
-            F.date_format(F.col("w.start"), _FMT).alias("window_start"),
-            "event_type",
-            "n_events",
-            "avg_value",
-        )
+    )
+    return g.select(
+        F.date_format(F.col("w.start"), _FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        rdiv_halfup_expr("__cents", "(100 * n_events)").alias("avg_value"),
     )
 
 
@@ -141,7 +164,7 @@ SELECT
   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S')                      AS session_start,
   strftime(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
   COUNT(*)                                                    AS n_events,
-  ROUND(SUM(value), 2)                                        AS session_value
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)  AS session_value
 FROM numbered
 GROUP BY user_id, session_no
 """
@@ -161,7 +184,7 @@ def q_stream_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("session_value"),
         )
         .select(
             "user_id",
@@ -208,7 +231,7 @@ SELECT user_id,
        strftime(to_timestamp(CAST(MAX(e) AS DOUBLE) / 1000000.0e0),
                 '%Y-%m-%d %H:%M:%S') AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS session_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS session_value
 FROM islands
 GROUP BY user_id, island
 """
@@ -233,7 +256,7 @@ def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("session_value"),
         )
         .select(
             "user_id",

@@ -83,6 +83,7 @@ REPRESENTATIVE = [
     # round-12: prefix-fingerprint dup matrix must be non-vacuous at
     # EVERY sf (the r11 evidence gap was a 0-row-vs-0-row pass)
     "q_curation_dup_flow_matrix",
+    "q_bpe_encode",
 ]
 
 

@@ -61,7 +61,7 @@ def main() -> None:
         con = orig_connect(*a, **kw)
         con.execute(f"SET memory_limit='{DUCK_MEM}'")
         con.execute(f"SET temp_directory='{tmp}'")
-        con.execute("SET max_temp_directory_size='20GB'")
+        con.execute("SET max_temp_directory_size='60GB'")
         return con
 
     duckdb.connect = bounded_connect
