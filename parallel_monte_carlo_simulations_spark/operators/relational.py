@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -130,19 +131,25 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q05: revenue by nation — the flagship 5-way star join (entry() runs this).
 # --------------------------------------------------------------------------
 
-_Q05_ORACLE = """
-SELECT
-  n_name,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate <  TIMESTAMP '1998-01-01'
-GROUP BY n_name
+_Q05_ORACLE = f"""
+WITH g AS (
+  SELECT
+    n_name,
+    SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+        * CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) AS revenue_u4
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+  GROUP BY n_name
+)
+SELECT n_name,
+       {rdiv_halfup_duck("revenue_u4", "10000")} AS revenue
+FROM g
 ORDER BY revenue DESC, n_name
 """
 
@@ -169,14 +176,24 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "n_name")
     )
+    # Revenue in EXACT 1e-4 units: price and (1-discount) are 2-decimal
+    # money, so cents(price) * cents(1-disc) is an exact BIGINT per row
+    # and the per-nation sum is order-independent; the string-form
+    # half-up division renders the exact 4-decimal total identically in
+    # both engines. The raw-double SUM flipped a cent at sf1.0
+    # (3484896566.925 summed in different orders landing on opposite
+    # sides of the 2-dec boundary — r12 sf1.0 spot-sweep).
+    ru = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (F.lit(1) - F.col("l_discount")) * 100, 0
+    ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .agg(F.sum(ru).alias("revenue_u4"))
+        .select(
+            "n_name",
+            rdiv_halfup_expr("revenue_u4", "10000").alias("revenue"),
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )

@@ -82,8 +82,10 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QMINBY_ORACLE = """
 SELECT
   o_orderpriority,
-  arg_max(o_orderkey, o_totalprice) AS priciest_order,
-  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+  arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                      * 10000000000 + o_orderkey) AS priciest_order,
+  arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                      * 10000000000 + o_orderkey) AS cheapest_order,
   ROUND(MAX(o_totalprice), 2)       AS max_price,
   ROUND(MIN(o_totalprice), 2)       AS min_price
 FROM orders
@@ -94,17 +96,31 @@ GROUP BY o_orderpriority
 @register(
     "q_agg_min_max_by",
     oracle=_QMINBY_ORACLE,
-    description="max_by/min_by argmin-argmax aggregates (no join-back)",
+    description=(
+        "max_by/min_by argmin-argmax aggregates (no join-back) with an "
+        "explicit composite tie-break"
+    ),
     tags=("aggregate", "min_by"),
 )
 def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # o_totalprice values are unique per priority group at our SFs (2-dp
-    # doubles over 15k orders — verified no ties), so argmin/argmax are
-    # deterministic across engines.
+    # The ordering value is the COMPOSITE cents(price)*1e10 + orderkey
+    # (one exact BIGINT — DuckDB's arg_max can't order structs), never
+    # the bare price: the r12 sf1.0 spot-sweep proved the old "no ties
+    # at our SFs" assumption does not survive scale (the 10x-tiled data
+    # duplicates every price), and argmin/argmax over a tied value is
+    # engine-arbitrary. With the composite, ties pick the largest /
+    # smallest orderkey deterministically in both engines. Headroom:
+    # cents <= 5e7, so composite <= 5e17 < 2^63; orderkey < 1e10 by
+    # construction at any tiled SF here.
     o = table(spark, sf_dir, "orders")
+    tie = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        * F.lit(10_000_000_000).cast("long")
+        + F.col("o_orderkey")
+    )
     return o.groupBy("o_orderpriority").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", tie).alias("priciest_order"),
+        F.min_by("o_orderkey", tie).alias("cheapest_order"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
     )
