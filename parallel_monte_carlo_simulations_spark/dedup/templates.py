@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -42,7 +43,7 @@ SELECT header_sig,
        CAST(COUNT(DISTINCT suffix_sig) AS BIGINT) AS n_distinct_suffixes,
        CAST(MIN(doc_id) AS BIGINT)               AS exemplar_doc,
        CAST(SUM(n_tokens) AS BIGINT)             AS tokens_total,
-       ROUND(AVG(n_tokens), 4)                   AS avg_tokens
+       {rdiv_halfup_duck("SUM(n_tokens)", "COUNT(*)", 4)} AS avg_tokens
 FROM sig
 GROUP BY header_sig
 HAVING COUNT(*) >= {_MIN_GROUP}
@@ -80,7 +81,9 @@ def q_dedup_doc_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.min("doc_id").cast("long").alias("exemplar_doc"),
             F.sum("n_tokens").cast("long").alias("tokens_total"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
         )
         .filter(F.col("n_docs") >= _MIN_GROUP)
+        .withColumn(
+            "avg_tokens", rdiv_halfup_expr("tokens_total", "n_docs", 4)
+        )
     )

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -254,7 +255,7 @@ SELECT CAST(n3 // {_ENCODE_BUCKET} AS BIGINT) AS bucket,
        CAST(SUM(n3) AS BIGINT)    AS tokens_after,
        CAST(SUM(n0) AS BIGINT)    AS tokens_before,
        CAST(SUM(nm) AS BIGINT)    AS merged_tokens,
-       ROUND(SUM(n3) * 1.0 / SUM(n0), 6) AS compression
+       {rdiv_halfup_duck("SUM(n3)", "SUM(n0)", 6)} AS compression
 FROM before JOIN after USING (doc_id)
 GROUP BY 1
 """
@@ -310,6 +311,13 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n3").cast("long").alias("tokens_after"),
             F.sum("n0").cast("long").alias("tokens_before"),
             F.sum("nm").cast("long").alias("merged_tokens"),
-            F.round(F.sum("n3") * 1.0 / F.sum("n0"), 6).alias("compression"),
+        )
+        # exact-BIGINT ratio via the string-form half-up division (r12
+        # ADVICE: the raw ROUND(x*1.0/y, 6) form is the boundary class
+        # the sf0.1/sf1.0 sweeps caught twice) — both engines quantize
+        # the identical rational, order-independent at any scale.
+        .withColumn(
+            "compression",
+            rdiv_halfup_expr("tokens_after", "tokens_before", 6),
         )
     )

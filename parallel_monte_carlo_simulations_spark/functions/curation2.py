@@ -766,12 +766,19 @@ FROM xdup GROUP BY source_a, source_b
 )
 def q_curation_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # NULL-text guard (r12 ADVICE): concat_ws would fold a NULL token
+    # array to '' and give every NULL-text doc md5('') — joining them
+    # with each other and with genuinely-empty texts — while DuckDB's
+    # array_to_string(NULL) stays NULL and drops out of the equi-join.
+    # Producing NULL here makes both engines drop NULL-text rows
+    # identically (equi-joins never match NULL).
     docs = d.select(
         "doc_id",
         "source",
-        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))).alias(
-            "h"
-        ),
+        F.when(
+            F.col("text").isNotNull(),
+            F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))),
+        ).alias("h"),
     )
     a = docs.select(
         F.col("h"), F.col("doc_id").alias("ida"), F.col("source").alias("sa")

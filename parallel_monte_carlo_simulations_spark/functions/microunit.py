@@ -57,38 +57,124 @@ from pyspark.sql import functions as F
 EXACT_DOUBLE_MAX = 2**53
 
 
-def rdiv_halfup_expr(num: str, den: str) -> Column:
+def rdiv_halfup_expr(num: str, den: str, digits: int = 4) -> Column:
     """Spark Column for string-form half-up division of SQL expressions
-    ``num`` / ``den`` (BIGINT-typed, num >= 0, den > 0): exact 4-digit
-    half-up quantization in BIGINT (fraction in [0,10000] with carry
-    folded into the whole part), one correctly-rounded string->double
-    cast."""
-    # frac0 in [0, 10000]; the ==10000 carry folds into the whole part.
-    # The whole part is NEVER scaled by 1e4 (that would re-shrink the
-    # BIGINT-exact domain to ~9e14 quotients); max intermediate is
-    # (num % den) * 20000 < den * 2e4.
-    frac0 = f"(((({num}) % ({den})) * 20000 + ({den})) div (2 * ({den})))"
+    ``num`` / ``den`` (BIGINT-typed, den > 0): exact ``digits``-digit
+    half-away-from-zero quantization in BIGINT (fraction in
+    [0, 10^digits] with carry folded into the whole part), one
+    correctly-rounded string->double cast.
+
+    Round 13 generalization: ``digits`` (2 for money totals, 4 for the
+    historical default, 6 for ratio reports) and SIGNED numerators
+    (quantize |num|/den, prefix '-' only when the quantized magnitude
+    is nonzero so "-0.00" can never be emitted). Half-up on the
+    magnitude == ROUND_HALF_UP == both engines' ROUND tie behavior
+    (away from zero)."""
+    s = 10**digits
+    # frac0 in [0, 10^digits]; the ==10^digits carry folds into the
+    # whole part. The whole part is NEVER scaled by 10^digits (that
+    # would re-shrink the BIGINT-exact domain); max intermediate is
+    # (|num| % den) * 2*10^digits < den * 2e6 for digits <= 6.
+    a = f"abs({num})"
+    frac0 = f"(((({a}) % ({den})) * {2 * s} + ({den})) div (2 * ({den})))"
+    whole = f"(({a}) div ({den}) + {frac0} div {s})"
+    sign = (
+        f"case when ({num}) < 0 and ({whole} > 0 or {frac0} % {s} > 0) "
+        f"then '-' else '' end"
+    )
+    body = (
+        f"cast(concat({sign}, "
+        f"cast({whole} as string), '.',"
+        f" lpad(cast({frac0} % {s} as string), {digits}, '0')) as double)"
+    )
+    # NULL/zero-denominator safety: AVG-style callers divide by a
+    # non-null COUNT that can be 0 (all-NULL group) — return NULL like
+    # AVG would, instead of an ANSI divide-by-zero (Spark) or a
+    # CONCAT-skips-NULLs '.' parse error (DuckDB).
     return F.expr(
-        f"cast(concat("
-        f"cast(({num}) div ({den}) + {frac0} div 10000 as string), '.',"
-        f" lpad(cast({frac0} % 10000 as string), 4, '0')) as double)"
+        f"case when ({den}) is null or ({den}) = 0 or ({num}) is null "
+        f"then cast(null as double) else {body} end"
     )
 
 
-def rdiv_halfup_duck(num: str, den: str) -> str:
+def rdiv_halfup_duck(num: str, den: str, digits: int = 4) -> str:
     """DuckDB SQL text for the identical string-form division.
 
     Inputs are CAST to BIGINT first: DuckDB types small integer
-    LITERALS as INT32, and ``(num % den) * 20000`` then overflows
-    INT32 for remainders above ~107k (Hypothesis-found; column inputs
-    were already BIGINT and unaffected)."""
+    LITERALS as INT32, and ``(num % den) * 2*10^digits`` then
+    overflows INT32 for remainders above ~107k (Hypothesis-found;
+    column inputs were already BIGINT and unaffected)."""
+    s = 10**digits
     n, d = f"CAST(({num}) AS BIGINT)", f"CAST(({den}) AS BIGINT)"
-    frac0 = f"((({n} % {d}) * 20000 + {d}) // (2 * {d}))"
-    return (
-        f"CAST(CONCAT("
-        f"CAST({n} // {d} + {frac0} // 10000 AS VARCHAR), '.',"
-        f" LPAD(CAST({frac0} % 10000 AS VARCHAR), 4, '0')) AS DOUBLE)"
+    a = f"ABS({n})"
+    frac0 = f"((({a} % {d}) * {2 * s} + {d}) // (2 * {d}))"
+    whole = f"({a} // {d} + {frac0} // {s})"
+    sign = (
+        f"CASE WHEN {n} < 0 AND ({whole} > 0 OR {frac0} % {s} > 0) "
+        f"THEN '-' ELSE '' END"
     )
+    body = (
+        f"CAST(CONCAT({sign}, "
+        f"CAST({whole} AS VARCHAR), '.',"
+        f" LPAD(CAST({frac0} % {s} AS VARCHAR), {digits}, '0')) AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN ({den}) IS NULL OR ({den}) = 0 OR ({num}) IS NULL "
+        f"THEN CAST(NULL AS DOUBLE) ELSE {body} END"
+    )
+
+
+def qround_expr(col_sql: str, digits: int) -> Column:
+    """Spark Column: shared floor-form half-up quantization of an
+    IRREDUCIBLY-DOUBLE expression (transcendental math, EWMA weights,
+    variance-family outputs) to ``digits`` places —
+    ``floor(x * 10^digits + 0.5) / 10^digits``.
+
+    Unlike ``rdiv_halfup_*`` (exact BIGINT rationals) this does NOT
+    claim decimal-correct rounding of the true value; it claims the
+    strictly weaker, sufficient property that BOTH engines evaluate the
+    IDENTICAL IEEE op sequence on the identical input double, so the
+    cross-engine result is bit-equal BY CONSTRUCTION at any scale —
+    eliminating the ROUND-implementation divergence class (Spark rounds
+    via exact BigDecimal of the double, DuckDB via a multiply-shift;
+    r12's q_stream_sliding_30m catch was exactly such a disagreement on
+    an identical double). Ties round toward +inf (floor(+0.5) form) in
+    both engines alike. Contract: |x| * 10^digits < 2^53 (Spark's FLOOR
+    returns BIGINT; beyond 2^53 its exactness differs from DuckDB's
+    double FLOOR). The scale literal is written in scientific notation
+    (1e4) so BOTH engines type it DOUBLE — DuckDB parses `10000.0` as
+    DECIMAL and would evaluate a different (and overflow-prone) op."""
+    return F.expr(f"floor(({col_sql}) * 1e{digits} + 0.5) / 1e{digits}")
+
+
+def qround_duck(col_sql: str, digits: int) -> str:
+    """DuckDB SQL text for the identical floor-form quantization."""
+    return f"(FLOOR(({col_sql}) * 1e{digits} + 0.5) / 1e{digits})"
+
+
+def qround_col(col: Column, digits: int) -> Column:
+    """DataFrame-API twin of :func:`qround_expr` for Column inputs."""
+    s = F.lit(float(10**digits))
+    return F.floor(col * s + F.lit(0.5)) / s
+
+
+def units_sql(col_sql: str, decimals: int) -> str:
+    """Shared SQL text (valid in BOTH Spark SQL and DuckDB) that
+    quantizes a double expression with at most ``decimals`` true
+    decimal places to exact BIGINT units of 10^-decimals — the
+    element-wise step of the repo float discipline (quantize BEFORE
+    any cross-row sum so totals are order-independent). The inner
+    multiply + half-up ROUND are the identical IEEE ops in both
+    engines; for a value with <= ``decimals`` places the product is
+    within half an ulp of the integer, so the ROUND recovers it
+    exactly."""
+    s = 10**decimals
+    return f"CAST(ROUND(({col_sql}) * {s}, 0) AS BIGINT)"
+
+
+def units_col(col: Column, decimals: int) -> Column:
+    """DataFrame-API twin of :func:`units_sql`."""
+    return F.round(col * (10**decimals), 0).cast("long")
 
 
 def guard_abs_lt(col: Column, bound, site: str) -> Column:

@@ -13,19 +13,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 
 # --------------------------------------------------------------------------
 # Broadcast inner equi join: fact ⋈ small dim.
+# Money/avg outputs use exact BIGINT units + the string-form half-up
+# division in BOTH engines (r13: raw-double ROUND(SUM/AVG) eliminated
+# repo-wide, SCALING.md "Cross-engine float discipline").
 # --------------------------------------------------------------------------
 
-_QBCAST_ORACLE = """
+_QBCAST_ORACLE = f"""
 SELECT
   p_brand,
   COUNT(*)                         AS n_items,
-  ROUND(SUM(l_extendedprice), 2)   AS total_price,
-  ROUND(AVG(l_quantity), 4)        AS avg_qty
+  {rdiv_halfup_duck(f"SUM({units_sql('l_extendedprice', 2)})", "100", 2)}
+                                   AS total_price,
+  {rdiv_halfup_duck(f"SUM({units_sql('l_quantity', 0)})", "COUNT(*)", 4)}
+                                   AS avg_qty
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_size <= 15
@@ -47,8 +58,14 @@ def q_join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.sum(units_col(F.col("l_extendedprice"), 2)).alias("price_u2"),
+            F.sum(units_col(F.col("l_quantity"), 0)).alias("qty_u0"),
+        )
+        .select(
+            "p_brand",
+            "n_items",
+            rdiv_halfup_expr("price_u2", "100", 2).alias("total_price"),
+            rdiv_halfup_expr("qty_u0", "n_items", 4).alias("avg_qty"),
         )
     )
 
@@ -57,12 +74,14 @@ def q_join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Left outer join preserving unmatched rows.
 # --------------------------------------------------------------------------
 
-_QLEFT_ORACLE = """
+_QLEFT_ORACLE = f"""
 SELECT
   c_custkey,
   c_name,
   COUNT(o_orderkey)                        AS n_orders,
-  ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spend
+  {rdiv_halfup_duck(
+      f"COALESCE(SUM({units_sql('o_totalprice', 2)}), 0)", "100", 2
+  )} AS total_spend
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
@@ -83,9 +102,15 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "total_spend"
-            ),
+            F.coalesce(
+                F.sum(units_col(F.col("o_totalprice"), 2)), F.lit(0)
+            ).alias("spend_u2"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_orders",
+            rdiv_halfup_expr("spend_u2", "100", 2).alias("total_spend"),
         )
     )
 

@@ -62,21 +62,32 @@ def with_range_bucket(
     *,
     partition_by: tuple[str, ...] = (),
     n_buckets: int = 64,
+    nulls: str = "first",
 ) -> DataFrame:
     """``df`` + a ``__rsbucket`` column: range bucket of ``axis`` in
     [0, n_buckets), monotone non-decreasing in the axis, cut points from
     a broadcast min/max frame (per ``partition_by`` group if given).
 
-    NULL axis rows get bucket -1 — ordered BEFORE every real bucket —
-    matching the NULLS FIRST default of the ascending ``ORDER BY`` the
-    kernel reproduces (without this they'd fall into the LAST bucket
-    because ``F.least`` ignores NULLs; r11 ADVICE).
+    NULL axis rows get a dedicated bucket ordered by ``nulls``:
+    ``"first"`` (default) -> bucket -1, BEFORE every real bucket,
+    matching Spark's NULLS FIRST default for an ascending ``ORDER BY``;
+    ``"last"`` -> bucket ``n_buckets``, AFTER every real bucket, for
+    DESCENDING callers (negated axis + ``F.desc`` order — e.g.
+    q_ml_lift_deciles' pattern), whose Spark default is NULLS LAST
+    (r12 ADVICE: the -1 bucket alone would silently put a descending
+    caller's NULLs first and diverge from the window form this kernel
+    claims to reproduce bit-for-bit). Without either they'd fall into
+    the last REAL bucket because ``F.least`` ignores NULLs (r11
+    ADVICE).
 
     Cost note: computing the min/max bounds is a second full scan of
     ``df`` (aggregate + rejoin) — ``.cache()`` the input upstream if the
     frame is expensive to recompute, and note the broadcast ``bounds``
     frame is |partition_by groups| rows, so ``partition_by`` must be
     bounded cardinality (same contract as any broadcast dimension)."""
+    if nulls not in ("first", "last"):
+        raise ValueError(f"nulls must be 'first' or 'last', got {nulls!r}")
+    null_bucket = -1 if nulls == "first" else n_buckets
     axis_col = F.col(axis) if isinstance(axis, str) else axis
     tmp = df.withColumn(_AXIS, axis_col.cast("double"))
     pb = list(partition_by)
@@ -89,7 +100,7 @@ def with_range_bucket(
     )
     span = F.col(_HI) - F.col(_LO)
     bucket = (
-        F.when(F.col(_AXIS).isNull(), F.lit(-1))
+        F.when(F.col(_AXIS).isNull(), F.lit(null_bucket))
         .when(span <= 0, F.lit(0))
         .otherwise(
             F.least(
@@ -111,6 +122,7 @@ def bucketed_running(
     partition_by: tuple[str, ...] = (),
     n_buckets: int = 64,
     keep_bucket: bool = False,
+    nulls: str = "first",
 ) -> DataFrame:
     """Global running sums without a global window.
 
@@ -121,10 +133,15 @@ def bucketed_running(
     numeric expression monotone NON-DECREASING along ``order`` (negate
     it for descending orders). ``SUM(lit(1))`` is ``row_number``.
 
+    DESCENDING callers with a NULLABLE axis must pass ``nulls="last"``:
+    Spark's ``F.desc`` default is NULLS LAST, and the default ``-1``
+    NULL bucket would place their NULLs first instead (r12 ADVICE —
+    latent, all current descending callers have non-null axes).
+
     Preserves all input columns; adds ``__rsbucket`` if ``keep_bucket``.
     """
     step = with_range_bucket(
-        df, axis, partition_by=partition_by, n_buckets=n_buckets
+        df, axis, partition_by=partition_by, n_buckets=n_buckets, nulls=nulls
     )
     in_cols, tot_cols, off_cols = {}, {}, {}
     for name in cums:

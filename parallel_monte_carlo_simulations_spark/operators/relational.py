@@ -16,9 +16,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
+
+# Exact money units shared by every query below (r13: the raw-double
+# ROUND(SUM/AVG) forms are eliminated repo-wide after the class produced
+# two real scale-dependent flips in r12 — SCALING.md "Cross-engine float
+# discipline"). Money columns are 2-decimal by data contract, so
+# cents(x) is an exact BIGINT per row, products of cents are exact
+# higher-resolution units, BIGINT sums are order-independent, and the
+# string-form half-up division renders the exact rounded total
+# identically in both engines at any magnitude. BIGINT overflow is the
+# loud failure path in BOTH engines (Spark ANSI + DuckDB raise).
 
 # --------------------------------------------------------------------------
 # q01: pricing summary — full aggregate sweep over the fact table.
@@ -27,21 +42,36 @@ from ..tables import table
 # §2.B "aggregations" row.
 # --------------------------------------------------------------------------
 
-_Q01_ORACLE = """
+_Q01_ORACLE = f"""
+WITH g AS (
+  SELECT
+    l_returnflag,
+    l_linestatus,
+    SUM({units_sql("l_quantity", 0)})                      AS qty_u0,
+    SUM({units_sql("l_extendedprice", 2)})                 AS price_u2,
+    SUM({units_sql("l_extendedprice", 2)}
+        * {units_sql("1 - l_discount", 2)})                AS disc_price_u4,
+    SUM({units_sql("l_extendedprice", 2)}
+        * {units_sql("1 - l_discount", 2)}
+        * {units_sql("1 + l_tax", 2)})                     AS charge_u6,
+    SUM({units_sql("l_discount", 2)})                      AS disc_u2,
+    COUNT(*)                                               AS n
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4)                                  AS avg_price,
-  ROUND(AVG(l_discount), 4)                                       AS avg_disc,
-  COUNT(*)                                                        AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+  {rdiv_halfup_duck("qty_u0", "1", 2)}               AS sum_qty,
+  {rdiv_halfup_duck("price_u2", "100", 2)}           AS sum_base_price,
+  {rdiv_halfup_duck("disc_price_u4", "10000", 2)}    AS sum_disc_price,
+  {rdiv_halfup_duck("charge_u6", "1000000", 2)}      AS sum_charge,
+  {rdiv_halfup_duck("qty_u0", "n", 4)}               AS avg_qty,
+  {rdiv_halfup_duck("price_u2", "n * 100", 4)}       AS avg_price,
+  {rdiv_halfup_duck("disc_u2", "n * 100", 4)}        AS avg_disc,
+  n                                                  AS count_order
+FROM g
 """
 
 
@@ -53,19 +83,34 @@ GROUP BY l_returnflag, l_linestatus
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_u0 = units_col(F.col("l_quantity"), 0)
+    price_u2 = units_col(F.col("l_extendedprice"), 2)
+    inv_disc_u2 = units_col(1 - F.col("l_discount"), 2)
+    tax1_u2 = units_col(1 + F.col("l_tax"), 2)
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty_u0).alias("qty_u0"),
+            F.sum(price_u2).alias("price_u2"),
+            F.sum(price_u2 * inv_disc_u2).alias("disc_price_u4"),
+            F.sum(price_u2 * inv_disc_u2 * tax1_u2).alias("charge_u6"),
+            F.sum(units_col(F.col("l_discount"), 2)).alias("disc_u2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            rdiv_halfup_expr("qty_u0", "1", 2).alias("sum_qty"),
+            rdiv_halfup_expr("price_u2", "100", 2).alias("sum_base_price"),
+            rdiv_halfup_expr("disc_price_u4", "10000", 2).alias(
+                "sum_disc_price"
+            ),
+            rdiv_halfup_expr("charge_u6", "1000000", 2).alias("sum_charge"),
+            rdiv_halfup_expr("qty_u0", "n", 4).alias("avg_qty"),
+            rdiv_halfup_expr("price_u2", "n * 100", 4).alias("avg_price"),
+            rdiv_halfup_expr("disc_u2", "n * 100", 4).alias("avg_disc"),
+            F.col("n").alias("count_order"),
         )
     )
 
@@ -74,19 +119,27 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q03: shipping priority — selective join + agg + top-k.
 # --------------------------------------------------------------------------
 
-_Q03_ORACLE = """
-SELECT
-  l_orderkey,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-  strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
-  o_orderpriority
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-01-01'
-  AND l_shipdate  > TIMESTAMP '1998-01-01'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
+_Q03_ORACLE = f"""
+WITH g AS (
+  SELECT
+    l_orderkey,
+    SUM({units_sql("l_extendedprice", 2)}
+        * {units_sql("1 - l_discount", 2)})   AS revenue_u4,
+    strftime(o_orderdate, '%Y-%m-%d')         AS orderdate,
+    o_orderpriority
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate  > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, orderdate, o_orderpriority
+)
+SELECT l_orderkey,
+       {rdiv_halfup_duck("revenue_u4", "10000", 2)} AS revenue,
+       orderdate,
+       o_orderpriority
+FROM g
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
@@ -112,13 +165,14 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                units_col(F.col("l_extendedprice"), 2)
+                * units_col(1 - F.col("l_discount"), 2)
+            ).alias("revenue_u4")
         )
         .select(
             "l_orderkey",
-            "revenue",
+            rdiv_halfup_expr("revenue_u4", "10000", 2).alias("revenue"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
@@ -203,15 +257,21 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q06: forecast revenue — pure pushed-down filter + single scalar agg.
 # --------------------------------------------------------------------------
 
-_Q06_ORACLE = """
-SELECT
-  ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
-  COUNT(*)                                    AS n_items
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-  AND l_shipdate <  TIMESTAMP '1998-01-01'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
+_Q06_ORACLE = f"""
+WITH g AS (
+  SELECT
+    SUM({units_sql("l_extendedprice", 2)}
+        * {units_sql("l_discount", 2)}) AS revenue_u4,
+    COUNT(*)                            AS n_items
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND l_discount BETWEEN 0.05 AND 0.07
+    AND l_quantity < 24
+)
+SELECT {rdiv_halfup_duck("revenue_u4", "10000", 2)} AS revenue,
+       n_items
+FROM g
 """
 
 
@@ -232,10 +292,15 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.sum(
+                units_col(F.col("l_extendedprice"), 2)
+                * units_col(F.col("l_discount"), 2)
+            ).alias("revenue_u4"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            rdiv_halfup_expr("revenue_u4", "10000", 2).alias("revenue"),
+            "n_items",
         )
     )
 
@@ -244,18 +309,25 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q10: returned items — join + agg + top-k customers by lost revenue.
 # --------------------------------------------------------------------------
 
-_Q10_ORACLE = """
-SELECT
-  c_custkey,
-  c_name,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-  n_name
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN nation   ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-GROUP BY c_custkey, c_name, n_name
+_Q10_ORACLE = f"""
+WITH g AS (
+  SELECT
+    c_custkey,
+    c_name,
+    SUM({units_sql("l_extendedprice", 2)}
+        * {units_sql("1 - l_discount", 2)}) AS revenue_u4,
+    n_name
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT c_custkey, c_name,
+       {rdiv_halfup_duck("revenue_u4", "10000", 2)} AS revenue,
+       n_name
+FROM g
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
@@ -278,11 +350,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                units_col(F.col("l_extendedprice"), 2)
+                * units_col(1 - F.col("l_discount"), 2)
+            ).alias("revenue_u4")
         )
-        .select("c_custkey", "c_name", "revenue", "n_name")
+        .select(
+            "c_custkey",
+            "c_name",
+            rdiv_halfup_expr("revenue_u4", "10000", 2).alias("revenue"),
+            "n_name",
+        )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -319,11 +397,12 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HAVING-style post-aggregation filter.
 # --------------------------------------------------------------------------
 
-_QHAVING_ORACLE = """
+_QHAVING_ORACLE = f"""
 SELECT
   o_custkey,
   COUNT(*)                      AS n_orders,
-  ROUND(SUM(o_totalprice), 2)   AS total_spend
+  {rdiv_halfup_duck(f"SUM({units_sql('o_totalprice', 2)})", "100", 2)}
+                                AS total_spend
 FROM orders
 GROUP BY o_custkey
 HAVING COUNT(*) >= 12
@@ -342,9 +421,14 @@ def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.sum(units_col(F.col("o_totalprice"), 2)).alias("spend_u2"),
         )
         .filter(F.col("n_orders") >= 12)
+        .select(
+            "o_custkey",
+            "n_orders",
+            rdiv_halfup_expr("spend_u2", "100", 2).alias("total_spend"),
+        )
     )
 
 
@@ -361,10 +445,15 @@ SELECT
   END                                                          AS price_band,
   COUNT(*)                                                     AS n_orders,
   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
-  ROUND(AVG(o_totalprice), 2)                                  AS avg_price
+  {AVG_PRICE}                                                  AS avg_price
 FROM orders
 GROUP BY price_band
-"""
+""".replace(
+    "{AVG_PRICE}",
+    rdiv_halfup_duck(
+        f"SUM({units_sql('o_totalprice', 2)})", "COUNT(*) * 100", 2
+    ),
+)
 
 
 @register(
@@ -388,7 +477,15 @@ def q_case_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
             .cast("bigint")
             .alias("n_finished"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.sum(units_col(F.col("o_totalprice"), 2)).alias("price_u2"),
+        )
+        .select(
+            "price_band",
+            "n_orders",
+            "n_finished",
+            rdiv_halfup_expr("price_u2", "n_orders * 100", 2).alias(
+                "avg_price"
+            ),
         )
     )
 
@@ -397,11 +494,12 @@ def q_case_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Orders per month: date bucketing + sort (time-series reporting shape).
 # --------------------------------------------------------------------------
 
-_QMONTH_ORACLE = """
+_QMONTH_ORACLE = f"""
 SELECT
   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
   COUNT(*)                                       AS n_orders,
-  ROUND(SUM(o_totalprice), 2)                    AS total_price
+  {rdiv_halfup_duck(f"SUM({units_sql('o_totalprice', 2)})", "100", 2)}
+                                                 AS total_price
 FROM orders
 GROUP BY order_month
 ORDER BY order_month
@@ -420,7 +518,12 @@ def q_orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.sum(units_col(F.col("o_totalprice"), 2)).alias("price_u2"),
+        )
+        .select(
+            "order_month",
+            "n_orders",
+            rdiv_halfup_expr("price_u2", "100", 2).alias("total_price"),
         )
         .orderBy("order_month")
     )

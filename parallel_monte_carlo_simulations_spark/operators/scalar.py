@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -200,13 +201,17 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JSON extraction from events.props.
 # --------------------------------------------------------------------------
 
-_QJSON_ORACLE = """
+_QJSON_ORACLE = f"""
 SELECT
   event_type,
   COUNT(*)                                                       AS n_events,
   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
        AS BIGINT)                                                AS sum_k,
-  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+  {rdiv_halfup_duck(
+      "SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))",
+      "COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER))",
+      4,
+  )} AS avg_k
 FROM events
 GROUP BY event_type
 """
@@ -221,10 +226,19 @@ GROUP BY event_type
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    return e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(k).cast("bigint").alias("sum_k"),
-        F.round(F.avg(k), 4).alias("avg_k"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.count(k).alias("n_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_k",
+            rdiv_halfup_expr("sum_k", "n_k", 4).alias("avg_k"),
+        )
     )
 
 

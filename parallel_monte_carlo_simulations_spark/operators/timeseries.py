@@ -17,6 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.microunit import (
+    qround_col,
+    qround_duck,
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 
@@ -25,9 +33,10 @@ from ..tables import table
 # onto a complete hour grid, filling silent hours from the last value.
 # --------------------------------------------------------------------------
 
-_QGAPFILL_ORACLE = """
+_QGAPFILL_ORACLE = f"""
 WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hr, ROUND(SUM(value), 2) AS v
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         {rdiv_halfup_duck(f"SUM({units_sql('value', 2)})", "100", 2)} AS v
   FROM events GROUP BY event_type, hr
 ),
 bounds AS (
@@ -59,7 +68,11 @@ def q_gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ).agg(
+        F.sum(units_col(F.col("value"), 2)).alias("v_u2")
+    ).select(
+        "event_type", "hr", rdiv_halfup_expr("v_u2", "100", 2).alias("v")
+    )
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -298,8 +311,8 @@ WITH w AS (
   FROM events
 )
 SELECT user_id, event_id,
-       ROUND(
-         list_reduce(list_concat([0.0], list_transform(
+       {qround_duck(
+           f'''list_reduce(list_concat([0.0], list_transform(
            range(1, len(vals) + 1),
            i -> vals[i] * pow({_EWMA_ALPHA}, len(vals) - i)
          )), (acc, v) -> acc + v)
@@ -307,9 +320,9 @@ SELECT user_id, event_id,
          list_reduce(list_concat([0.0], list_transform(
            range(1, len(vals) + 1),
            i -> pow({_EWMA_ALPHA}, len(vals) - i)
-         )), (acc, v) -> acc + v),
-         4
-       ) AS ewma
+         )), (acc, v) -> acc + v)''',
+           4,
+       )} AS ewma
 FROM w
 """
 
@@ -357,7 +370,13 @@ def q_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.select("user_id", "event_id", vals.alias("vals"))
-        .select("user_id", "event_id", F.round(wsum / norm, 4).alias("ewma"))
+        # shared floor-form quantization (qround): both engines evaluate
+        # the identical IEEE ops on the identical quotient, so the
+        # 4-digit result is bit-equal by construction — the raw ROUND
+        # would differ between engines on boundary-adjacent doubles.
+        .select(
+            "user_id", "event_id", qround_col(wsum / norm, 4).alias("ewma")
+        )
     )
 
 
@@ -567,7 +586,7 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # revenue counterpart of q_cohort_retention.
 # --------------------------------------------------------------------------
 
-_QLTV_ORACLE = """
+_QLTV_ORACLE = f"""
 WITH firsts AS (
   SELECT user_id,
          CAST(FLOOR(datediff('day', TIMESTAMP '2024-01-01', MIN(ts)) / 7.0)
@@ -588,11 +607,13 @@ sized AS (
   FROM firsts GROUP BY cohort_week
 )
 SELECT w.cohort_week, w.week_offset, s.cohort_users,
-       ROUND(CAST(SUM(w.cents) OVER (PARTITION BY w.cohort_week
-                 ORDER BY w.week_offset
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DOUBLE) / (100.0e0 * s.cohort_users), 4)
-         AS cum_ltv_per_user
+       {rdiv_halfup_duck(
+           "SUM(w.cents) OVER (PARTITION BY w.cohort_week "
+           "ORDER BY w.week_offset "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+           "100 * s.cohort_users",
+           4,
+       )} AS cum_ltv_per_user
 FROM weekly w JOIN sized s ON w.cohort_week = s.cohort_week
 ORDER BY w.cohort_week, w.week_offset
 """
@@ -646,11 +667,15 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_week",
             "week_offset",
             "cohort_users",
-            F.round(
-                F.sum("cents").over(w).cast("double")
-                / (F.lit(100.0) * F.col("cohort_users")),
-                4,
-            ).alias("cum_ltv_per_user"),
+            F.sum("cents").over(w).alias("cum_u2"),
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            rdiv_halfup_expr("cum_u2", "100 * cohort_users", 4).alias(
+                "cum_ltv_per_user"
+            ),
         )
         .orderBy("cohort_week", "week_offset")
     )

@@ -15,6 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 
@@ -98,16 +104,21 @@ def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Running (cumulative) sum per customer over order date.
 # --------------------------------------------------------------------------
 
-_QRUN_ORACLE = """
-SELECT
-  o_custkey,
-  o_orderkey,
-  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-  ROUND(SUM(o_totalprice) OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ), 2) AS running_spend
-FROM orders
+_QRUN_ORACLE = f"""
+WITH r AS (
+  SELECT
+    o_custkey,
+    o_orderkey,
+    strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+    SUM({units_sql("o_totalprice", 2)}) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS spend_u2
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, orderdate,
+       {rdiv_halfup_duck("spend_u2", "100", 2)} AS running_spend
+FROM r
 """
 
 
@@ -128,7 +139,12 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.sum(units_col(F.col("o_totalprice"), 2)).over(w).alias("spend_u2"),
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "orderdate",
+        rdiv_halfup_expr("spend_u2", "100", 2).alias("running_spend"),
     )
 
 
@@ -225,20 +241,24 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Moving frame: 3-row trailing average of daily revenue.
 # --------------------------------------------------------------------------
 
-_QMOV_ORACLE = """
+_QMOV_ORACLE = f"""
 WITH daily AS (
   SELECT
     strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS order_day,
-    SUM(o_totalprice)                            AS day_total
+    SUM({units_sql("o_totalprice", 2)})          AS day_u2
   FROM orders
   GROUP BY order_day
 )
 SELECT
   order_day,
-  ROUND(day_total, 2) AS day_total,
-  ROUND(AVG(day_total) OVER (
-    ORDER BY order_day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-  ), 2) AS trailing3_avg
+  {rdiv_halfup_duck("day_u2", "100", 2)} AS day_total,
+  {rdiv_halfup_duck(
+      "SUM(day_u2) OVER (ORDER BY order_day "
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+      "100 * COUNT(*) OVER (ORDER BY order_day "
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+      2,
+  )} AS trailing3_avg
 FROM daily
 """
 
@@ -253,12 +273,17 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("order_day")
-    ).agg(F.sum("o_totalprice").alias("day_total"))
+    ).agg(F.sum(units_col(F.col("o_totalprice"), 2)).alias("day_u2"))
     w = Window.orderBy("order_day").rowsBetween(-2, Window.currentRow)
     return daily.select(
         "order_day",
-        F.round("day_total", 2).alias("day_total"),
-        F.round(F.avg("day_total").over(w), 2).alias("trailing3_avg"),
+        F.sum("day_u2").over(w).alias("win_u2"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        "day_u2",
+    ).select(
+        "order_day",
+        rdiv_halfup_expr("day_u2", "100", 2).alias("day_total"),
+        rdiv_halfup_expr("win_u2", "100 * win_n", 2).alias("trailing3_avg"),
     )
 
 
@@ -303,17 +328,27 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cume_dist + nth_value: the remaining ranked-window surface (round 10).
 # --------------------------------------------------------------------------
 
-_QCUME_ORACLE = """
+_QCUME_ORACLE = f"""
+WITH r AS (
+  SELECT o_orderkey,
+         o_orderpriority,
+         COUNT(*) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)                   AS cum_le,
+         COUNT(*) OVER (PARTITION BY o_orderpriority)      AS n_prio,
+         nth_value(o_orderkey, 3) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS third_cheapest_order
+  FROM orders
+)
 SELECT o_orderkey,
        o_orderpriority,
-       ROUND(cume_dist() OVER (PARTITION BY o_orderpriority
-                               ORDER BY o_totalprice), 6) AS price_cume_dist,
-       nth_value(o_orderkey, 3) OVER (
-         PARTITION BY o_orderpriority
-         ORDER BY o_totalprice, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-         AS third_cheapest_order
-FROM orders
+       {rdiv_halfup_duck("cum_le", "n_prio", 6)} AS price_cume_dist,
+       third_cheapest_order
+FROM r
 """
 
 
@@ -390,9 +425,7 @@ def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderpriority",
-            F.round(
-                F.col("cum_le").cast("double") / F.col("n_prio"), 6
-            ).alias("price_cume_dist"),
+            rdiv_halfup_expr("cum_le", "n_prio", 6).alias("price_cume_dist"),
             "third_cheapest_order",
         )
     )

@@ -6,6 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 
@@ -13,17 +19,23 @@ from ..tables import table
 # RANGE frame: peers within a VALUE band, not a row count.
 # --------------------------------------------------------------------------
 
-_QRANGEF_ORACLE = """
-SELECT
-  s_suppkey,
-  ROUND(s_acctbal, 2) AS acctbal,
-  CAST(COUNT(*) OVER (
-    ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING
-  ) AS BIGINT)        AS n_peers_within_500,
-  ROUND(AVG(s_acctbal) OVER (
-    ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING
-  ), 4)               AS band_avg
-FROM supplier
+_QRANGEF_ORACLE = f"""
+WITH r AS (
+  SELECT
+    s_suppkey,
+    ROUND(s_acctbal, 2) AS acctbal,
+    CAST(COUNT(*) OVER (
+      ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING
+    ) AS BIGINT)        AS n_peers_within_500,
+    SUM({units_sql("s_acctbal", 2)}) OVER (
+      ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING
+    )                   AS band_u2
+  FROM supplier
+)
+SELECT s_suppkey, acctbal, n_peers_within_500,
+       {rdiv_halfup_duck("band_u2", "n_peers_within_500 * 100", 4)}
+         AS band_avg
+FROM r
 """
 
 
@@ -68,10 +80,20 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             F.round("s_acctbal", 2).alias("acctbal"),
             F.count(F.lit(1)).over(w).alias("n_peers_within_500"),
-            F.round(F.avg("s_acctbal").over(w), 4).alias("band_avg"),
+            F.sum(units_col(F.col("s_acctbal"), 2)).over(w).alias("band_u2"),
         )
         .filter(F.col("cell") == F.col("home"))
-        .drop("home", "cell")
+        .select(
+            "s_suppkey",
+            "acctbal",
+            "n_peers_within_500",
+            # signed string-form division: acctbal (and so the band sum)
+            # can be negative — rdiv quantizes |num|/den and prefixes
+            # the sign, never emitting -0.0000.
+            rdiv_halfup_expr("band_u2", "n_peers_within_500 * 100", 4).alias(
+                "band_avg"
+            ),
+        )
     )
 
 
@@ -176,20 +198,21 @@ def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QSHARE_ORACLE = """
+_QSHARE_ORACLE = f"""
 WITH sums AS (
   SELECT o_orderpriority, o_orderstatus,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS grp_total
+         SUM({units_sql("o_totalprice", 2)}) AS grp_u2
   FROM orders
   GROUP BY o_orderpriority, o_orderstatus
 )
 SELECT o_orderpriority, o_orderstatus,
-       CAST(ROUND(grp_total, 2) AS DOUBLE) AS grp_total,
-       ROUND(CAST(grp_total AS DOUBLE)
-             / CAST(SUM(grp_total) OVER (PARTITION BY o_orderpriority) AS DOUBLE), 6)
-         AS share_of_priority,
-       ROUND(CAST(grp_total AS DOUBLE)
-             / CAST(SUM(grp_total) OVER () AS DOUBLE), 6)
+       {rdiv_halfup_duck("grp_u2", "100", 2)} AS grp_total,
+       {rdiv_halfup_duck(
+           "grp_u2",
+           "SUM(grp_u2) OVER (PARTITION BY o_orderpriority)",
+           6,
+       )} AS share_of_priority,
+       {rdiv_halfup_duck("grp_u2", "SUM(grp_u2) OVER ()", 6)}
          AS share_of_total
 FROM sums
 """
@@ -210,25 +233,28 @@ def q_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     each row its contribution share without re-scanning or self-joining.
     The unpartitioned window is a single-partition exchange of the
     ALREADY-AGGREGATED rows (group count, not fact count), which is the
-    only reason it is scale-safe. Decimal group sums keep the shares'
-    numerators exact on both engines."""
+    only reason it is scale-safe. Cent-unit BIGINT group sums keep the
+    shares' numerators exact, and the string-form half-up division
+    renders identical 6-digit shares in both engines (r13 raw-double
+    ratio elimination)."""
     o = table(spark, sf_dir, "orders")
     sums = o.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("grp_total")
+        F.sum(units_col(F.col("o_totalprice"), 2)).alias("grp_u2")
     )
     w_pri = Window.partitionBy("o_orderpriority")
     w_all = Window.partitionBy()
-    g = F.col("grp_total").cast("double")
     return sums.select(
         "o_orderpriority",
         "o_orderstatus",
-        F.round("grp_total", 2).cast("double").alias("grp_total"),
-        F.round(g / F.sum("grp_total").over(w_pri).cast("double"), 6).alias(
-            "share_of_priority"
-        ),
-        F.round(g / F.sum("grp_total").over(w_all).cast("double"), 6).alias(
-            "share_of_total"
-        ),
+        "grp_u2",
+        F.sum("grp_u2").over(w_pri).alias("pri_u2"),
+        F.sum("grp_u2").over(w_all).alias("all_u2"),
+    ).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        rdiv_halfup_expr("grp_u2", "100", 2).alias("grp_total"),
+        rdiv_halfup_expr("grp_u2", "pri_u2", 6).alias("share_of_priority"),
+        rdiv_halfup_expr("grp_u2", "all_u2", 6).alias("share_of_total"),
     )
 
 

@@ -132,3 +132,31 @@ def test_cohens_kappa_retains_null_text_documents(spark, tmp_path):
     rep = compare(spec.fn(spark, sf), spec.oracle, sf)
     assert rep["ok"], rep
     assert spec.fn(spark, sf).collect()[0]["n_docs"] == 5
+
+
+def test_dup_flow_matrix_drops_null_text_documents(spark, tmp_path):
+    # r12 ADVICE: Spark's concat_ws folds a NULL token array to '' so
+    # NULL-text docs used to fingerprint as md5('') and join with each
+    # other (and with empty-text docs); DuckDB's array_to_string(NULL)
+    # stays NULL and drops out. The guarded fingerprint must make both
+    # engines drop NULL-text rows identically — here the only pair that
+    # survives is the genuine 'a b' duplicate, never the two NULLs.
+    sf = _write(
+        tmp_path,
+        "documents",
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [None, None, "a b", "a b"],
+            "source": ["s1", "s2", "s1", "s2"],
+        },
+    )
+    spec = SPECS["q_curation_dup_flow_matrix"]
+    rep = compare(spec.fn(spark, sf), spec.oracle, sf)
+    assert rep["ok"], rep
+    rows = spec.fn(spark, sf).collect()
+    assert len(rows) == 1
+    assert (rows[0].source_a, rows[0].source_b, rows[0].n_dup_pairs) == (
+        "s1",
+        "s2",
+        1,
+    )

@@ -31,10 +31,21 @@ from parallel_monte_carlo_simulations_spark.functions.microunit import (
 )
 
 
-def _mirror(num: int, den: int) -> float:
-    frac0 = ((num % den) * 20000 + den) // (2 * den)
-    whole = num // den + frac0 // 10000
-    return float(f"{whole}.{frac0 % 10000:04d}")
+def _mirror(num: int, den: int, digits: int = 4) -> float:
+    s = 10**digits
+    a = abs(num)
+    frac0 = ((a % den) * 2 * s + den) // (2 * den)
+    whole = a // den + frac0 // s
+    sign = "-" if num < 0 and (whole > 0 or frac0 % s > 0) else ""
+    return float(f"{sign}{whole}.{frac0 % s:0{digits}d}")
+
+
+def _decimal_expect(num: int, den: int, digits: int) -> float:
+    """Half-away-from-zero quantization of the exact rational."""
+    q = (Decimal(abs(num)) / Decimal(den)).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+    )
+    return float(-q if num < 0 else q)
 
 
 @given(
@@ -62,6 +73,21 @@ def test_split_form_falsifier_now_exact():
 
 
 @given(
+    st.integers(min_value=-(10**18), max_value=10**18),
+    st.integers(min_value=1, max_value=10**7),
+    st.sampled_from([2, 4, 6]),
+)
+@settings(max_examples=500, deadline=None)
+def test_signed_digits_mirror_matches_decimal(num, den, digits):
+    got = _mirror(num, den, digits)
+    expect = _decimal_expect(num, den, digits)
+    assert got == expect
+    # no negative zero, ever
+    if got == 0.0:
+        assert str(got) == "0.0"
+
+
+@given(
     st.integers(min_value=0, max_value=10**18),
     st.integers(min_value=1, max_value=10**6),
 )
@@ -73,6 +99,21 @@ def test_duckdb_sql_matches_mirror(num, den):
     ).fetchone()[0]
     con.close()
     assert got == _mirror(num, den)
+
+
+@given(
+    st.integers(min_value=-(10**18), max_value=10**18),
+    st.integers(min_value=1, max_value=10**6),
+    st.sampled_from([2, 4, 6]),
+)
+@settings(max_examples=50, deadline=None)
+def test_duckdb_sql_signed_digits_matches_mirror(num, den, digits):
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {rdiv_halfup_duck(str(num), str(den), digits)} AS v"
+    ).fetchone()[0]
+    con.close()
+    assert got == _mirror(num, den, digits)
 
 
 def test_spark_sql_matches_mirror(spark):
@@ -91,6 +132,63 @@ def test_spark_sql_matches_mirror(spark):
     )
     for row in df.collect():
         assert row.v == _mirror(row.num, row.den), (row.num, row.den)
+
+
+def test_spark_sql_signed_digits_matches_mirror(spark):
+    cases = [
+        (-85_612_902, 9_281_852, 2),
+        (-85_612_902, 9_281_852, 6),
+        (-5, 1000, 2),  # quantizes to -0.00 -> must emit 0.0, not -0.0
+        (-5, 1000, 4),  # -0.0005 exact tie -> -0.0005 (away from zero)
+        (-1, 3, 6),
+        (2_728_744_875, 900_000, 2),
+        (10**18, 7, 6),
+        (-(10**18), 7, 2),
+        (0, 5, 2),
+        (350, 100, 2),  # 3.50 exact
+        (12345, 200, 2),  # 61.725 -> 61.73 half-up on a true tie
+    ]
+    df = spark.createDataFrame(cases, "num long, den long, d int")
+    for digits in (2, 4, 6):
+        got = df.select(
+            "num",
+            "den",
+            "d",
+            rdiv_halfup_expr("num", "den", digits).alias("v"),
+        ).collect()
+        for row in got:
+            assert row.v == _mirror(row.num, row.den, digits), (
+                row.num,
+                row.den,
+                digits,
+            )
+            assert row.v == _decimal_expect(row.num, row.den, digits)
+
+
+def test_units_sql_both_engines(spark):
+    from parallel_monte_carlo_simulations_spark.functions.microunit import (
+        units_col,
+        units_sql,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [(901.82,), (-994.28,), (0.01,), (104997.88,), (0.0,), (-0.07,)]
+    df = spark.createDataFrame(vals, "x double")
+    got = [
+        (r.u, r.uc)
+        for r in df.select(
+            F.expr(units_sql("x", 2)).alias("u"), units_col(F.col("x"), 2).alias("uc")
+        ).collect()
+    ]
+    expect = [round(v[0] * 100) for v in vals]
+    assert [g[0] for g in got] == expect
+    assert [g[1] for g in got] == expect
+    con = duckdb.connect()
+    duck = [
+        con.execute(f"SELECT {units_sql(str(v[0]), 2)}").fetchone()[0] for v in vals
+    ]
+    con.close()
+    assert duck == expect
 
 
 def test_guard_passes_in_range(spark):
@@ -112,3 +210,53 @@ def test_guard_fails_loudly_out_of_range(spark):
     )
     with pytest.raises(Exception, match="test.site"):
         df.collect()
+
+
+@given(
+    st.floats(
+        min_value=-1e8,
+        max_value=1e8,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.sampled_from([2, 4, 6]),
+)
+@settings(max_examples=100, deadline=None)
+def test_qround_duck_is_floor_form(x, digits):
+    from parallel_monte_carlo_simulations_spark.functions.microunit import (
+        qround_duck,
+    )
+    import math
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {qround_duck(chr(39) + repr(x) + chr(39) + '::DOUBLE', digits)}"
+    ).fetchone()[0]
+    con.close()
+    s = float(10**digits)
+    assert got == math.floor(x * s + 0.5) / s
+
+
+def test_qround_spark_matches_duck(spark):
+    from parallel_monte_carlo_simulations_spark.functions.microunit import (
+        qround_duck,
+        qround_expr,
+    )
+
+    cases = [33.38625, -33.38625, 0.0, 490.02, 1e-7, 123456.789012345, -0.07]
+    df = spark.createDataFrame([(x,) for x in cases], "x double")
+    con = duckdb.connect()
+    for digits in (2, 4, 6):
+        got = [
+            r.q
+            for r in df.select(qround_expr("x", digits).alias("q"))
+            .collect()
+        ]
+        duck = [
+            con.execute(
+                f"SELECT {qround_duck(repr(x) + '::DOUBLE', digits)}"
+            ).fetchone()[0]
+            for x in cases
+        ]
+        assert got == duck, (digits, got, duck)
+    con.close()

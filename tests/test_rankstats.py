@@ -260,3 +260,51 @@ def test_null_axis_bucket_is_minus_one(spark):
         for r in with_range_bucket(df, "v", n_buckets=4).collect()
     }
     assert got[1] == -1 and got[2] == 0 and got[3] == 3
+
+
+def test_null_axis_rows_sort_last_for_descending_callers(spark):
+    """r12 ADVICE: a DESCENDING caller (negated axis + F.desc order,
+    the q_ml_lift_deciles pattern) pairs with Spark's desc NULLS LAST
+    default — nulls="last" must route NULL-axis rows to a bucket AFTER
+    every real bucket so the kernel still reproduces the window
+    bit-for-bit."""
+    rows = [(i, None if i % 5 == 0 else float(i % 97), 1) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, v double, flag int")
+    out = bucketed_running(
+        df,
+        axis=-F.col("v"),
+        order=[F.col("v").desc(), F.col("id").asc()],
+        cums={"c": F.lit(1)},
+        n_buckets=16,
+        nulls="last",
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.select("id", F.sum(F.lit(1)).over(w).alias("rc"))
+    bad = (
+        out.select("id", "c")
+        .join(ref, "id")
+        .filter(F.col("c") != F.col("rc"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_null_axis_bucket_nulls_last_is_n_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 3.0), (3, 9.0)], "id long, v double"
+    )
+    got = {
+        r["id"]: r[BUCKET_COL]
+        for r in with_range_bucket(df, "v", n_buckets=4, nulls="last").collect()
+    }
+    assert got[1] == 4 and got[2] == 0 and got[3] == 3
+
+
+def test_range_bucket_rejects_bad_nulls_knob(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="nulls"):
+        with_range_bucket(df, "v", nulls="middle")
