@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from .minhash import q_dedup_minhash_lsh  # reuse the verified pair logic
 
@@ -301,7 +302,7 @@ SELECT s.n_members AS cluster_size,
        CAST(COUNT(*) AS BIGINT) AS n_clusters,
        CAST(SUM(s.n_members) AS BIGINT) AS docs_in_bucket,
        CAST(SUM(s.n_members - 1) AS BIGINT) AS removable_docs,
-       ROUND(SUM(s.n_members) * 1.0 / ANY_VALUE(t.corpus_docs), 6)
+       {rdiv_halfup_duck("SUM(s.n_members)", "ANY_VALUE(t.corpus_docs)", 6)}
          AS corpus_frac
 FROM sizes s CROSS JOIN total_docs t
 GROUP BY s.n_members
@@ -349,9 +350,9 @@ def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
             "n_clusters",
             "docs_in_bucket",
             "removable_docs",
-            F.round(
-                F.col("docs_in_bucket") / F.col("corpus_docs"), 6
-            ).alias("corpus_frac"),
+            rdiv_halfup_expr("docs_in_bucket", "corpus_docs", 6).alias(
+                "corpus_frac"
+            ),
         )
         .orderBy("cluster_size")
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 from .text import STOPWORDS
@@ -804,7 +805,7 @@ def q_curation_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Heaps-law vocabulary growth: distinct tokens vs corpus fraction.
 # --------------------------------------------------------------------------
 
-_QHEAPS_ORACLE = """
+_QHEAPS_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ),
@@ -826,8 +827,9 @@ vocab_per_decile AS (
 SELECT t.decile,
        CAST(SUM(t.n_tokens) OVER w AS BIGINT)                AS tokens_cum,
        CAST(SUM(COALESCE(v.n_new_types, 0)) OVER w AS BIGINT) AS vocab_cum,
-       ROUND(SUM(COALESCE(v.n_new_types, 0)) OVER w * 1.0
-             / SUM(t.n_tokens) OVER w, 6)                     AS type_token_ratio
+       {rdiv_halfup_duck(
+           "SUM(COALESCE(v.n_new_types, 0)) OVER w",
+           "SUM(t.n_tokens) OVER w", 6)}                      AS type_token_ratio
 FROM tok_per_decile t LEFT JOIN vocab_per_decile v USING (decile)
 WINDOW w AS (ORDER BY t.decile ROWS BETWEEN UNBOUNDED PRECEDING
              AND CURRENT ROW)
@@ -887,7 +889,11 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         F.sum("n_tokens").over(w).cast("long").alias("tokens_cum"),
         F.sum("n_new_types").over(w).cast("long").alias("vocab_cum"),
-        F.round(
-            F.sum("n_new_types").over(w) * 1.0 / F.sum("n_tokens").over(w), 6
-        ).alias("type_token_ratio"),
+    ).select(
+        "decile",
+        "tokens_cum",
+        "vocab_cum",
+        rdiv_halfup_expr("vocab_cum", "tokens_cum", 6).alias(
+            "type_token_ratio"
+        ),
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .microunit import qunits_col, rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -51,10 +52,10 @@ stats AS (
 scored AS (
   SELECT t.doc_id,
          COUNT(*) AS n_scored,
-         SUM(log10(CASE
+         SUM(CAST(FLOOR(log10(CASE
            WHEN b.c IS NOT NULL THEN b.c * 1.0 / up.c
            ELSE {BACKOFF} * (COALESCE(u.c, 0) + 1) * 1.0 / (stats.n + stats.v)
-         END)) AS s
+         END) * 1e8 + 0.5) AS BIGINT)) AS s_u8
   FROM toks t
   LEFT JOIN big b ON t.prev = b.prev AND t.tok = b.tok
   LEFT JOIN uni up ON t.prev = up.tok
@@ -65,7 +66,7 @@ scored AS (
 )
 SELECT doc_id,
        CAST(n_scored AS BIGINT) AS n_scored,
-       ROUND(s / n_scored, 4)   AS avg_logprob
+       {rdiv_halfup_duck("s_u8", "n_scored * 100000000", 4)} AS avg_logprob
 FROM scored
 ORDER BY avg_logprob, doc_id
 LIMIT {N_LOWEST}
@@ -142,8 +143,22 @@ def q_text_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
-    agg = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_scored"),
-        F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    agg = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            # element-wise floor-form 1e-8 units: the per-token logprob
+            # quantizes identically in both engines, the BIGINT sum is
+            # order-independent, and the string-form division renders
+            # the 4-dec average (raw-double sum was the q05 flip class)
+            F.sum(qunits_col(F.col("lp"), 8)).alias("s_u8"),
+        )
+        .select(
+            "doc_id",
+            "n_scored",
+            rdiv_halfup_expr("s_u8", "n_scored * 100000000", 4).alias(
+                "avg_logprob"
+            ),
+        )
     )
     return agg.orderBy("avg_logprob", "doc_id").limit(N_LOWEST)

@@ -70,6 +70,13 @@ def rdiv_halfup_expr(num: str, den: str, digits: int = 4) -> Column:
     is nonzero so "-0.00" can never be emitted). Half-up on the
     magnitude == ROUND_HALF_UP == both engines' ROUND tie behavior
     (away from zero)."""
+    return F.expr(rdiv_halfup_spark(num, den, digits))
+
+
+def rdiv_halfup_spark(num: str, den: str, digits: int = 4) -> str:
+    """Spark-SQL TEXT form of :func:`rdiv_halfup_expr`, for queries that
+    run as shared SQL statements (spark.sql) rather than DataFrame
+    expressions."""
     s = 10**digits
     # frac0 in [0, 10^digits]; the ==10^digits carry folds into the
     # whole part. The whole part is NEVER scaled by 10^digits (that
@@ -91,7 +98,7 @@ def rdiv_halfup_expr(num: str, den: str, digits: int = 4) -> Column:
     # non-null COUNT that can be 0 (all-NULL group) — return NULL like
     # AVG would, instead of an ANSI divide-by-zero (Spark) or a
     # CONCAT-skips-NULLs '.' parse error (DuckDB).
-    return F.expr(
+    return (
         f"case when ({den}) is null or ({den}) = 0 or ({num}) is null "
         f"then cast(null as double) else {body} end"
     )
@@ -156,6 +163,25 @@ def qround_col(col: Column, digits: int) -> Column:
     """DataFrame-API twin of :func:`qround_expr` for Column inputs."""
     s = F.lit(float(10**digits))
     return F.floor(col * s + F.lit(0.5)) / s
+
+
+def qunits_sql(col_sql: str, decimals: int) -> str:
+    """Shared SQL text (both dialects): floor-form quantization of an
+    IRREDUCIBLY-DOUBLE expression to exact BIGINT units of
+    10^-decimals — the element-wise step that makes a cross-row SUM of
+    computed doubles order-independent (raw-double sums are the class
+    that flipped q05 at sf1.0). Both engines evaluate the identical
+    IEEE multiply+add+floor on the identical input double, so the unit
+    value is bit-equal by construction; the BIGINT sum is then exact.
+    Contract: |x| * 10^decimals < 2^53."""
+    return f"CAST(FLOOR(({col_sql}) * 1e{decimals} + 0.5) AS BIGINT)"
+
+
+def qunits_col(col: Column, decimals: int) -> Column:
+    """DataFrame-API twin of :func:`qunits_sql`."""
+    return F.floor(col * F.lit(float(10**decimals)) + F.lit(0.5)).cast(
+        "long"
+    )
 
 
 def units_sql(col_sql: str, decimals: int) -> str:

@@ -12,8 +12,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import qround_col, qunits_col, rdiv_halfup_expr
 from ..registry import register
 from .battery import MCBattery
+
+
+def _mc_mean_se(grouped, val_col):
+    """Order-independent MC mean/std-error aggregates (r13).
+
+    Raw F.avg/F.stddev over simulated doubles made the last ulp depend
+    on Spark's partial-aggregation merge order (partitioning-dependent
+    -> a 4-dec ROUND could flip between runs; the q05 class). Instead:
+    element-wise floor-form quantization of the payoff to exact 1e-6
+    BIGINT units (deterministic per element), exact integer power sums
+    (the squared sum rides in DECIMAL(38,0) -- u^2 sums overflow BIGINT
+    at sf1.0 path counts), then the textbook mean/sd formulas in double
+    from correctly-rounded casts: every op is a deterministic function
+    of the exact sums, independent of partitioning. Returns the
+    aggregated frame with columns n, mean_v, se_v (mean and standard
+    error of the mean, in natural units)."""
+    u = qunits_col(val_col, 6)
+    agg = grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(u).alias("s1"),
+        F.sum((u * u).cast("decimal(38,0)")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean_v = s1 / nd / 1e6
+    var_v = (nd * s2 - s1 * s1) / (nd * (nd - 1.0)) / 1e12
+    return agg.withColumn("mean_v", mean_v).withColumn(
+        "se_v", F.sqrt(var_v) / F.sqrt(nd)
+    )
 
 
 def _coin_sequence(number_points, rng, parameters=None, starting_point=None):
@@ -139,9 +170,16 @@ def q_mc_heads_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("model_id", "position")
         .agg(
-            F.round(F.avg(F.when(F.col("outcome") == "H", 1.0).otherwise(0.0)), 4)
-            .alias("h_frequency"),
+            F.sum(F.when(F.col("outcome") == "H", 1).otherwise(0)).alias(
+                "n_heads"
+            ),
             F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            "model_id",
+            "position",
+            rdiv_halfup_expr("n_heads", "n_obs", 4).alias("h_frequency"),
+            "n_obs",
         )
         .orderBy("model_id", "position")
     )
@@ -191,12 +229,10 @@ def q_mc_gbm_option_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     disc = math.exp(-r * steps * dt)
-    return terminal.agg(
-        F.round(F.avg(payoff) * disc, 4).alias("mc_price"),
-        F.round(F.stddev(payoff) * disc / F.sqrt(F.count("*")), 4).alias(
-            "std_error"
-        ),
-        F.count("*").cast("bigint").alias("n_paths"),
+    return _mc_mean_se(terminal.select(payoff.alias("pay")), F.col("pay")).select(
+        qround_col(F.col("mean_v") * disc, 4).alias("mc_price"),
+        qround_col(F.col("se_v") * disc, 4).alias("std_error"),
+        F.col("n").cast("bigint").alias("n_paths"),
     )
 
 
@@ -254,12 +290,10 @@ def q_mc_gbm_antithetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         pay(F.element_at("trace", 1)) + pay(F.element_at("trace", 2))
     ) / 2.0
     pairs = traces.select(pair_mean.alias("pair_payoff"))
-    return pairs.agg(
-        F.round(F.avg("pair_payoff") * disc, 4).alias("mc_price"),
-        F.round(F.stddev("pair_payoff") * disc / F.sqrt(F.count("*")), 4).alias(
-            "std_error"
-        ),
-        F.count("*").cast("bigint").alias("n_pairs"),
+    return _mc_mean_se(pairs, F.col("pair_payoff")).select(
+        qround_col(F.col("mean_v") * disc, 4).alias("mc_price"),
+        qround_col(F.col("se_v") * disc, 4).alias("std_error"),
+        F.col("n").cast("bigint").alias("n_pairs"),
     )
 
 
@@ -299,11 +333,11 @@ def q_mc_gbm_control_variate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     beta = float(stats["beta"])
     adj = F.col("pay") - F.lit(beta) * (F.col("s_t") - F.lit(ev_st))
-    return obs.agg(
-        F.round(F.avg(adj) * disc, 4).alias("mc_price"),
-        F.round(F.stddev(adj) * disc / F.sqrt(F.count("*")), 4).alias("std_error"),
+    return _mc_mean_se(obs.select(adj.alias("adj")), F.col("adj")).select(
+        qround_col(F.col("mean_v") * disc, 4).alias("mc_price"),
+        qround_col(F.col("se_v") * disc, 4).alias("std_error"),
         F.round(F.lit(beta), 4).alias("beta"),
-        F.count("*").cast("bigint").alias("n_paths"),
+        F.col("n").cast("bigint").alias("n_paths"),
     )
 
 
@@ -383,19 +417,17 @@ def q_mc_gbm_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.element_at("trace", 2)
         * F.lit(disc)
     )
-    return (
-        traces.select(
-            F.when(F.col("model_id") == 0, "plain")
-            .otherwise("importance")
-            .alias("estimator"),
-            x.alias("x"),
-        )
-        .groupBy("estimator")
-        .agg(
-            F.round(F.avg("x"), 4).alias("mc_price"),
-            F.round(F.stddev("x") / F.sqrt(F.count("*")), 4).alias("std_error"),
-            F.count("*").cast("bigint").alias("n_paths"),
-        )
+    obs = traces.select(
+        F.when(F.col("model_id") == 0, "plain")
+        .otherwise("importance")
+        .alias("estimator"),
+        x.alias("x"),
+    )
+    return _mc_mean_se(obs.groupBy("estimator"), F.col("x")).select(
+        "estimator",
+        qround_col(F.col("mean_v"), 4).alias("mc_price"),
+        qround_col(F.col("se_v"), 4).alias("std_error"),
+        F.col("n").cast("bigint").alias("n_paths"),
     )
 
 
@@ -429,8 +461,8 @@ def _qmc_body() -> str:
 SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
        CAST(SUM(CASE WHEN {x} * {x} + {y} * {y} < 1.0
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
-       ROUND(CAST(4.0 AS DOUBLE) * SUM(CASE WHEN {x} * {x} + {y} * {y} < 1.0
-                       THEN 1 ELSE 0 END) / COUNT(*), 6) AS pi_est
+       FLOOR((CAST(4.0 AS DOUBLE) * SUM(CASE WHEN {x} * {x} + {y} * {y} < 1.0
+                       THEN 1 ELSE 0 END) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS pi_est
 FROM pts
 """
 

@@ -81,7 +81,7 @@ v2 AS (
 ),
 scored AS (
   SELECT r.user_id, r.item_id, r.r,
-         ROUND(u1.u * v2.v, 6) AS predicted
+         FLOOR((u1.u * v2.v) * 1e6 + 0.5) / 1e6 AS predicted
   FROM ratings r
   JOIN u1 ON r.user_id = u1.user_id
   JOIN v2 ON r.item_id = v2.item_id
@@ -172,7 +172,7 @@ def q_recsys_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "item_id",
             "r",
-            F.round(F.col("u") * F.col("v"), 6).alias("predicted"),
+            (F.floor((F.col("u") * F.col("v")) * 1e6 + 0.5) / 1e6).alias("predicted"),
         )
         .orderBy(F.desc("predicted"), "user_id", "item_id")
         .limit(50)

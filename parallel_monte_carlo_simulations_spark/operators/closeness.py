@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.microunit import guard_exact_bigint
+from ..functions.microunit import (
+    guard_exact_bigint,
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+)
 from ..registry import register
 from ..tables import table
 from .graph import _PART_OFFSET
@@ -75,7 +79,7 @@ d{i} AS (
 SELECT CAST(src_id AS BIGINT) AS src_id,
        CAST(COUNT(*) AS BIGINT) AS n_reached,
        CAST(SUM({_HW_CASE}) AS BIGINT) AS harmonic_u,
-       ROUND(SUM({_HW_CASE}) / 1000000.0, 4) AS harmonic
+       {rdiv_halfup_duck(f"SUM({_HW_CASE})", "1000000", 4)} AS harmonic
 FROM {prev}
 WHERE dist > 0
 GROUP BY src_id
@@ -160,7 +164,9 @@ def q_graph_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             guard_exact_bigint(
                 F.sum(hw).cast("long"), "closeness.harmonic_u"
             ).alias("harmonic_u"),
-            F.round(F.sum(hw) / 1000000.0, 4).alias("harmonic"),
+            rdiv_halfup_expr(
+                f"sum({_HW_CASE})", "1000000", 4
+            ).alias("harmonic"),
         )
         .select(F.col("src_id").cast("long").alias("src_id"), "n_reached", "harmonic_u", "harmonic")
         .orderBy("src_id")

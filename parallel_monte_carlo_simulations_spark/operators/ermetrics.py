@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 from .erpipeline import WINDOW_B
@@ -45,8 +46,10 @@ tot AS (
 )
 SELECT n_recs, n_blocks, max_block, n_truth AS truth_pairs,
        n_cand AS candidate_pairs,
-       ROUND(n_cand * 1.0 / n_truth, 6) AS pair_completeness,
-       ROUND(1.0 - n_cand * 2.0 / (n_recs * (n_recs - 1)), 6)
+       {rdiv_halfup_duck("n_cand", "n_truth", 6)} AS pair_completeness,
+       {rdiv_halfup_duck(
+           "n_recs * (n_recs - 1) - 2 * n_cand",
+           "n_recs * (n_recs - 1)", 6)}
          AS reduction_ratio
 FROM tot
 """
@@ -92,12 +95,12 @@ def q_er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_block",
         F.col("n_truth").alias("truth_pairs"),
         F.col("n_cand").alias("candidate_pairs"),
-        F.round(F.col("n_cand") * 1.0 / F.col("n_truth"), 6).alias(
+        rdiv_halfup_expr("n_cand", "n_truth", 6).alias(
             "pair_completeness"
         ),
-        F.round(
-            1.0
-            - F.col("n_cand") * 2.0 / (F.col("n_recs") * (F.col("n_recs") - 1)),
+        rdiv_halfup_expr(
+            "n_recs * (n_recs - 1) - 2 * n_cand",
+            "n_recs * (n_recs - 1)",
             6,
         ).alias("reduction_ratio"),
     )

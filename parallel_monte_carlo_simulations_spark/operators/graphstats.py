@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -46,8 +47,10 @@ tot AS (
 SELECT {_SQL_BUCKET}                          AS deg_bucket_lo,
        CAST(COUNT(*) AS BIGINT)               AS n_nodes,
        CAST(SUM(deg) AS BIGINT)               AS halfedges,
-       ROUND(COUNT(*) * 1.0 / ANY_VALUE(t.n_nodes), 6)  AS node_share,
-       ROUND(SUM(deg) * 1.0 / ANY_VALUE(t.n_halfedges), 6) AS edge_share
+       {rdiv_halfup_duck("COUNT(*)", "ANY_VALUE(t.n_nodes)", 6)}
+         AS node_share,
+       {rdiv_halfup_duck("SUM(deg)", "ANY_VALUE(t.n_halfedges)", 6)}
+         AS edge_share
 FROM deg CROSS JOIN tot t
 GROUP BY 1
 """
@@ -83,12 +86,15 @@ def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
             F.sum("deg").cast("long").alias("halfedges"),
-            F.round(
-                F.count(F.lit(1)) * 1.0 / F.any_value("n_nodes"), 6
-            ).alias("node_share"),
-            F.round(
-                F.sum("deg") * 1.0 / F.any_value("n_halfedges"), 6
-            ).alias("edge_share"),
+            F.any_value("n_nodes").alias("_tot_nodes"),
+            F.any_value("n_halfedges").alias("_tot_he"),
+        )
+        .select(
+            "deg_bucket_lo",
+            "n_nodes",
+            "halfedges",
+            rdiv_halfup_expr("n_nodes", "_tot_nodes", 6).alias("node_share"),
+            rdiv_halfup_expr("halfedges", "_tot_he", 6).alias("edge_share"),
         )
     )
 

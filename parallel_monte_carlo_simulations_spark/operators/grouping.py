@@ -9,6 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 
@@ -37,12 +43,13 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QCUBE_ORACLE = """
+_QCUBE_ORACLE = f"""
 SELECT
   o_orderstatus,
   o_orderpriority,
   COUNT(*)                      AS n_orders,
-  ROUND(SUM(o_totalprice), 2)   AS total_price
+  {rdiv_halfup_duck(f"SUM({units_sql('o_totalprice', 2)})", "100", 2)}
+                                AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -56,9 +63,18 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(units_col(F.col("o_totalprice"), 2)).alias("_u2"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            rdiv_halfup_expr("_u2", "100", 2).alias("total_price"),
+        )
     )
 
 

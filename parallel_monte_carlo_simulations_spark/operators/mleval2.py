@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -61,11 +62,11 @@ cells AS (
 )
 SELECT n_pairs, a, b, c, d,
        CASE WHEN b + c > 0
-            THEN ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+            THEN {rdiv_halfup_duck("(b - c) * (b - c)", "b + c", 6)}
             END AS mcnemar_chi2,
        CASE WHEN b + c > 0
-            THEN ROUND(CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE)
-                       / (b + c), 6)
+            THEN {rdiv_halfup_duck(
+                "(ABS(b - c) - 1) * (ABS(b - c) - 1)", "b + c", 6)}
             END AS mcnemar_chi2_cc
 FROM cells
 """
@@ -119,14 +120,16 @@ def q_stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         "c",
         "d",
-        F.when(tot > 0, F.round((diff * diff).cast("double") / tot, 6))
+        F.when(
+            tot > 0,
+            rdiv_halfup_expr("(b - c) * (b - c)", "b + c", 6),
+        )
         .otherwise(F.lit(None).cast("double"))
         .alias("mcnemar_chi2"),
         F.when(
             tot > 0,
-            F.round(
-                ((F.abs(diff) - 1) * (F.abs(diff) - 1)).cast("double") / tot,
-                6,
+            rdiv_halfup_expr(
+                "(abs(b - c) - 1) * (abs(b - c) - 1)", "b + c", 6
             ),
         )
         .otherwise(F.lit(None).cast("double"))
@@ -138,7 +141,7 @@ def q_stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Decile lift / gains table.
 # --------------------------------------------------------------------------
 
-_QLIFT_ORACLE = """
+_QLIFT_ORACLE = f"""
 WITH scored AS (
   SELECT o_orderkey,
          CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS score,
@@ -162,15 +165,15 @@ tot AS (
 )
 SELECT CAST(per.decile AS INTEGER) AS decile,
        per.n, per.n_pos,
-       ROUND(CAST(per.n_pos AS DOUBLE) / per.n, 6) AS pos_rate,
-       ROUND((CAST(per.n_pos AS DOUBLE) / per.n)
-             / (CAST(tot.pt AS DOUBLE) / tot.nt), 6) AS lift,
+       {rdiv_halfup_duck("per.n_pos", "per.n", 6)} AS pos_rate,
+       {rdiv_halfup_duck("per.n_pos * tot.nt", "per.n * tot.pt", 6)} AS lift,
        CAST(SUM(per.n_pos) OVER (ORDER BY per.decile
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_pos,
-       ROUND(CAST(SUM(per.n_pos) OVER (ORDER BY per.decile
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / tot.pt, 6) AS cum_capture
+       {rdiv_halfup_duck(
+           "SUM(per.n_pos) OVER (ORDER BY per.decile "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+           "tot.pt", 6)} AS cum_capture
 FROM per CROSS JOIN tot
 ORDER BY decile
 """
@@ -231,18 +234,20 @@ def q_ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("decile").cast("int").alias("decile"),
             "n",
             "n_pos",
-            F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
-                "pos_rate"
-            ),
-            F.round(
-                (F.col("n_pos").cast("double") / F.col("n"))
-                / (F.col("pt").cast("double") / F.col("nt")),
-                6,
-            ).alias("lift"),
+            rdiv_halfup_expr("n_pos", "n", 6).alias("pos_rate"),
+            rdiv_halfup_expr("n_pos * nt", "n * pt", 6).alias("lift"),
             F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
-            F.round(
-                F.sum("n_pos").over(wc).cast("double") / F.col("pt"), 6
-            ).alias("cum_capture"),
+            F.sum("n_pos").over(wc).cast("long").alias("_cum2"),
+            "pt",
+        )
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "pos_rate",
+            "lift",
+            "cum_pos",
+            rdiv_halfup_expr("_cum2", "pt", 6).alias("cum_capture"),
         )
         .orderBy("decile")
     )

@@ -15,6 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 
@@ -339,12 +345,12 @@ def q_abc_pareto(spark, sf_dir: str):
     )
 
 
-_QRFM_ORACLE = """
+_QRFM_ORACLE = f"""
 WITH base AS (
   SELECT o_custkey AS cust,
          MAX(o_orderdate)                 AS last_order,
          COUNT(*)                         AS frequency,
-         ROUND(SUM(o_totalprice), 2)      AS monetary
+         SUM({units_sql("o_totalprice", 2)}) AS monetary
   FROM orders GROUP BY o_custkey
 ),
 scored AS (
@@ -382,7 +388,9 @@ def q_customer_rfm(spark, sf_dir: str):
     base = o.groupBy(F.col("o_custkey").alias("cust")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        # cent-unit BIGINT: monetary is an ORDERING key only, so the
+        # exact integer ranks identically in both engines (r13).
+        F.sum(units_col(F.col("o_totalprice"), 2)).alias("monetary"),
     )
     # three NTILE(5) cuts without three global-sort windows (round 11):
     # chain the range-bucketed rank kernel once per metric (each pass

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.microunit import (
+    qround_col,
+    qround_duck,
     rdiv_halfup_duck,
     rdiv_halfup_expr,
     units_col,
@@ -560,17 +562,63 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Statistical aggregates: stddev/var/corr/covar + min/max.
 # --------------------------------------------------------------------------
 
-_QSTATS_ORACLE = """
+# Variance-family recipe (r13): the built-in stddev/var/corr/covar
+# aggregates use engine-specific merge algorithms whose last-ulp results
+# differ, so a raw ROUND on them is the boundary class. Instead:
+# (1) aggregate EXACT integer power sums (quantity ints, price/discount
+#     cents; the price-squared sum rides in DECIMAL38/HUGEINT — BIGINT
+#     would overflow at sf1.0);
+# (2) compute the textbook formulas in DOUBLE from correctly-rounded
+#     casts of those exact integers — every operation is the identical
+#     IEEE op in both engines, so the result is bit-equal by
+#     construction at any scale;
+# (3) quantize with the shared floor-form (qround).
+# corr is computed on cent units (scale-invariant in exact arithmetic).
+_QSTATS_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT))  AS sq,
+         SUM(CAST(l_quantity AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) AS sqq,
+         SUM({units_sql("l_extendedprice", 2)}) AS sp,
+         SUM(CAST({units_sql("l_extendedprice", 2)} AS HUGEINT)
+             * {units_sql("l_extendedprice", 2)}) AS spp,
+         SUM(CAST(l_quantity AS BIGINT)
+             * {units_sql("l_extendedprice", 2)}) AS sqp,
+         SUM({units_sql("l_discount", 2)}) AS sd,
+         SUM(CAST(l_quantity AS BIGINT)
+             * {units_sql("l_discount", 2)}) AS sqd,
+         MIN(l_extendedprice) AS minp,
+         MAX(l_extendedprice) AS maxp
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag,
+         CAST(n AS DOUBLE) AS nd, CAST(sq AS DOUBLE) AS sqd_,
+         CAST(sqq AS DOUBLE) AS sqqd, CAST(sp AS DOUBLE) AS spd,
+         CAST(spp AS DOUBLE) AS sppd, CAST(sqp AS DOUBLE) AS sqpd,
+         CAST(sd AS DOUBLE) AS sdd, CAST(sqd AS DOUBLE) AS sqdd,
+         minp, maxp
+  FROM s
+)
 SELECT
   l_returnflag,
-  ROUND(stddev_samp(l_quantity), 4)              AS sd_qty,
-  ROUND(var_samp(l_quantity), 4)                 AS var_qty,
-  ROUND(corr(l_quantity, l_extendedprice), 4)    AS corr_qty_price,
-  ROUND(covar_samp(l_quantity, l_discount), 6)   AS covar_qty_disc,
-  ROUND(MIN(l_extendedprice), 2)                 AS min_price,
-  ROUND(MAX(l_extendedprice), 2)                 AS max_price
-FROM lineitem
-GROUP BY l_returnflag
+  {qround_duck("SQRT((nd * sqqd - sqd_ * sqd_) / (nd * (nd - 1.0)))", 4)}
+    AS sd_qty,
+  {qround_duck("(nd * sqqd - sqd_ * sqd_) / (nd * (nd - 1.0))", 4)}
+    AS var_qty,
+  {qround_duck(
+      "(nd * sqpd - sqd_ * spd)"
+      " / (SQRT(nd * sqqd - sqd_ * sqd_) * SQRT(nd * sppd - spd * spd))",
+      4,
+  )} AS corr_qty_price,
+  {qround_duck(
+      "((nd * sqdd - sqd_ * sdd) / (nd * (nd - 1.0))) / 100.0", 6
+  )} AS covar_qty_disc,
+  ROUND(minp, 2) AS min_price,
+  ROUND(maxp, 2) AS max_price
+FROM d
 """
 
 
@@ -582,11 +630,40 @@ GROUP BY l_returnflag
 )
 def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    q = F.col("l_quantity").cast("long")
+    p = units_col(F.col("l_extendedprice"), 2)
+    dd = units_col(F.col("l_discount"), 2)
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p).alias("sp"),
+        F.sum((p * p).cast("decimal(38,0)")).alias("spp"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(dd).alias("sd"),
+        F.sum(q * dd).alias("sqd"),
+        F.min("l_extendedprice").alias("minp"),
+        F.max("l_extendedprice").alias("maxp"),
+    )
+    nd = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sqq = F.col("sqq").cast("double")
+    sp = F.col("sp").cast("double")
+    spp = F.col("spp").cast("double")
+    sqp = F.col("sqp").cast("double")
+    sd = F.col("sd").cast("double")
+    sqd = F.col("sqd").cast("double")
+    var_q = (nd * sqq - sq * sq) / (nd * (nd - 1.0))
+    corr = (nd * sqp - sq * sp) / (
+        F.sqrt(nd * sqq - sq * sq) * F.sqrt(nd * spp - sp * sp)
+    )
+    covar = ((nd * sqd - sq * sd) / (nd * (nd - 1.0))) / 100.0
+    return s.select(
+        "l_returnflag",
+        qround_col(F.sqrt(var_q), 4).alias("sd_qty"),
+        qround_col(var_q, 4).alias("var_qty"),
+        qround_col(corr, 4).alias("corr_qty_price"),
+        qround_col(covar, 6).alias("covar_qty_disc"),
+        F.round(F.col("minp"), 2).alias("min_price"),
+        F.round(F.col("maxp"), 2).alias("max_price"),
     )

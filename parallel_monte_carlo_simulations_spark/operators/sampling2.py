@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, sql_hash60
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -97,10 +98,13 @@ SELECT c_mktsegment AS stratum,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN h < {_STRATA_T} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_sampled,
-       ROUND(SUM(CASE WHEN h < {_STRATA_T} THEN 1 ELSE 0 END) * 1.0
-             / COUNT(*), 6) AS achieved_rate,
-       ROUND(ABS(SUM(CASE WHEN h < {_STRATA_T} THEN 1 ELSE 0 END) * 1.0
-             / COUNT(*) - 0.02), 6) AS abs_rate_err
+       {rdiv_halfup_duck(
+           f"SUM(CASE WHEN h < {_STRATA_T} THEN 1 ELSE 0 END)",
+           "COUNT(*)", 6)} AS achieved_rate,
+       {rdiv_halfup_duck(
+           f"ABS(50 * SUM(CASE WHEN h < {_STRATA_T} THEN 1 ELSE 0 END)"
+           f" - COUNT(*))",
+           "50 * COUNT(*)", 6)} AS abs_rate_err
 FROM keyed
 GROUP BY c_mktsegment
 ORDER BY stratum
@@ -139,9 +143,17 @@ def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             sampled.cast("long").alias("n_sampled"),
-            F.round(sampled / F.count(F.lit(1)), 6).alias("achieved_rate"),
-            F.round(
-                F.abs(sampled / F.count(F.lit(1)) - F.lit(0.02)), 6
+        )
+        .select(
+            "stratum",
+            "n_rows",
+            "n_sampled",
+            rdiv_halfup_expr("n_sampled", "n_rows", 6).alias(
+                "achieved_rate"
+            ),
+            # |rate - 0.02| as the exact rational |50*k - n| / (50*n)
+            rdiv_halfup_expr(
+                "abs(50 * n_sampled - n_rows)", "50 * n_rows", 6
             ).alias("abs_rate_err"),
         )
         .orderBy("stratum")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -302,9 +303,11 @@ def q_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # months_between / add_months interval arithmetic.
 # --------------------------------------------------------------------------
 
-_QMONTHS_ORACLE = """
+_QMONTHS_ORACLE = f"""
 SELECT o_orderkey,
-       ROUND(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) / 30.4375, 2)
+       {rdiv_halfup_duck(
+           "datediff('day', TIMESTAMP '1995-01-01', o_orderdate) * 16",
+           "487", 2)}
          AS approx_months,
        strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m
 FROM orders
@@ -323,10 +326,9 @@ def q_interval_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     # months_between uses calendar months (31-day months count fractionally
     # differently than DuckDB) → use day-count / mean-month-length on both
     # sides; add_months is calendar-exact on both.
-    elapsed = F.round(
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
-        / 30.4375,
-        2,
+    # exact rational: days / 30.4375 == days * 16 / 487 (30.4375 = 487/16)
+    elapsed = rdiv_halfup_expr(
+        "datediff(o_orderdate, timestamp '1995-01-01') * 16", "487", 2
     )
     return o.select(
         "o_orderkey",

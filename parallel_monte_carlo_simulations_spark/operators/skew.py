@@ -17,15 +17,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 
 N_SALTS = 8
 
-_QSALT_ORACLE = """
+_QSALT_ORACLE = f"""
 SELECT event_type,
        COUNT(*)             AS n_events,
-       ROUND(SUM(value), 2) AS total_value,
+       {rdiv_halfup_duck(f"SUM({units_sql('value', 2)})", "100", 2)}
+                            AS total_value,
        ROUND(MAX(value), 2) AS max_value
 FROM events
 GROUP BY event_type
@@ -37,13 +44,22 @@ def salted_agg(df: DataFrame, key: str, salt_src: str) -> DataFrame:
     salted = df.withColumn("_salt", (F.col(salt_src) % N_SALTS).cast("int"))
     partial = salted.groupBy(key, "_salt").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum("value").alias("_sum"),
+        F.sum(units_col(F.col("value"), 2)).alias("_sum_u2"),
         F.max("value").alias("_max"),
     )
-    return partial.groupBy(key).agg(
-        F.sum("_n").alias("n_events"),
-        F.round(F.sum("_sum"), 2).alias("total_value"),
-        F.round(F.max("_max"), 2).alias("max_value"),
+    return (
+        partial.groupBy(key)
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.sum("_sum_u2").alias("_u2"),
+            F.round(F.max("_max"), 2).alias("max_value"),
+        )
+        .select(
+            key,
+            "n_events",
+            rdiv_halfup_expr("_u2", "100", 2).alias("total_value"),
+            "max_value",
+        )
     )
 
 
@@ -60,11 +76,12 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(e, "event_type", "event_id")
 
 
-_QSALTJOIN_ORACLE = """
+_QSALTJOIN_ORACLE = f"""
 SELECT e.event_type,
        n.n_name,
        COUNT(*)              AS n_events,
-       ROUND(SUM(e.value), 2) AS total_value
+       {rdiv_halfup_duck(f"SUM({units_sql('e.value', 2)})", "100", 2)}
+                             AS total_value
 FROM events e
 JOIN nation n ON e.user_id % 25 = n.n_nationkey
 GROUP BY e.event_type, n.n_name
@@ -105,6 +122,12 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(units_col(F.col("value"), 2)).alias("_u2"),
+        )
+        .select(
+            "event_type",
+            "n_name",
+            "n_events",
+            rdiv_halfup_expr("_u2", "100", 2).alias("total_value"),
         )
     )

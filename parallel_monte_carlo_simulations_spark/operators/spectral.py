@@ -32,6 +32,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -73,7 +74,7 @@ spec AS (
 )
 SELECT k,
        CAST(n AS BIGINT) AS n_hours,
-       ROUND(CAST(n AS DOUBLE) / k, 2) AS period_hours,
+       {rdiv_halfup_duck("n", "k", 2)} AS period_hours,
        ROUND(POW(sc / CAST(tot AS DOUBLE), 2)
              + POW(ss / CAST(tot AS DOUBLE), 2), 5) AS power_norm
 FROM spec
@@ -135,9 +136,7 @@ def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spec.select(
         "k",
         F.col("n").cast("long").alias("n_hours"),
-        F.round(F.col("n").cast("double") / F.col("k"), 2).alias(
-            "period_hours"
-        ),
+        rdiv_halfup_expr("n", "k", 2).alias("period_hours"),
         F.round(
             F.pow(F.col("sc") / F.col("tot").cast("double"), 2)
             + F.pow(F.col("ss") / F.col("tot").cast("double"), 2),

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -766,7 +767,7 @@ def q_stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chance? Raw accuracy flatters imbalanced labels; kappa doesn't.
 # --------------------------------------------------------------------------
 
-_QKAPPA_ORACLE = """
+_QKAPPA_ORACLE = f"""
 WITH lab AS (
   SELECT doc_id,
          CASE WHEN len(list_distinct(string_split(text, ' '))) * 2
@@ -784,15 +785,14 @@ cells AS (
   FROM lab
 )
 SELECT n AS n_docs, n11, n10, n01, n00,
-       ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS observed_agreement,
+       {rdiv_halfup_duck("n11 + n00", "n", 6)} AS observed_agreement,
        CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
                           + (n01 + n00) * (n10 + n00)) <> 0
-            THEN ROUND(CAST(n * (n11 + n00)
-                            - ((n11 + n10) * (n11 + n01)
-                               + (n01 + n00) * (n10 + n00)) AS DOUBLE)
-                       / CAST(n * n - ((n11 + n10) * (n11 + n01)
-                                       + (n01 + n00) * (n10 + n00))
-                              AS DOUBLE), 6)
+            THEN {rdiv_halfup_duck(
+                "n * (n11 + n00) - ((n11 + n10) * (n11 + n01)"
+                " + (n01 + n00) * (n10 + n00))",
+                "n * n - ((n11 + n10) * (n11 + n01)"
+                " + (n01 + n00) * (n10 + n00))", 6)}
             END AS cohens_kappa
 FROM cells
 """
@@ -863,10 +863,19 @@ def q_stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n10",
         "n01",
         "n00",
-        F.round(
-            (F.col("n11") + F.col("n00")).cast("double") / n, 6
-        ).alias("observed_agreement"),
-        F.when(den != 0, F.round(num.cast("double") / den.cast("double"), 6))
+        rdiv_halfup_expr("n11 + n00", "n", 6).alias(
+            "observed_agreement"
+        ),
+        F.when(
+            den != 0,
+            rdiv_halfup_expr(
+                "n * (n11 + n00) - ((n11 + n10) * (n11 + n01)"
+                " + (n01 + n00) * (n10 + n00))",
+                "n * n - ((n11 + n10) * (n11 + n01)"
+                " + (n01 + n00) * (n10 + n00))",
+                6,
+            ),
+        )
         .otherwise(F.lit(None).cast("double"))
         .alias("cohens_kappa"),
     )

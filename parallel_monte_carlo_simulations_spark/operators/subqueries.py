@@ -11,6 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 
@@ -208,10 +214,13 @@ def q_sub_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Disjunctive predicate (TPC-H Q19 shape): OR-of-ANDs pushdown.
 # --------------------------------------------------------------------------
 
-_QDISJ_ORACLE = """
+_QDISJ_ORACLE = f"""
 SELECT
   COUNT(*)                                          AS n_items,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  {rdiv_halfup_duck(
+      f"SUM({units_sql('l_extendedprice', 2)}"
+      f" * {units_sql('1 - l_discount', 2)})",
+      "10000", 2)} AS revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
@@ -239,9 +248,14 @@ def q_sub_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                units_col(F.col("l_extendedprice"), 2)
+                * units_col(1 - F.col("l_discount"), 2)
+            ).alias("revenue_u4"),
+        )
+        .select(
+            "n_items",
+            rdiv_halfup_expr("revenue_u4", "10000", 2).alias("revenue"),
         )
     )
 

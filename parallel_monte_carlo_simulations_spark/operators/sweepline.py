@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -363,9 +364,11 @@ SELECT CAST(COUNT(*) AS BIGINT) AS candidates,
        CAST(SUM(CASE WHEN s < e_b AND s_b < e
                       AND GREATEST(s, s_b) // {_BUCKET_US} = bucket
                      THEN 1 ELSE 0 END) AS BIGINT) AS emitted_pairs,
-       ROUND(SUM(CASE WHEN s < e_b AND s_b < e
-                       AND GREATEST(s, s_b) // {_BUCKET_US} = bucket
-                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+       {rdiv_halfup_duck(
+           f"SUM(CASE WHEN s < e_b AND s_b < e"
+           f" AND GREATEST(s, s_b) // {_BUCKET_US} = bucket"
+           f" THEN 1 ELSE 0 END)",
+           "COUNT(*)", 4)}
          AS emitted_frac
 FROM cand
 """
@@ -454,10 +457,13 @@ def q_interval_overlap_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(overlap & first_bucket, 1).otherwise(0))
             .cast("long")
             .alias("emitted_pairs"),
-            F.round(
-                F.sum(F.when(overlap & first_bucket, 1).otherwise(0))
-                / F.count(F.lit(1)),
-                4,
-            ).alias("emitted_frac"),
+        )
+        .select(
+            "candidates",
+            "overlap_pass",
+            "emitted_pairs",
+            rdiv_halfup_expr("emitted_pairs", "candidates", 4).alias(
+                "emitted_frac"
+            ),
         )
     )

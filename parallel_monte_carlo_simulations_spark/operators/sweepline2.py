@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr
 from ..registry import register
 from ..tables import table
 
@@ -52,7 +53,8 @@ SELECT user_id,
        CAST(SUM(e - s) AS BIGINT)                  AS covered_us,
        CAST(MAX(e) - MIN(s) AS BIGINT)             AS span_us,
        CAST(MAX(e) - MIN(s) - SUM(e - s) AS BIGINT) AS gap_us,
-       ROUND(SUM(e - s) * 1.0 / (MAX(e) - MIN(s)), 6) AS coverage_ratio
+       {rdiv_halfup_duck("SUM(e - s)", "MAX(e) - MIN(s)", 6)}
+         AS coverage_ratio
 FROM merged GROUP BY user_id
 """
 
@@ -102,10 +104,22 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     covered = F.sum(F.col("e") - F.col("s"))
     span = F.max("e") - F.min("s")
-    return merged.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_islands"),
-        covered.cast("long").alias("covered_us"),
-        span.cast("long").alias("span_us"),
-        (span - covered).cast("long").alias("gap_us"),
-        F.round(covered * 1.0 / span, 6).alias("coverage_ratio"),
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            covered.cast("long").alias("covered_us"),
+            span.cast("long").alias("span_us"),
+            (span - covered).cast("long").alias("gap_us"),
+        )
+        .select(
+            "user_id",
+            "n_islands",
+            "covered_us",
+            "span_us",
+            "gap_us",
+            rdiv_halfup_expr("covered_us", "span_us", 6).alias(
+                "coverage_ratio"
+            ),
+        )
     )

@@ -7,6 +7,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    rdiv_halfup_spark,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 
@@ -14,12 +21,15 @@ from ..tables import table
 # Q7 shape: trade volume between nation pairs (two roles for nation).
 # --------------------------------------------------------------------------
 
-_Q07_ORACLE = """
+_Q07_ORACLE = f"""
 SELECT
   cn.n_name AS cust_nation,
   sn.n_name AS supp_nation,
   CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume
+  {rdiv_halfup_duck(
+      f"SUM({units_sql('l_extendedprice', 2)}"
+      f" * {units_sql('1 - l_discount', 2)})",
+      "10000", 2)} AS volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -63,9 +73,16 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("volume")
+            F.sum(
+                units_col(F.col("l_extendedprice"), 2)
+                * units_col(1 - F.col("l_discount"), 2)
+            ).alias("volume_u4")
+        )
+        .select(
+            "cust_nation",
+            "supp_nation",
+            "ship_year",
+            rdiv_halfup_expr("volume_u4", "10000", 2).alias("volume"),
         )
     )
 
@@ -74,12 +91,13 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q8 shape: a nation's share of regional revenue per year.
 # --------------------------------------------------------------------------
 
-_Q08_ORACLE = """
+_Q08_ORACLE = f"""
 WITH rev AS (
   SELECT
     CAST(year(o_orderdate) AS INTEGER) AS order_year,
-    l_extendedprice * (1 - l_discount) AS volume,
-    cn.n_name                          AS cust_nation
+    {units_sql('l_extendedprice', 2)}
+      * {units_sql('1 - l_discount', 2)}  AS volume_u4,
+    cn.n_name                             AS cust_nation
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -89,8 +107,9 @@ WITH rev AS (
 )
 SELECT
   order_year,
-  ROUND(SUM(CASE WHEN cust_nation = 'NATION_2' THEN volume ELSE 0 END)
-        / SUM(volume), 6) AS mkt_share
+  {rdiv_halfup_duck(
+      "SUM(CASE WHEN cust_nation = 'NATION_2' THEN volume_u4 ELSE 0 END)",
+      "SUM(volume_u4)", 6)} AS mkt_share
 FROM rev
 GROUP BY order_year
 """
@@ -113,26 +132,32 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_u4 = units_col(F.col("l_extendedprice"), 2) * units_col(
+        1 - F.col("l_discount"), 2
+    )
     rev = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .select(
             F.year("o_orderdate").alias("order_year"),
-            vol.alias("volume"),
+            vol_u4.alias("volume_u4"),
             "cust_nation",
         )
     )
-    return rev.groupBy("order_year").agg(
-        F.round(
+    return (
+        rev.groupBy("order_year")
+        .agg(
             F.sum(
-                F.when(F.col("cust_nation") == "NATION_2", F.col("volume")).otherwise(
-                    0.0
-                )
-            )
-            / F.sum("volume"),
-            6,
-        ).alias("mkt_share")
+                F.when(
+                    F.col("cust_nation") == "NATION_2", F.col("volume_u4")
+                ).otherwise(F.lit(0))
+            ).alias("num_u4"),
+            F.sum("volume_u4").alias("den_u4"),
+        )
+        .select(
+            "order_year",
+            rdiv_halfup_expr("num_u4", "den_u4", 6).alias("mkt_share"),
+        )
     )
 
 
@@ -186,12 +211,14 @@ def q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q14 shape: percentage-of-total with a predicate numerator.
 # --------------------------------------------------------------------------
 
-_Q14_ORACLE = """
+_Q14_ORACLE = f"""
 SELECT
-  ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                         THEN l_extendedprice * (1 - l_discount)
-                         ELSE 0 END)
-        / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+  {rdiv_halfup_duck(
+      f"100 * SUM(CASE WHEN p_type = 'PROMO' "
+      f"THEN {units_sql('l_extendedprice', 2)}"
+      f" * {units_sql('1 - l_discount', 2)} ELSE 0 END)",
+      f"SUM({units_sql('l_extendedprice', 2)}"
+      f" * {units_sql('1 - l_discount', 2)})", 6)} AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-06-01'
@@ -211,12 +238,18 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     p = table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    rev_u4 = units_col(F.col("l_extendedprice"), 2) * units_col(
+        1 - F.col("l_discount"), 2
+    )
+    promo_u4 = F.when(F.col("p_type") == "PROMO", rev_u4).otherwise(F.lit(0))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias(
+            F.sum(promo_u4).alias("num_u4"),
+            F.sum(rev_u4).alias("den_u4"),
+        )
+        .select(
+            rdiv_halfup_expr("100 * num_u4", "den_u4", 6).alias(
                 "promo_revenue_pct"
             )
         )
@@ -227,23 +260,42 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q22 shape: selective band + scalar-subquery threshold + anti join.
 # --------------------------------------------------------------------------
 
-_Q22_ORACLE = """
-WITH eligible AS (
+def _q22_sql(totacctbal_expr: str) -> str:
+    """Shared-dialect Q22 text; only the exact division differs.
+
+    The original ``c_acctbal > (SELECT AVG(c_acctbal) ...)`` threshold
+    compared against a raw-double AVG whose last-ulp value depends on
+    each engine's summation order — a boundary customer could flip in or
+    out. The comparison is now exact integer arithmetic on both sides:
+    ``cents(c_acctbal) * n_pos > sum_pos_cents`` is the same predicate
+    with no division at all."""
+    return f"""
+WITH pos AS (
+  SELECT SUM({units_sql("c_acctbal", 2)}) AS bal_u2,
+         COUNT(*)                         AS n_pos
+  FROM customer WHERE c_acctbal > 0
+),
+eligible AS (
   SELECT c_custkey, c_acctbal,
          CAST(c_custkey % 10 AS INTEGER) AS cust_band
-  FROM customer
+  FROM customer, pos
   WHERE c_custkey % 10 IN (1, 3, 5)
-    AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    AND {units_sql("c_acctbal", 2)} * pos.n_pos > pos.bal_u2
 )
 SELECT
   cust_band,
-  COUNT(*)                    AS numcust,
-  ROUND(SUM(c_acctbal), 2)    AS totacctbal
+  COUNT(*)             AS numcust,
+  {totacctbal_expr}    AS totacctbal
 FROM eligible e
 WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = e.c_custkey AND o_totalprice > 300000)
 GROUP BY cust_band
 """
+
+
+_Q22_ORACLE = _q22_sql(
+    rdiv_halfup_duck(f"SUM({units_sql('c_acctbal', 2)})", "100", 2)
+)
 
 
 @register(
@@ -255,4 +307,8 @@ GROUP BY cust_band
 def q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_Q22_ORACLE)
+    return spark.sql(
+        _q22_sql(
+            rdiv_halfup_spark(f"SUM({units_sql('c_acctbal', 2)})", "100", 2)
+        )
+    )

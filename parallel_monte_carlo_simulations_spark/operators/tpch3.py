@@ -22,6 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 
@@ -225,10 +231,13 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # global max, once for the matching rows).
 # --------------------------------------------------------------------------
 
-_Q15_ORACLE = """
+_Q15_ORACLE = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         {rdiv_halfup_duck(
+             f"SUM({units_sql('l_extendedprice', 2)}"
+             f" * {units_sql('1 - l_discount', 2)})",
+             "10000", 2)} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -251,9 +260,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                units_col(F.col("l_extendedprice"), 2)
+                * units_col(1 - F.col("l_discount"), 2)
+            ).alias("revenue_u4")
+        )
+        .select(
+            "supplier_no",
+            rdiv_halfup_expr("revenue_u4", "10000", 2).alias(
+                "total_revenue"
+            ),
         )
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, dot, norm, sql_as_double, sql_cosine
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr, qunits_col
 from ..registry import register
 from ..tables import table
 
@@ -31,6 +32,17 @@ from ..tables import table
 #: query-by-example vector (vec_id 0, aligned with doc_id 0).
 _TERMS = ("hash", "join", "stream")
 _K1, _B = 1.2, 0.75
+
+#: element-wise floor-form 1e-8 unit quantization of the per-term
+#: BM25 contribution (r13): identical IEEE ops in both engines, so
+#: the BIGINT unit is bit-equal and the per-doc SUM is exact and
+#: order-independent (raw-double sums are the class that flipped
+#: q05 at sf1.0); the string-form division renders the 4-dec score.
+_BM25_U8_SUM = (
+    "SUM(CAST(FLOOR((LN((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)"
+    f" + 1.0) * tf.tf * ({_K1} + 1.0) / (tf.tf + {_K1} * (1.0 - {_B}"
+    f" + {_B} * dl.dl / s.avgdl))) * 1e8 + 0.5) AS BIGINT))"
+)
 _QVEC = 0
 _LIST_K = 50  #: depth of each retriever's candidate list
 _RRF_C = 60  #: Cormack's constant
@@ -58,11 +70,7 @@ dfreq AS (
 ),
 bm25 AS (
   SELECT tf.doc_id,
-         ROUND(SUM(
-           LN((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-           * tf.tf * ({_K1} + 1.0)
-           / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
-         ), 4) AS score
+         {rdiv_halfup_duck(_BM25_U8_SUM, "100000000", 4)} AS score
   FROM tf
   JOIN dfreq ON tf.term = dfreq.term
   JOIN dl ON tf.doc_id = dl.doc_id
@@ -154,9 +162,13 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(idf * F.col("tf") * (_K1 + 1.0) / denom), 4
-            ).alias("score")
+            F.sum(
+                qunits_col(idf * F.col("tf") * (_K1 + 1.0) / denom, 8)
+            ).alias("score_u8")
+        )
+        .select(
+            "doc_id",
+            rdiv_halfup_expr("score_u8", "100000000", 4).alias("score"),
         )
     )
     # Distributed top-k FIRST (TakeOrderedAndProject — no global sort,

@@ -37,12 +37,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import rdiv_halfup_duck, rdiv_halfup_expr, qunits_col
 from ..registry import register
 from ..tables import table
 
 #: Same fixed query as q_text_bm25 / q_search_hybrid_rrf.
 _TERMS = ("hash", "join", "stream")
 _K1, _B = 1.2, 0.75
+
+#: element-wise floor-form 1e-8 unit quantization of the per-term
+#: BM25 contribution (r13): identical IEEE ops in both engines, so
+#: the BIGINT unit is bit-equal and the per-doc SUM is exact and
+#: order-independent (raw-double sums are the class that flipped
+#: q05 at sf1.0); the string-form division renders the 4-dec score.
+_BM25_U8_SUM = (
+    "SUM(CAST(FLOOR((LN((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)"
+    f" + 1.0) * tf.tf * ({_K1} + 1.0) / (tf.tf + {_K1} * (1.0 - {_B}"
+    f" + {_B} * dl.dl / s.avgdl))) * 1e8 + 0.5) AS BIGINT))"
+)
 _CAND_K = 20  #: relevance candidates entering the rerank
 _SELECT_K = 5  #: diversified picks
 _LAM = 0.7  #: relevance weight; 1 - _LAM penalizes redundancy
@@ -102,11 +114,7 @@ dfreq AS (
 ),
 bm25 AS (
   SELECT tf.doc_id,
-         ROUND(SUM(
-           LN((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-           * tf.tf * ({_K1} + 1.0)
-           / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
-         ), 4) AS rel
+         {rdiv_halfup_duck(_BM25_U8_SUM, "100000000", 4)} AS rel
   FROM tf
   JOIN dfreq ON tf.term = dfreq.term
   JOIN dl ON tf.doc_id = dl.doc_id
@@ -189,7 +197,14 @@ def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * F.col("tf") * (_K1 + 1.0) / denom), 4).alias("rel"))
+        .agg(
+            F.sum(
+                qunits_col(idf * F.col("tf") * (_K1 + 1.0) / denom, 8)
+            ).alias("rel_u8")
+        )
+        .select(
+            "doc_id", rdiv_halfup_expr("rel_u8", "100000000", 4).alias("rel")
+        )
     )
     # Distributed top-k (TakeOrderedAndProject), then 20-row frames only.
     cands = bm25.orderBy(F.desc("rel"), "doc_id").limit(_CAND_K)

@@ -22,6 +22,12 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 from .roundtrip import _tmpdir
@@ -29,10 +35,11 @@ from .roundtrip import _tmpdir
 N_BUCKETS = 8
 _RUN_SEQ = itertools.count()
 
-_QBUCKETED_ORACLE = """
+_QBUCKETED_ORACLE = f"""
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT)        AS n_items,
-       ROUND(SUM(l_extendedprice), 2)  AS sum_price
+       {rdiv_halfup_duck(f"SUM({units_sql('l_extendedprice', 2)})", "100", 2)}
+                                       AS sum_price
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE o_totalprice > 1000
@@ -85,6 +92,8 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            rdiv_halfup_expr(
+                f"sum({units_sql('l_extendedprice', 2)})", "100", 2
+            ).alias("sum_price"),
         )
     )

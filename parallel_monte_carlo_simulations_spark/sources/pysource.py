@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 
 N_ROWS = 50_000
@@ -73,7 +79,8 @@ WITH rows AS (
 )
 SELECT CAST(station AS INTEGER)        AS station,
        CAST(COUNT(*) AS BIGINT)        AS n_readings,
-       ROUND(SUM(reading), 2)          AS total_reading,
+       {rdiv_halfup_duck(f"SUM({units_sql('reading', 1)})", "10", 2)}
+                                       AS total_reading,
        ROUND(MAX(reading), 2)          AS max_reading
 FROM rows
 WHERE reading > 50.0
@@ -106,7 +113,10 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("station")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_readings"),
-            F.round(F.sum("reading"), 2).alias("total_reading"),
+            # readings are exact tenths ((i*17 % 1001)/10): 1-dec units
+            rdiv_halfup_expr(
+                f"sum({units_sql('reading', 1)})", "10", 2
+            ).alias("total_reading"),
             F.round(F.max("reading"), 2).alias("max_reading"),
         )
     )

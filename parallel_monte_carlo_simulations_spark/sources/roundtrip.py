@@ -21,6 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.microunit import (
+    rdiv_halfup_duck,
+    rdiv_halfup_expr,
+    units_col,
+    units_sql,
+)
 from ..registry import register
 from ..tables import table
 
@@ -80,10 +86,11 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JSON-lines roundtrip: orders slice through json.
 # --------------------------------------------------------------------------
 
-_QJSONRT_ORACLE = """
+_QJSONRT_ORACLE = f"""
 SELECT o_orderstatus,
        COUNT(*)                    AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price
+       {rdiv_halfup_duck(f"SUM({units_sql('o_totalprice', 2)})", "100", 2)}
+                                   AS total_price
 FROM orders
 WHERE o_orderkey % 10 = 0
 GROUP BY o_orderstatus
@@ -109,7 +116,9 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(path)
     return o_back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        rdiv_halfup_expr(
+            f"sum({units_sql('o_totalprice', 2)})", "100", 2
+        ).alias("total_price"),
     )
 
 
@@ -157,10 +166,11 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same pushdown/pruning machinery; the oracle reads the parquet truth).
 # --------------------------------------------------------------------------
 
-_QORCRT_ORACLE = """
+_QORCRT_ORACLE = f"""
 SELECT l_returnflag,
        COUNT(*)                         AS n_items,
-       ROUND(SUM(l_extendedprice), 2)   AS sum_price
+       {rdiv_halfup_duck(f"SUM({units_sql('l_extendedprice', 2)})", "100", 2)}
+                                        AS sum_price
 FROM lineitem
 WHERE l_quantity > 30
 GROUP BY l_returnflag
@@ -186,7 +196,9 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            rdiv_halfup_expr(
+                f"sum({units_sql('l_extendedprice', 2)})", "100", 2
+            ).alias("sum_price"),
         )
     )
 

@@ -1,0 +1,130 @@
+"""Full-registry robustness sweep at sf1.0 (r13, judge directive #2).
+
+Extends the r12 spot-sweep (74 raw-double-risk queries) to EVERY oracled
+query, on the 10x-tiled .scale/sf1.0 dataset (100x the driver's
+verification SF). Same hardening as tools/sweep_sf01.py: bounded DuckDB,
+SIGALRM per-query wall timeout, incremental JSONL so progress survives a
+crash, skip-done resume.
+
+Queries whose DuckDB replay is infeasible at this scale (iterative graph
+SQL) are expected to time out here and are closed separately with
+independent pure-Python references (tests/test_graph_reference_sf01.py
+pattern).
+
+Usage: python tools/sweep_sf1.py [out.jsonl] [timeout-sec] [names...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+)
+
+SF_DIR = "/root/repo/.scale/sf1.0"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sweep_sf1.jsonl"
+TIMEOUT_S = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+ONLY = set(sys.argv[3:])
+DUCK_MEM = "24GB"
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise _Timeout()
+
+
+def main() -> None:
+    import duckdb
+
+    from _compare import compare
+    from parallel_monte_carlo_simulations_spark.registry import load_all_queries
+    from parallel_monte_carlo_simulations_spark.session import get_spark
+
+    tmp = "/root/repo/.duck_tmp"
+    os.makedirs(tmp, exist_ok=True)
+
+    orig_connect = duckdb.connect
+
+    def bounded_connect(*a, **kw):
+        con = orig_connect(*a, **kw)
+        con.execute(f"SET memory_limit='{DUCK_MEM}'")
+        con.execute(f"SET temp_directory='{tmp}'")
+        con.execute("SET max_temp_directory_size='60GB'")
+        return con
+
+    duckdb.connect = bounded_connect
+
+    done: set[str] = set()
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["name"])
+                except Exception:
+                    pass
+
+    spark = get_spark()
+    signal.signal(signal.SIGALRM, _alarm)
+
+    specs = load_all_queries()
+    names = sorted(n for n, s in specs.items() if s.oracle is not None)
+    if ONLY:
+        names = [n for n in names if n in ONLY]
+    print(f"sf1.0 sweep: {len(names)} oracled queries, {len(done)} already done")
+
+    for i, name in enumerate(names):
+        if name in done:
+            continue
+        spec = specs[name]
+        t0 = time.time()
+        rec: dict = {"name": name, "sf": 1.0}
+        signal.alarm(TIMEOUT_S)
+        try:
+            df = spec.fn(spark, SF_DIR)
+            rep = compare(df, spec.oracle, SF_DIR)
+            rec["ok"] = bool(rep["ok"])
+            rec["spark_rows"] = rep.get("spark_rows")
+            rec["duck_rows"] = rep.get("duck_rows")
+            if not rep["ok"]:
+                rec["detail"] = {
+                    k: v
+                    for k, v in rep.items()
+                    if k in ("cols_ok", "rows_ok", "values_ok")
+                }
+                fd = rep.get("first_diffs")
+                if fd:
+                    rec["first_diff"] = repr(fd[0])[:400]
+        except _Timeout:
+            rec["ok"] = None
+            rec["error"] = f"timeout>{TIMEOUT_S}s"
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            rec["ok"] = None
+            rec["error"] = f"{type(exc).__name__}: {exc}"[:400]
+        finally:
+            signal.alarm(0)
+        rec["sec"] = round(time.time() - t0, 2)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        spark.catalog.clearCache()
+        status = {True: "ok", False: "MISMATCH", None: "ERR"}[rec["ok"]]
+        print(f"[{i + 1}/{len(names)}] {name}: {status} ({rec['sec']}s)", flush=True)
+
+    results = [json.loads(line) for line in open(OUT)]
+    bad = [r for r in results if r["ok"] is False]
+    err = [r for r in results if r["ok"] is None]
+    print(f"done: {len(results)} swept, {len(bad)} mismatches, {len(err)} errors")
+    for r in bad + err:
+        print("  ", r["name"], r.get("error", r.get("detail")))
+
+
+if __name__ == "__main__":
+    main()
