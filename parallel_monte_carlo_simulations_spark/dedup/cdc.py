@@ -85,13 +85,13 @@ df AS (
 SELECT c.source,
        CAST(COUNT(*) AS BIGINT) AS n_chunks,
        CAST(SUM(c.clen) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(c.clen) AS DOUBLE) / COUNT(*), 4) AS avg_chunk_len,
+       FLOOR((CAST(SUM(c.clen) AS DOUBLE) / COUNT(*)) * 1e4 + 0.5) / 1e4 AS avg_chunk_len,
        CAST(COUNT(*) FILTER (WHERE d.occ >= 2) AS BIGINT)
          AS dup_occurrences,
        CAST(COUNT(*) FILTER (WHERE d.ndocs >= 2) AS BIGINT)
          AS xdoc_dup_occurrences,
-       ROUND(CAST(SUM(CASE WHEN d.ndocs >= 2 THEN c.clen ELSE 0 END)
-                  AS DOUBLE) / SUM(c.clen), 6) AS xdoc_dup_token_share
+       FLOOR((CAST(SUM(CASE WHEN d.ndocs >= 2 THEN c.clen ELSE 0 END)
+                  AS DOUBLE) / SUM(c.clen)) * 1e6 + 0.5) / 1e6 AS xdoc_dup_token_share
 FROM cagg c JOIN df d ON c.ch = d.ch
 GROUP BY c.source
 """
@@ -166,7 +166,7 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("source").agg(
         F.count("*").cast("long").alias("n_chunks"),
         F.sum("clen").cast("long").alias("n_tokens"),
-        F.round(F.sum("clen").cast("double") / F.count("*"), 4).alias(
+        (F.floor((F.sum("clen").cast("double") / F.count("*")) * 1e4 + 0.5) / 1e4).alias(
             "avg_chunk_len"
         ),
         F.count(F.when(F.col("occ") >= 2, 1)).cast("long").alias(
@@ -175,10 +175,7 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("ndocs") >= 2, 1)).cast("long").alias(
             "xdoc_dup_occurrences"
         ),
-        F.round(
-            F.sum(F.when(F.col("ndocs") >= 2, F.col("clen")).otherwise(0))
+        (F.floor((F.sum(F.when(F.col("ndocs") >= 2, F.col("clen")).otherwise(0))
             .cast("double")
-            / F.sum("clen"),
-            6,
-        ).alias("xdoc_dup_token_share"),
+            / F.sum("clen")) * 1e6 + 0.5) / 1e6).alias("xdoc_dup_token_share"),
     )

@@ -192,13 +192,12 @@ comp AS (
 ),
 scored AS (
   SELECT doc_id,
-    ROUND(
-      0.4 * LEAST(length(text) / 500.0, 1.0)
+    FLOOR((0.4 * LEAST(length(text) / 500.0, 1.0)
       + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
                / len(string_split(text, ' ')))
       + 0.2 * LEAST(len(list_filter(string_split(text, ' '),
                                     t -> t IN {_EN_SW_SQL})) * 5.0
-                    / len(string_split(text, ' ')), 1.0), 6) AS quality
+                    / len(string_split(text, ' ')), 1.0)) * 1e6 + 0.5) / 1e6 AS quality
   FROM documents
 ),
 ranked AS (
@@ -244,12 +243,9 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
     n = F.size(toks)
-    quality = F.round(
-        0.4 * F.least(F.length("text") / 500.0, F.lit(1.0))
+    quality = (F.floor((0.4 * F.least(F.length("text") / 500.0, F.lit(1.0))
         + 0.4 * (F.size(F.array_distinct(toks)) / n)
-        + 0.2 * F.least(_stopword_count(toks, STOPWORDS["en"]) / n * 5.0, F.lit(1.0)),
-        6,
-    )
+        + 0.2 * F.least(_stopword_count(toks, STOPWORDS["en"]) / n * 5.0, F.lit(1.0))) * 1e6 + 0.5) / 1e6)
     scored = d.select("doc_id", quality.alias("quality"))
     members = comp.join(scored, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")

@@ -26,7 +26,7 @@ WITH e AS (SELECT vec_id, embedding FROM embeddings)
 SELECT
   a.vec_id                          AS vec_a,
   b.vec_id                          AS vec_b,
-  ROUND({sql_cosine(_A, _B)}, 6)    AS cos_sim
+  FLOOR(({sql_cosine(_A, _B)}) * 1e6 + 0.5) / 1e6    AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {sql_cosine(_A, _B)} >= {COSINE_THRESHOLD}
 """
@@ -57,5 +57,5 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos"),
         )
         .filter(F.col("cos") >= COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
+        .select("vec_a", "vec_b", (F.floor((F.col("cos")) * 1e6 + 0.5) / 1e6).alias("cos_sim"))
     )

@@ -89,7 +89,7 @@ verified AS (
 SELECT
   v.doc_a,
   v.doc_b,
-  ROUND(v.n_common * 1.0 / (ca.n + cb.n - v.n_common), 4) AS jaccard
+  FLOOR((v.n_common * 1.0 / (ca.n + cb.n - v.n_common)) * 1e4 + 0.5) / 1e4 AS jaccard
 FROM verified v
 JOIN counts ca ON ca.doc_id = v.doc_a
 JOIN counts cb ON cb.doc_id = v.doc_b
@@ -199,7 +199,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pb, "doc_b")
         .withColumn("n_common", n_common)
         .filter(VERIFY_DEN * F.col("n_common") >= VERIFY_NUM * union)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", (F.floor((jac) * 1e4 + 0.5) / 1e4).alias("jaccard"))
     )
 
 
@@ -296,5 +296,5 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pb, "doc_b")
         .withColumn("n_common", n_common)
         .filter(VERIFY_DEN * F.col("n_common") >= VERIFY_NUM * union)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", (F.floor((jac) * 1e4 + 0.5) / 1e4).alias("jaccard"))
     )

@@ -104,22 +104,22 @@ quantized AS (
   SELECT
     CAST(floor((CAST(n_common AS DOUBLE) / CAST(u AS DOUBLE)) * 10.0e0)
          AS INTEGER) AS bucket,
-    CAST(ROUND(CAST(m AS DOUBLE) / {N_HASHES}.0e0, 8) AS DECIMAL(18,8))
+    CAST(FLOOR((CAST(m AS DOUBLE) / {N_HASHES}.0e0) * 1e8 + 0.5) / 1e8 AS DECIMAL(18,8))
       AS est,
-    CAST(ROUND(CAST(n_common AS DOUBLE) / CAST(u AS DOUBLE), 8)
+    CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(u AS DOUBLE)) * 1e8 + 0.5) / 1e8
          AS DECIMAL(18,8)) AS truth,
-    CAST(ROUND(CAST(abs((m * u) - ({N_HASHES} * n_common)) AS DOUBLE)
-               / CAST({N_HASHES} * u AS DOUBLE), 8) AS DECIMAL(18,8))
+    CAST(FLOOR((CAST(abs((m * u) - ({N_HASHES} * n_common)) AS DOUBLE)
+               / CAST({N_HASHES} * u AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS DECIMAL(18,8))
       AS abs_err
   FROM pairs
 )
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(CAST(SUM(est) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       FLOOR((CAST(SUM(est) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
          AS mean_estimate,
-       ROUND(CAST(SUM(truth) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       FLOOR((CAST(SUM(truth) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
          AS mean_truth,
-       ROUND(CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       FLOOR((CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
          AS mean_abs_error
 FROM quantized
 GROUP BY bucket
@@ -192,16 +192,13 @@ def q_dedup_minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth_d = F.col("n_common").cast("double") / F.col("u").cast("double")
     quantized = pairs.select(
         F.floor(truth_d * 10.0).cast("int").alias("bucket"),
-        F.round(F.col("m").cast("double") / float(N_HASHES), 8)
+        (F.floor((F.col("m").cast("double") / float(N_HASHES)) * 1e8 + 0.5) / 1e8)
         .cast("decimal(18,8)")
         .alias("est"),
-        F.round(truth_d, 8).cast("decimal(18,8)").alias("truth"),
-        F.round(
-            F.abs((F.col("m") * F.col("u")) - (N_HASHES * F.col("n_common")))
+        (F.floor((truth_d) * 1e8 + 0.5) / 1e8).cast("decimal(18,8)").alias("truth"),
+        (F.floor((F.abs((F.col("m") * F.col("u")) - (N_HASHES * F.col("n_common")))
             .cast("double")
-            / (N_HASHES * F.col("u")).cast("double"),
-            8,
-        )
+            / (N_HASHES * F.col("u")).cast("double")) * 1e8 + 0.5) / 1e8)
         .cast("decimal(18,8)")
         .alias("abs_err"),
     )
@@ -210,13 +207,13 @@ def q_dedup_minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.round(F.sum("est").cast("double") / cnt_d, 6).alias(
+            (F.floor((F.sum("est").cast("double") / cnt_d) * 1e6 + 0.5) / 1e6).alias(
                 "mean_estimate"
             ),
-            F.round(F.sum("truth").cast("double") / cnt_d, 6).alias(
+            (F.floor((F.sum("truth").cast("double") / cnt_d) * 1e6 + 0.5) / 1e6).alias(
                 "mean_truth"
             ),
-            F.round(F.sum("abs_err").cast("double") / cnt_d, 6).alias(
+            (F.floor((F.sum("abs_err").cast("double") / cnt_d) * 1e6 + 0.5) / 1e6).alias(
                 "mean_abs_error"
             ),
         )

@@ -43,7 +43,7 @@ def q_dedup_ml_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+            (F.floor((F.col("jaccard_dist")) * 1e4 + 0.5) / 1e4).alias("jaccard_dist"),
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
     )

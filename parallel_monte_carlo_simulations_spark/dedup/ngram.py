@@ -46,7 +46,7 @@ inter AS (
 SELECT
   doc_a,
   doc_b,
-  ROUND(n_common * 1.0 / (ca.n + cb.n - n_common), 4) AS jaccard
+  FLOOR((n_common * 1.0 / (ca.n + cb.n - n_common)) * 1e4 + 0.5) / 1e4 AS jaccard
 FROM inter
 JOIN counts ca ON ca.doc_id = doc_a
 JOIN counts cb ON cb.doc_id = doc_b
@@ -121,7 +121,7 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", (F.floor((jac) * 1e4 + 0.5) / 1e4).alias("jaccard"))
     )
 
 

@@ -148,7 +148,7 @@ expanded AS (
    AND (k.ma <> k.mb OR da.doc_id < db.doc_id)
 )
 SELECT e.doc_a, e.doc_b, e.n_common, e.size_a, e.size_b,
-       ROUND(e.jac_raw, 4) AS jaccard,
+       FLOOR((e.jac_raw) * 1e4 + 0.5) / 1e4 AS jaccard,
        t.n_pairs_total
 FROM expanded e CROSS JOIN total t
 ORDER BY e.jac_raw DESC, e.doc_a, e.doc_b
@@ -353,7 +353,7 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             "size_a",
             "size_b",
-            F.round(F.col("jac_raw"), 4).alias("jaccard"),
+            (F.floor((F.col("jac_raw")) * 1e4 + 0.5) / 1e4).alias("jaccard"),
             "n_pairs_total",
         )
     )

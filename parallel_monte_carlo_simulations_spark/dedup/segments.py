@@ -56,8 +56,8 @@ SELECT s.source,
          AS dup_occurrences,
        CAST(COUNT(*) FILTER (WHERE d.ndocs >= 2) AS BIGINT)
          AS xdoc_dup_occurrences,
-       ROUND(CAST(COUNT(*) FILTER (WHERE d.ndocs >= 2) AS DOUBLE)
-             / COUNT(*), 6) AS xdoc_dup_share,
+       FLOOR((CAST(COUNT(*) FILTER (WHERE d.ndocs >= 2) AS DOUBLE)
+             / COUNT(*)) * 1e6 + 0.5) / 1e6 AS xdoc_dup_share,
        CAST(MAX(d.occ) AS BIGINT) AS max_segment_df
 FROM segs s JOIN df d ON s.seg_hash = d.seg_hash
 GROUP BY s.source
@@ -110,10 +110,7 @@ def q_dedup_segment_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("ndocs") >= 2, 1)).cast("long").alias(
             "xdoc_dup_occurrences"
         ),
-        F.round(
-            F.count(F.when(F.col("ndocs") >= 2, 1)).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("xdoc_dup_share"),
+        (F.floor((F.count(F.when(F.col("ndocs") >= 2, 1)).cast("double")
+            / F.count("*")) * 1e6 + 0.5) / 1e6).alias("xdoc_dup_share"),
         F.max("occ").cast("long").alias("max_segment_df"),
     )

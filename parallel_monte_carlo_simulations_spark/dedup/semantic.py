@@ -51,7 +51,7 @@ SELECT dropped                            AS vec_id,
        CAST(MIN(keeper) AS BIGINT)        AS keeper_id,
        CAST(ANY_VALUE(cluster_id) AS INTEGER) AS cluster_id,
        CAST(COUNT(*) AS BIGINT)           AS n_dup_neighbors,
-       ROUND(MAX(cos_raw), 6)             AS best_cos
+       FLOOR((MAX(cos_raw)) * 1e6 + 0.5) / 1e6             AS best_cos
 FROM pairs
 WHERE cos_raw >= {THRESHOLD}
 GROUP BY dropped
@@ -116,7 +116,7 @@ def _semantic_pairs(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
             F.min("keeper").cast("long").alias("keeper_id"),
             F.any_value("cluster_id").cast("int").alias("cluster_id"),
             F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
-            F.round(F.max("cos_raw"), 6).alias("best_cos"),
+            (F.floor((F.max("cos_raw")) * 1e6 + 0.5) / 1e6).alias("best_cos"),
         )
     )
 
@@ -148,7 +148,7 @@ dims AS (
 ),
 bits AS (
   SELECT d.vec_id, k.k,
-         CASE WHEN SUM(CAST(ROUND(({_SEM_SIGN_SQL}) * d.v, 9)
+         CASE WHEN SUM(CAST(FLOOR((({_SEM_SIGN_SQL}) * d.v) * 1e9 + 0.5) / 1e9
                             AS DECIMAL(18,9))) >= 0
               THEN 1 ELSE 0 END AS bit
   FROM dims d
@@ -172,7 +172,7 @@ SELECT dropped                            AS vec_id,
        CAST(MIN(keeper) AS BIGINT)        AS keeper_id,
        CAST(ANY_VALUE(bucket_id) AS BIGINT) AS bucket_id,
        CAST(COUNT(*) AS BIGINT)           AS n_dup_neighbors,
-       ROUND(MAX(cos_raw), 6)             AS best_cos
+       FLOOR((MAX(cos_raw)) * 1e6 + 0.5) / 1e6             AS best_cos
 FROM pairs
 WHERE cos_raw >= {THRESHOLD}
 GROUP BY dropped
@@ -267,7 +267,7 @@ def q_dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dim") + 1,
         )
         return (
-            F.sum(F.round(sign_k * F.col("v"), 9).cast("decimal(18,9)"))
+            F.sum((F.floor((sign_k * F.col("v")) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)"))
             >= 0
         ).cast("long")
 
@@ -313,6 +313,6 @@ def q_dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("keeper").cast("long").alias("keeper_id"),
             F.any_value("bucket_id").cast("long").alias("bucket_id"),
             F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
-            F.round(F.max("cos_raw"), 6).alias("best_cos"),
+            (F.floor((F.max("cos_raw")) * 1e6 + 0.5) / 1e6).alias("best_cos"),
         )
     )

@@ -56,8 +56,7 @@ tf AS (
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
-         CAST(ROUND(
-           LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         CAST(FLOOR((LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
            * (({_W_TITLE} * tf.tf_t
                / (1.0 - {_B_TITLE} + {_B_TITLE} * fl.tl / s.avg_tl))
               + ({_W_BODY} * tf.tf_b
@@ -66,14 +65,13 @@ scored AS (
               + ({_W_TITLE} * tf.tf_t
                  / (1.0 - {_B_TITLE} + {_B_TITLE} * fl.tl / s.avg_tl))
               + ({_W_BODY} * tf.tf_b
-                 / (1.0 - {_B_BODY} + {_B_BODY} * fl.bl / s.avg_bl)))
-           , 8) AS DECIMAL(24,8)) AS term_score
+                 / (1.0 - {_B_BODY} + {_B_BODY} * fl.bl / s.avg_bl)))) * 1e8 + 0.5) / 1e8 AS DECIMAL(24,8)) AS term_score
   FROM tf
   JOIN dfreq d USING (term)
   JOIN fl ON fl.doc_id = tf.doc_id
   CROSS JOIN stats s
 )
-SELECT doc_id, ROUND(CAST(SUM(term_score) AS DOUBLE), 4) AS bm25f
+SELECT doc_id, FLOOR((CAST(SUM(term_score) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS bm25f
 FROM scored GROUP BY doc_id
 ORDER BY bm25f DESC, doc_id
 LIMIT {_TOPK}
@@ -146,11 +144,11 @@ def q_search_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            F.round(idf * wtf / (_BM25_K1 + wtf), 8)
+            (F.floor((idf * wtf / (_BM25_K1 + wtf)) * 1e8 + 0.5) / 1e8)
             .cast("decimal(24,8)")
             .alias("term_score"),
         )
         .groupBy("doc_id")
-        .agg(F.round(F.sum("term_score").cast("double"), 4).alias("bm25f"))
+        .agg((F.floor((F.sum("term_score").cast("double")) * 1e4 + 0.5) / 1e4).alias("bm25f"))
     )
     return scored.orderBy(F.desc("bm25f"), "doc_id").limit(_TOPK)

@@ -38,13 +38,12 @@ _EN_SW_SQL = "('" + "', '".join(STOPWORDS["en"]) + "')"
 _QCALIB_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, text,
-         ROUND(
-           0.4 * LEAST(length(text) / 500.0, 1.0)
+         FLOOR((0.4 * LEAST(length(text) / 500.0, 1.0)
            + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
                     / len(string_split(text, ' ')))
            + 0.2 * LEAST(len(list_filter(string_split(text, ' '),
                                          t -> t IN {_EN_SW_SQL})) * 5.0
-                         / len(string_split(text, ' ')), 1.0), 6) AS score
+                         / len(string_split(text, ' ')), 1.0)) * 1e6 + 0.5) / 1e6 AS score
   FROM documents
 ),
 dup AS (
@@ -60,10 +59,10 @@ labeled AS (
 SELECT decile,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(is_dup) AS BIGINT) AS n_dups,
-       ROUND(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       FLOOR((CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
          AS dup_rate,
-       ROUND(CAST(SUM(score_micro) AS DOUBLE)
-             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_score
+       FLOOR((CAST(SUM(score_micro) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)) * 1e6 + 0.5) / 1e6 AS mean_score
 FROM labeled
 GROUP BY decile
 ORDER BY decile
@@ -94,7 +93,7 @@ def q_text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.2 * F.least(sw_ratio * 5.0, F.lit(1.0))
     )
     scored = d.select(
-        "doc_id", "text", F.round(quality, 6).alias("score")
+        "doc_id", "text", (F.floor((quality) * 1e6 + 0.5) / 1e6).alias("score")
     )
     dup = scored.groupBy("text").agg(
         F.count("*").cast("long").alias("n_same")
@@ -128,15 +127,9 @@ def q_text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("is_dup").cast("long").alias("n_dups"),
-            F.round(
-                F.sum("is_dup").cast("double") / F.count("*").cast("double"),
-                6,
-            ).alias("dup_rate"),
-            F.round(
-                F.sum("score_micro").cast("double")
-                / (F.count("*").cast("double") * 1000000.0),
-                6,
-            ).alias("mean_score"),
+            (F.floor((F.sum("is_dup").cast("double") / F.count("*").cast("double")) * 1e6 + 0.5) / 1e6).alias("dup_rate"),
+            (F.floor((F.sum("score_micro").cast("double")
+                / (F.count("*").cast("double") * 1000000.0)) * 1e6 + 0.5) / 1e6).alias("mean_score"),
         )
         .orderBy("decile")
     )

@@ -36,13 +36,12 @@ _QSWEEP_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
-         ROUND(
-           0.4 * LEAST(length(text) / 500.0, 1.0)
+         FLOOR((0.4 * LEAST(length(text) / 500.0, 1.0)
            + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
                     / len(string_split(text, ' ')))
            + 0.2 * LEAST(len(list_filter(string_split(text, ' '),
                                          t -> t IN {_EN_SW_SQL})) * 5.0
-                         / len(string_split(text, ' ')), 1.0), 6) AS q
+                         / len(string_split(text, ' ')), 1.0)) * 1e6 + 0.5) / 1e6 AS q
   FROM documents
 ),
 grid AS (SELECT unnest({_SWEEP_THRESHOLDS!r}) AS threshold),
@@ -56,10 +55,10 @@ SELECT g.threshold,
          AS docs_kept,
        CAST(COALESCE(SUM(s.n_tokens) FILTER (WHERE s.q >= g.threshold), 0)
             AS BIGINT) AS tokens_kept,
-       ROUND(COUNT(*) FILTER (WHERE s.q >= g.threshold) * 1.0
-             / ANY_VALUE(t.docs_total), 6) AS doc_retention,
-       ROUND(COALESCE(SUM(s.n_tokens) FILTER (WHERE s.q >= g.threshold), 0)
-             * 1.0 / ANY_VALUE(t.tokens_total), 6) AS token_retention
+       FLOOR((COUNT(*) FILTER (WHERE s.q >= g.threshold) * 1.0
+             / ANY_VALUE(t.docs_total)) * 1e6 + 0.5) / 1e6 AS doc_retention,
+       FLOOR((COALESCE(SUM(s.n_tokens) FILTER (WHERE s.q >= g.threshold), 0)
+             * 1.0 / ANY_VALUE(t.tokens_total)) * 1e6 + 0.5) / 1e6 AS token_retention
 FROM grid g CROSS JOIN scored s CROSS JOIN tot t
 GROUP BY g.threshold
 """
@@ -86,12 +85,9 @@ def q_curation_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
-    q = F.round(
-        0.4 * F.least(F.length("text") / 500.0, F.lit(1.0))
+    q = (F.floor((0.4 * F.least(F.length("text") / 500.0, F.lit(1.0))
         + 0.4 * (F.size(F.array_distinct(toks)) / n)
-        + 0.2 * F.least(sw * 5.0 / n, F.lit(1.0)),
-        6,
-    )
+        + 0.2 * F.least(sw * 5.0 / n, F.lit(1.0))) * 1e6 + 0.5) / 1e6)
     scored = d.select(n.alias("n_tokens"), q.alias("q"))
     grid = spark.createDataFrame(
         [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
@@ -110,16 +106,10 @@ def q_curation_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
             .cast("long")
             .alias("tokens_kept"),
-            F.round(
-                F.sum(F.when(kept, 1).otherwise(0))
-                / F.any_value("docs_total"),
-                6,
-            ).alias("doc_retention"),
-            F.round(
-                F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
-                / F.any_value("tokens_total"),
-                6,
-            ).alias("token_retention"),
+            (F.floor((F.sum(F.when(kept, 1).otherwise(0))
+                / F.any_value("docs_total")) * 1e6 + 0.5) / 1e6).alias("doc_retention"),
+            (F.floor((F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+                / F.any_value("tokens_total")) * 1e6 + 0.5) / 1e6).alias("token_retention"),
         )
     )
 
@@ -138,17 +128,17 @@ WITH per_source AS (
 tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS t FROM per_source),
 w AS (
   SELECT source, toks,
-         CAST(ROUND(SQRT(CAST(toks AS DOUBLE) / t.t), 10)
+         CAST(FLOOR((SQRT(CAST(toks AS DOUBLE) / t.t)) * 1e10 + 0.5) / 1e10
               AS DECIMAL(24,10)) AS wq
   FROM per_source CROSS JOIN tot t
 ),
 norm AS (SELECT CAST(SUM(wq) AS DOUBLE) AS z FROM w)
 SELECT w.source, w.toks AS tokens_available,
-       ROUND(CAST(w.wq AS DOUBLE) / n.z, 6)   AS mix_weight,
+       FLOOR((CAST(w.wq AS DOUBLE) / n.z) * 1e6 + 0.5) / 1e6   AS mix_weight,
        CAST(FLOOR({_MIX_BUDGET} * CAST(w.wq AS DOUBLE) / n.z) AS BIGINT)
          AS tokens_drawn,
-       ROUND({_MIX_BUDGET} * CAST(w.wq AS DOUBLE) / n.z
-             / w.toks, 6)                      AS epochs_implied
+       FLOOR(({_MIX_BUDGET} * CAST(w.wq AS DOUBLE) / n.z
+             / w.toks) * 1e6 + 0.5) / 1e6                      AS epochs_implied
 FROM w CROSS JOIN norm n
 """
 
@@ -175,7 +165,7 @@ def q_curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = per_source.crossJoin(F.broadcast(tot)).select(
         "source",
         "toks",
-        F.round(F.sqrt(F.col("toks").cast("double") / F.col("t")), 10)
+        (F.floor((F.sqrt(F.col("toks").cast("double") / F.col("t"))) * 1e10 + 0.5) / 1e10)
         .cast("decimal(24,10)")
         .alias("wq"),
     )
@@ -184,9 +174,9 @@ def q_curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.crossJoin(F.broadcast(norm)).select(
         "source",
         F.col("toks").alias("tokens_available"),
-        F.round(share, 6).alias("mix_weight"),
+        (F.floor((share) * 1e6 + 0.5) / 1e6).alias("mix_weight"),
         F.floor(_MIX_BUDGET * share).cast("long").alias("tokens_drawn"),
-        F.round(_MIX_BUDGET * share / F.col("toks"), 6).alias(
+        (F.floor((_MIX_BUDGET * share / F.col("toks")) * 1e6 + 0.5) / 1e6).alias(
             "epochs_implied"
         ),
     )
@@ -212,8 +202,8 @@ SELECT d.source,
        CAST(SUM(d.n_tokens) AS BIGINT)                  AS tokens_total,
        CAST(SUM(CASE WHEN d.doc_id = c.keeper THEN d.n_tokens ELSE 0 END)
             AS BIGINT)                                  AS tokens_kept,
-       ROUND(1.0 - SUM(CASE WHEN d.doc_id = c.keeper THEN d.n_tokens
-                            ELSE 0 END) * 1.0 / SUM(d.n_tokens), 6)
+       FLOOR((1.0 - SUM(CASE WHEN d.doc_id = c.keeper THEN d.n_tokens
+                            ELSE 0 END) * 1.0 / SUM(d.n_tokens)) * 1e6 + 0.5) / 1e6
                                                         AS token_savings
 FROM docs d JOIN canon c USING (h)
 GROUP BY d.source
@@ -254,12 +244,9 @@ def q_curation_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
             .cast("long")
             .alias("tokens_kept"),
-            F.round(
-                1.0
+            (F.floor((1.0
                 - F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
-                / F.sum("n_tokens"),
-                6,
-            ).alias("token_savings"),
+                / F.sum("n_tokens")) * 1e6 + 0.5) / 1e6).alias("token_savings"),
         )
     )
 
@@ -280,8 +267,8 @@ cnt AS (
 n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
 terms AS (
   SELECT cnt.doc_id, cnt.source,
-         CAST(ROUND((CAST(cnt.c AS DOUBLE) / n.n)
-                    * LN(CAST(n.n AS DOUBLE) / cnt.c), 10)
+         CAST(FLOOR(((CAST(cnt.c AS DOUBLE) / n.n)
+                    * LN(CAST(n.n AS DOUBLE) / cnt.c)) * 1e10 + 0.5) / 1e10
               AS DECIMAL(24,10)) AS tq
   FROM cnt JOIN n USING (doc_id)
 ),
@@ -292,9 +279,9 @@ ent AS (
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT)                   AS n_docs,
-       ROUND(CAST(SUM(h) AS DOUBLE) / COUNT(*), 6) AS avg_entropy,
-       ROUND(CAST(MIN(h) AS DOUBLE), 6)            AS min_entropy,
-       ROUND(CAST(MAX(h) AS DOUBLE), 6)            AS max_entropy
+       FLOOR((CAST(SUM(h) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_entropy,
+       FLOOR((CAST(MIN(h) AS DOUBLE)) * 1e6 + 0.5) / 1e6            AS min_entropy,
+       FLOOR((CAST(MAX(h) AS DOUBLE)) * 1e6 + 0.5) / 1e6            AS max_entropy
 FROM ent GROUP BY source
 """
 
@@ -326,11 +313,8 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = cnt.join(n.hint("merge"), "doc_id").select(
         "doc_id",
         "source",
-        F.round(
-            (F.col("c").cast("double") / F.col("n"))
-            * F.log(F.col("n").cast("double") / F.col("c")),
-            10,
-        )
+        (F.floor(((F.col("c").cast("double") / F.col("n"))
+            * F.log(F.col("n").cast("double") / F.col("c"))) * 1e10 + 0.5) / 1e10)
         .cast("decimal(24,10)")
         .alias("tq"),
     )
@@ -339,11 +323,11 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ent.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(F.sum("h").cast("double") / F.count(F.lit(1)), 6).alias(
+        (F.floor((F.sum("h").cast("double") / F.count(F.lit(1))) * 1e6 + 0.5) / 1e6).alias(
             "avg_entropy"
         ),
-        F.round(F.min("h").cast("double"), 6).alias("min_entropy"),
-        F.round(F.max("h").cast("double"), 6).alias("max_entropy"),
+        (F.floor((F.min("h").cast("double")) * 1e6 + 0.5) / 1e6).alias("min_entropy"),
+        (F.floor((F.max("h").cast("double")) * 1e6 + 0.5) / 1e6).alias("max_entropy"),
     )
 
 
@@ -369,8 +353,8 @@ per_doc AS (
          CAST(COUNT(*) AS BIGINT) AS n_grams,
          CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END)
               AS BIGINT) AS n_novel,
-         CAST(ROUND(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END)
-                    * 1.0 / COUNT(*), 10) AS DECIMAL(24,10)) AS novelty_q
+         CAST(FLOOR((SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                    * 1.0 / COUNT(*)) * 1e10 + 0.5) / 1e10 AS DECIMAL(24,10)) AS novelty_q
   FROM sh JOIN firsts f USING (shingle)
   GROUP BY sh.doc_id, sh.source
 )
@@ -378,7 +362,7 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT)                         AS n_docs,
        CAST(SUM(n_grams) AS BIGINT)                     AS grams_total,
        CAST(SUM(n_novel) AS BIGINT)                     AS grams_novel,
-       ROUND(CAST(SUM(novelty_q) AS DOUBLE) / COUNT(*), 6) AS avg_novelty
+       FLOOR((CAST(SUM(novelty_q) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS avg_novelty
 FROM per_doc GROUP BY source
 """
 
@@ -425,7 +409,7 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.sum(novel).cast("long").alias("n_novel"),
-            F.round(F.sum(novel) * 1.0 / F.count(F.lit(1)), 10)
+            (F.floor((F.sum(novel) * 1.0 / F.count(F.lit(1))) * 1e10 + 0.5) / 1e10)
             .cast("decimal(24,10)")
             .alias("novelty_q"),
         )
@@ -434,7 +418,7 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_grams").cast("long").alias("grams_total"),
         F.sum("n_novel").cast("long").alias("grams_novel"),
-        F.round(F.sum("novelty_q").cast("double") / F.count(F.lit(1)), 6).alias(
+        (F.floor((F.sum("novelty_q").cast("double") / F.count(F.lit(1))) * 1e6 + 0.5) / 1e6).alias(
             "avg_novelty"
         ),
     )
@@ -499,8 +483,7 @@ aligned AS (
 ),
 terms AS (
   SELECT lang_a, lang_b,
-         CAST(ROUND(
-           0.5 * (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+         CAST(FLOOR((0.5 * (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
                     * LN((CAST(ca AS DOUBLE) / na)
                          / (0.5 * (CAST(ca AS DOUBLE) / na
                                    + CAST(cb AS DOUBLE) / nb)))
@@ -509,11 +492,11 @@ terms AS (
                     * LN((CAST(cb AS DOUBLE) / nb)
                          / (0.5 * (CAST(ca AS DOUBLE) / na
                                    + CAST(cb AS DOUBLE) / nb)))
-                  ELSE 0 END), 10) AS DECIMAL(24,10)) AS tq
+                  ELSE 0 END)) * 1e10 + 0.5) / 1e10 AS DECIMAL(24,10)) AS tq
   FROM aligned
 )
 SELECT lang_a, lang_b,
-       ROUND(CAST(SUM(tq) AS DOUBLE), 6) AS js_divergence
+       FLOOR((CAST(SUM(tq) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS js_divergence
 FROM terms GROUP BY lang_a, lang_b
 """
 
@@ -588,10 +571,10 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = aligned.select(
         "lang_a",
         "lang_b",
-        F.round(term, 10).cast("decimal(24,10)").alias("tq"),
+        (F.floor((term) * 1e10 + 0.5) / 1e10).cast("decimal(24,10)").alias("tq"),
     )
     return terms.groupBy("lang_a", "lang_b").agg(
-        F.round(F.sum("tq").cast("double"), 6).alias("js_divergence")
+        (F.floor((F.sum("tq").cast("double")) * 1e6 + 0.5) / 1e6).alias("js_divergence")
     )
 
 
@@ -603,13 +586,12 @@ _QFUNNEL_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, lang, md5(text) AS h,
          len(string_split(text, ' ')) AS n_tokens,
-         ROUND(
-           0.4 * LEAST(length(text) / 500.0, 1.0)
+         FLOOR((0.4 * LEAST(length(text) / 500.0, 1.0)
            + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
                     / len(string_split(text, ' ')))
            + 0.2 * LEAST(len(list_filter(string_split(text, ' '),
                                          t -> t IN {_EN_SW_SQL})) * 5.0
-                         / len(string_split(text, ' ')), 1.0), 6) AS q
+                         / len(string_split(text, ' ')), 1.0)) * 1e6 + 0.5) / 1e6 AS q
   FROM documents
 ),
 canon AS (SELECT h, MIN(doc_id) AS keeper FROM scored GROUP BY h),
@@ -644,8 +626,8 @@ stages AS (
 ),
 base AS (SELECT tokens AS t0, docs AS d0 FROM stages WHERE stage_no = 0)
 SELECT s.stage_no, s.stage, s.docs, s.tokens,
-       ROUND(s.docs * 1.0 / b.d0, 6)   AS doc_retention,
-       ROUND(s.tokens * 1.0 / b.t0, 6) AS token_retention
+       FLOOR((s.docs * 1.0 / b.d0) * 1e6 + 0.5) / 1e6   AS doc_retention,
+       FLOOR((s.tokens * 1.0 / b.t0) * 1e6 + 0.5) / 1e6 AS token_retention
 FROM stages s CROSS JOIN base b
 """
 
@@ -667,12 +649,9 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
-    q = F.round(
-        0.4 * F.least(F.length("text") / 500.0, F.lit(1.0))
+    q = (F.floor((0.4 * F.least(F.length("text") / 500.0, F.lit(1.0))
         + 0.4 * (F.size(F.array_distinct(toks)) / n)
-        + 0.2 * F.least(sw * 5.0 / n, F.lit(1.0)),
-        6,
-    )
+        + 0.2 * F.least(sw * 5.0 / n, F.lit(1.0))) * 1e6 + 0.5) / 1e6)
     scored = d.select(
         "doc_id",
         "lang",
@@ -719,8 +698,8 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         "docs",
         "tokens",
-        F.round(F.col("docs") * 1.0 / F.col("d0"), 6).alias("doc_retention"),
-        F.round(F.col("tokens") * 1.0 / F.col("t0"), 6).alias(
+        (F.floor((F.col("docs") * 1.0 / F.col("d0")) * 1e6 + 0.5) / 1e6).alias("doc_retention"),
+        (F.floor((F.col("tokens") * 1.0 / F.col("t0")) * 1e6 + 0.5) / 1e6).alias(
             "token_retention"
         ),
     )

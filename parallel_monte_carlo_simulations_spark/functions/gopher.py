@@ -74,10 +74,10 @@ SELECT source,
        CAST(COUNT(*) FILTER (WHERE NOT (f_count OR f_meanlen OR f_stop
                                         OR f_ttr OR f_topshare))
             AS BIGINT) AS n_pass,
-       ROUND(CAST(COUNT(*) FILTER (WHERE NOT (f_count OR f_meanlen
+       FLOOR((CAST(COUNT(*) FILTER (WHERE NOT (f_count OR f_meanlen
                                               OR f_stop OR f_ttr
                                               OR f_topshare)) AS DOUBLE)
-             / COUNT(*), 4) AS retention
+             / COUNT(*)) * 1e4 + 0.5) / 1e4 AS retention
 FROM flags
 GROUP BY source
 """
@@ -144,7 +144,5 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("f_ttr"), 1)).cast("long").alias("fail_ttr"),
         F.count(F.when(F.col("f_topshare"), 1)).cast("long").alias("fail_topshare"),
         F.count(F.when(passed, 1)).cast("long").alias("n_pass"),
-        F.round(
-            F.count(F.when(passed, 1)).cast("double") / F.count("*"), 4
-        ).alias("retention"),
+        (F.floor((F.count(F.when(passed, 1)).cast("double") / F.count("*")) * 1e4 + 0.5) / 1e4).alias("retention"),
     )

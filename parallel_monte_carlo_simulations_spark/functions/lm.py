@@ -44,7 +44,7 @@ scored AS (
 )
 SELECT doc_id,
        CAST(n_tokens AS BIGINT)   AS n_tokens,
-       ROUND(s / n_tokens, 4)     AS avg_logprob
+       FLOOR((s / n_tokens) * 1e4 + 0.5) / 1e4     AS avg_logprob
 FROM scored
 ORDER BY avg_logprob, doc_id
 LIMIT {N_LOWEST}
@@ -85,7 +85,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.round(F.col("s") / F.col("n_tokens"), 4).alias("avg_logprob"),
+            (F.floor((F.col("s") / F.col("n_tokens")) * 1e4 + 0.5) / 1e4).alias("avg_logprob"),
         )
         .orderBy("avg_logprob", "doc_id")
         .limit(N_LOWEST)

@@ -49,8 +49,8 @@ lw AS (
 ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
 terms AS (
   SELECT dt.doc_id, dt.lang_true, tc.lang AS lang_pred, dt.cnt,
-         CAST(ROUND(ln((COALESCE(lw.n_wc, 0) + 1)
-                       / CAST(tc.n_tok_c + v.v AS DOUBLE)), 9)
+         CAST(FLOOR((ln((COALESCE(lw.n_wc, 0) + 1)
+                       / CAST(tc.n_tok_c + v.v AS DOUBLE))) * 1e9 + 0.5) / 1e9
               AS DECIMAL(18,9)) AS lnp
   FROM dt
   CROSS JOIN tokc tc
@@ -63,7 +63,7 @@ scores AS (
 ),
 wpri AS (
   SELECT s.doc_id, s.lang_true, s.lang_pred,
-         s.s + CAST(ROUND(ln(c.n_docs_c / CAST(n.n AS DOUBLE)), 9)
+         s.s + CAST(FLOOR((ln(c.n_docs_c / CAST(n.n AS DOUBLE))) * 1e9 + 0.5) / 1e9
                     AS DECIMAL(18,9)) AS score
   FROM scores s
   JOIN cls c ON c.lang = s.lang_pred
@@ -115,13 +115,10 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Per-term log-likelihood, quantized to DECIMAL(18,9) before the sum
     # so the score aggregation is exact and order-independent.
-    lnp = F.round(
-        F.log(
+    lnp = (F.floor((F.log(
             (F.coalesce(F.col("n_wc"), F.lit(0)) + 1)
             / (F.col("n_tok_c") + F.col("v")).cast("double")
-        ),
-        9,
-    ).cast("decimal(18,9)")
+        )) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)")
     terms = (
         dt.crossJoin(F.broadcast(tokc.select(F.col("lang").alias("lang_pred"), "n_tok_c")))
         .crossJoin(F.broadcast(vocab))
@@ -144,9 +141,7 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = terms.groupBy("doc_id", "lang_true", "lang_pred").agg(
         F.sum(F.col("cnt") * F.col("lnp")).alias("s")
     )
-    prior = F.round(
-        F.log(F.col("n_docs_c") / F.col("n").cast("double")), 9
-    ).cast("decimal(18,9)")
+    prior = (F.floor((F.log(F.col("n_docs_c") / F.col("n").cast("double"))) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)")
     wpri = (
         scores.join(
             F.broadcast(cls.select(F.col("lang").alias("lang_pred"), "n_docs_c")),

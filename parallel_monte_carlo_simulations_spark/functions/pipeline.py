@@ -34,13 +34,12 @@ WITH scored AS (
     doc_id,
     text,
     lang,
-    ROUND(
-      0.4 * LEAST(length(text) / 500.0, 1.0)
+    FLOOR((0.4 * LEAST(length(text) / 500.0, 1.0)
       + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
                / len(string_split(text, ' ')))
       + 0.2 * LEAST(len(list_filter(string_split(text, ' '),
                                     t -> t IN {_EN_SW_SQL})) * 5.0
-                    / len(string_split(text, ' ')), 1.0), 6) AS quality
+                    / len(string_split(text, ' ')), 1.0)) * 1e6 + 0.5) / 1e6 AS quality
   FROM documents
 ),
 kept_quality AS (
@@ -75,12 +74,9 @@ def q_pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
     n = F.size(toks)
-    quality = F.round(
-        0.4 * F.least(F.length("text") / 500.0, F.lit(1.0))
+    quality = (F.floor((0.4 * F.least(F.length("text") / 500.0, F.lit(1.0))
         + 0.4 * (F.size(F.array_distinct(toks)) / n)
-        + 0.2 * F.least(_stopword_count(toks, STOPWORDS["en"]) / n * 5.0, F.lit(1.0)),
-        6,
-    )
+        + 0.2 * F.least(_stopword_count(toks, STOPWORDS["en"]) / n * 5.0, F.lit(1.0))) * 1e6 + 0.5) / 1e6)
     scored = d.select("doc_id", "text", "lang", quality.alias("quality"))
     kept = scored.filter(F.col("quality") >= QUALITY_MIN)
 

@@ -57,7 +57,7 @@ cvec AS (
 ),
 gated AS (
   SELECT dd.doc_id, dd.lang, dd.n_tokens,
-         ROUND({sql_cosine("list_transform(dd.embedding, x -> CAST(x AS DOUBLE))", "c.cemb")}, 6) AS cos_c
+         FLOOR(({sql_cosine("list_transform(dd.embedding, x -> CAST(x AS DOUBLE))", "c.cemb")}) * 1e6 + 0.5) / 1e6 AS cos_c
   FROM dedup dd JOIN cvec c ON dd.label = c.label
 ),
 kept AS (
@@ -134,9 +134,7 @@ def q_pipeline_pretraining_shards(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id",
         "lang",
         "n_tokens",
-        F.round(
-            cosine(as_double(F.col("embedding")), F.col("cemb")), 6
-        ).alias("cos_c"),
+        (F.floor((cosine(as_double(F.col("embedding")), F.col("cemb"))) * 1e6 + 0.5) / 1e6).alias("cos_c"),
     )
     kept = gated.where(F.col("cos_c") >= MIN_COS)
     w = Window.orderBy("doc_id").rowsBetween(

@@ -45,11 +45,10 @@ tf0 AS (
 df0 AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf0 GROUP BY term),
 s0 AS (
   SELECT tf0.doc_id,
-         SUM(CAST(ROUND(
-           LN((s.n_docs - df0.df + 0.5) / (df0.df + 0.5) + 1.0)
+         SUM(CAST(FLOOR((LN((s.n_docs - df0.df + 0.5) / (df0.df + 0.5) + 1.0)
            * tf0.tf * ({_BM25_K1} + 1.0)
            / (tf0.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                                     + {_BM25_B} * dl.dl / s.avgdl)), 8)
+                                     + {_BM25_B} * dl.dl / s.avgdl))) * 1e8 + 0.5) / 1e8
            AS DECIMAL(24,8))) AS score_q
   FROM tf0
   JOIN df0 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
@@ -57,7 +56,7 @@ s0 AS (
 ),
 top_fb AS (
   SELECT doc_id FROM s0
-  ORDER BY ROUND(CAST(score_q AS DOUBLE), 4) DESC, doc_id
+  ORDER BY FLOOR((CAST(score_q AS DOUBLE)) * 1e4 + 0.5) / 1e4 DESC, doc_id
   LIMIT {_FB_DOCS}
 ),
 cand AS (
@@ -72,7 +71,7 @@ dfc AS (
 ),
 exp_terms AS (
   SELECT c.term FROM cand c JOIN dfc USING (term) CROSS JOIN stats s
-  ORDER BY ROUND(c.tf_fb * LN(CAST(s.n_docs AS DOUBLE) / dfc.df), 6) DESC,
+  ORDER BY FLOOR((c.tf_fb * LN(CAST(s.n_docs AS DOUBLE) / dfc.df)) * 1e6 + 0.5) / 1e6 DESC,
            c.term
   LIMIT {_FB_TERMS}
 ),
@@ -89,17 +88,16 @@ tf2 AS (
 df2 AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf2 GROUP BY term),
 s2 AS (
   SELECT tf2.doc_id,
-         SUM(CAST(ROUND(
-           tf2.wq * LN((s.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1.0)
+         SUM(CAST(FLOOR((tf2.wq * LN((s.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1.0)
            * tf2.tf * ({_BM25_K1} + 1.0)
            / (tf2.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                                     + {_BM25_B} * dl.dl / s.avgdl)), 8)
+                                     + {_BM25_B} * dl.dl / s.avgdl))) * 1e8 + 0.5) / 1e8
            AS DECIMAL(24,8))) AS score_q
   FROM tf2
   JOIN df2 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf2.doc_id
 )
-SELECT doc_id, ROUND(CAST(score_q AS DOUBLE), 4) AS prf_score
+SELECT doc_id, FLOOR((CAST(score_q AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS prf_score
 FROM s2
 ORDER BY prf_score DESC, doc_id
 LIMIT {_TOPK}
@@ -159,7 +157,7 @@ def q_search_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(
                 F.sum(
-                    F.round(w * idf * sat, 8).cast("decimal(24,8)")
+                    (F.floor((w * idf * sat) * 1e8 + 0.5) / 1e8).cast("decimal(24,8)")
                 ).alias("score_q")
             )
         )
@@ -172,7 +170,7 @@ def q_search_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     s0 = _bm25_scores(tf0, weighted=False)
     top_fb = (
         s0.orderBy(
-            F.round(F.col("score_q").cast("double"), 4).desc(), F.asc("doc_id")
+            (F.floor((F.col("score_q").cast("double")) * 1e4 + 0.5) / 1e4).desc(), F.asc("doc_id")
         )
         .limit(_FB_DOCS)
         .select("doc_id")
@@ -195,11 +193,8 @@ def q_search_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(dfc.hint("merge"), "term")
         .crossJoin(F.broadcast(stats))
         .orderBy(
-            F.round(
-                F.col("tf_fb")
-                * F.log(F.col("n_docs").cast("double") / F.col("df")),
-                6,
-            ).desc(),
+            (F.floor((F.col("tf_fb")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))) * 1e6 + 0.5) / 1e6).desc(),
             F.asc("term"),
         )
         .limit(_FB_TERMS)
@@ -217,7 +212,7 @@ def q_search_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s2.select(
             "doc_id",
-            F.round(F.col("score_q").cast("double"), 4).alias("prf_score"),
+            (F.floor((F.col("score_q").cast("double")) * 1e4 + 0.5) / 1e4).alias("prf_score"),
         )
         .orderBy(F.desc("prf_score"), F.asc("doc_id"))
         .limit(_TOPK)

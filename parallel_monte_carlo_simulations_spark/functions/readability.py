@@ -38,10 +38,10 @@ _QREADABILITY_ORACLE = """
 SELECT doc_id,
        n_words,
        n_syllables,
-       ROUND(206.835 - 1.015 * (n_words / n_sentences)
-                     - 84.6 * (n_syllables / n_words), 4) AS flesch_ease,
-       ROUND(0.39 * (n_words / n_sentences)
-             + 11.8 * (n_syllables / n_words) - 15.59, 4) AS fk_grade
+       FLOOR((206.835 - 1.015 * (n_words / n_sentences)
+                     - 84.6 * (n_syllables / n_words)) * 1e4 + 0.5) / 1e4 AS flesch_ease,
+       FLOOR((0.39 * (n_words / n_sentences)
+             + 11.8 * (n_syllables / n_words) - 15.59) * 1e4 + 0.5) / 1e4 AS fk_grade
 FROM (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
@@ -90,10 +90,6 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_words",
         "n_syllables",
-        F.round(
-            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
-        ).alias("flesch_ease"),
-        F.round(
-            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
-        ).alias("fk_grade"),
+        (F.floor((F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw) * 1e4 + 0.5) / 1e4).alias("flesch_ease"),
+        (F.floor((F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)) * 1e4 + 0.5) / 1e4).alias("fk_grade"),
     )

@@ -45,15 +45,15 @@ weighted AS (
   JOIN per_source p USING (source) CROSS JOIN tot t
 ),
 q AS (
-  SELECT CAST(ROUND(w, 10) AS DECIMAL(24,10))            AS wq,
-         CAST(ROUND(w * n_chars, 6) AS DECIMAL(28,6))    AS wxq
+  SELECT CAST(FLOOR((w) * 1e10 + 0.5) / 1e10 AS DECIMAL(24,10))            AS wq,
+         CAST(FLOOR((w * n_chars) * 1e6 + 0.5) / 1e6 AS DECIMAL(28,6))    AS wxq
   FROM weighted
 )
 SELECT CAST((SELECT n FROM tot) AS BIGINT)              AS n_docs,
-       ROUND(CAST(SUM(wq) AS DOUBLE), 4)                AS sum_weights,
-       ROUND(CAST(SUM(wxq) AS DOUBLE)
-             / CAST(SUM(wq) AS DOUBLE), 6)              AS snis_mean_chars,
-       ROUND((SELECT SUM(n_chars) * 1.0 / COUNT(*) FROM documents), 6)
+       FLOOR((CAST(SUM(wq) AS DOUBLE)) * 1e4 + 0.5) / 1e4                AS sum_weights,
+       FLOOR((CAST(SUM(wxq) AS DOUBLE)
+             / CAST(SUM(wq) AS DOUBLE)) * 1e6 + 0.5) / 1e6              AS snis_mean_chars,
+       FLOOR(((SELECT SUM(n_chars) * 1.0 / COUNT(*) FROM documents)) * 1e6 + 0.5) / 1e6
                                                         AS empirical_mean_chars
 FROM q
 """
@@ -86,19 +86,17 @@ def q_sample_importance_snis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(per_source), "source")
         .crossJoin(F.broadcast(tot))
         .select(
-            F.round(w, 10).cast("decimal(24,10)").alias("wq"),
-            F.round(w * F.col("n_chars"), 6).cast("decimal(28,6)").alias("wxq"),
+            (F.floor((w) * 1e10 + 0.5) / 1e10).cast("decimal(24,10)").alias("wq"),
+            (F.floor((w * F.col("n_chars")) * 1e6 + 0.5) / 1e6).cast("decimal(28,6)").alias("wxq"),
             "n",
             "n_chars",
         )
     )
     return weighted.agg(
         F.any_value("n").cast("long").alias("n_docs"),
-        F.round(F.sum("wq").cast("double"), 4).alias("sum_weights"),
-        F.round(
-            F.sum("wxq").cast("double") / F.sum("wq").cast("double"), 6
-        ).alias("snis_mean_chars"),
-        F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 6).alias(
+        (F.floor((F.sum("wq").cast("double")) * 1e4 + 0.5) / 1e4).alias("sum_weights"),
+        (F.floor((F.sum("wxq").cast("double") / F.sum("wq").cast("double")) * 1e6 + 0.5) / 1e6).alias("snis_mean_chars"),
+        (F.floor((F.sum("n_chars") * 1.0 / F.count(F.lit(1))) * 1e6 + 0.5) / 1e6).alias(
             "empirical_mean_chars"
         ),
     )

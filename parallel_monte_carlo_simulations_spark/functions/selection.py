@@ -38,8 +38,8 @@ _QSELECT_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, source,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         ROUND(len(list_distinct(string_split(text, ' ')))
-               * 1.0 / len(string_split(text, ' ')), 3) AS q
+         FLOOR((len(list_distinct(string_split(text, ' ')))
+               * 1.0 / len(string_split(text, ' '))) * 1e3 + 0.5) / 1e3 AS q
   FROM documents
   WHERE len(string_split(text, ' ')) > 0
 ),
@@ -108,9 +108,7 @@ def q_curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(toks).cast("long").alias("n_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)) / F.size(toks), 3
-        ).alias("q"),
+        (F.floor((F.size(F.array_distinct(toks)) / F.size(toks)) * 1e3 + 0.5) / 1e3).alias("q"),
     ).filter(F.col("n_tokens") > 0)
 
     buckets = scored.groupBy("q").agg(

@@ -43,7 +43,7 @@ SELECT
   CAST(len(string_split(text, ' ')) AS INTEGER)                   AS n_tokens,
   CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)    AS n_unique_tokens,
   CAST(length(text) AS BIGINT)                                    AS n_chars_measured,
-  ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 4)     AS avg_token_span,
+  FLOOR((length(text) * 1.0 / len(string_split(text, ' '))) * 1e4 + 0.5) / 1e4     AS avg_token_span,
   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit_chars
 FROM documents
 """
@@ -63,7 +63,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
         F.length("text").cast("bigint").alias("n_chars_measured"),
-        F.round(F.length("text") / F.size(toks), 4).alias("avg_token_span"),
+        (F.floor((F.length("text") / F.size(toks)) * 1e4 + 0.5) / 1e4).alias("avg_token_span"),
         F.length(F.regexp_replace("text", "[^0-9]", ""))
         .cast("bigint")
         .alias("n_digit_chars"),
@@ -79,19 +79,18 @@ _EN_SW_SQL = "('" + "', '".join(STOPWORDS["en"]) + "')"
 _QQUAL_ORACLE = f"""
 SELECT
   doc_id,
-  ROUND(LEAST(length(text) / 500.0, 1.0), 6)                       AS length_score,
-  ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
-        / len(string_split(text, ' ')), 6)                         AS diversity_score,
-  ROUND(len(list_filter(string_split(text, ' '),
+  FLOOR((LEAST(length(text) / 500.0, 1.0)) * 1e6 + 0.5) / 1e6                       AS length_score,
+  FLOOR((len(list_distinct(string_split(text, ' '))) * 1.0
+        / len(string_split(text, ' '))) * 1e6 + 0.5) / 1e6                         AS diversity_score,
+  FLOOR((len(list_filter(string_split(text, ' '),
                         t -> t IN {_EN_SW_SQL})) * 1.0
-        / len(string_split(text, ' ')), 6)                         AS stopword_ratio,
-  ROUND(
-    0.4 * LEAST(length(text) / 500.0, 1.0)
+        / len(string_split(text, ' '))) * 1e6 + 0.5) / 1e6                         AS stopword_ratio,
+  FLOOR((0.4 * LEAST(length(text) / 500.0, 1.0)
     + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
              / len(string_split(text, ' ')))
     + 0.2 * LEAST(len(list_filter(string_split(text, ' '),
                                   t -> t IN {_EN_SW_SQL})) * 5.0
-                  / len(string_split(text, ' ')), 1.0), 6)         AS quality_score
+                  / len(string_split(text, ' ')), 1.0)) * 1e6 + 0.5) / 1e6         AS quality_score
 FROM documents
 """
 
@@ -116,10 +115,10 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.round(length_score, 6).alias("length_score"),
-        F.round(diversity, 6).alias("diversity_score"),
-        F.round(sw_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality_score"),
+        (F.floor((length_score) * 1e6 + 0.5) / 1e6).alias("length_score"),
+        (F.floor((diversity) * 1e6 + 0.5) / 1e6).alias("diversity_score"),
+        (F.floor((sw_ratio) * 1e6 + 0.5) / 1e6).alias("stopword_ratio"),
+        (F.floor((quality) * 1e6 + 0.5) / 1e6).alias("quality_score"),
     )
 
 
@@ -228,7 +227,7 @@ dfreq AS (
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-         ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf,
+         FLOOR((tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0))) * 1e4 + 0.5) / 1e4 AS tfidf,
          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
                             ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)
            AS rk
@@ -276,10 +275,7 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(
-                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
-                4,
-            ),
+            (F.floor((F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))) * 1e4 + 0.5) / 1e4),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
@@ -328,9 +324,9 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY tf.doc_id
 )
-SELECT doc_id, ROUND(score, 4) AS bm25
+SELECT doc_id, FLOOR((score) * 1e4 + 0.5) / 1e4 AS bm25
 FROM scored
-ORDER BY ROUND(score, 4) DESC, doc_id
+ORDER BY FLOOR((score) * 1e4 + 0.5) / 1e4 DESC, doc_id
 LIMIT {_BM25_TOPK}
 """
 
@@ -381,7 +377,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom).alias("score"))
     )
     return (
-        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        scored.select("doc_id", (F.floor((F.col("score")) * 1e4 + 0.5) / 1e4).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_TOPK)
     )
@@ -444,8 +440,8 @@ ranked AS (
   SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk FROM tf
 ),
 pts AS (
-  SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
-         CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  SELECT CAST(FLOOR((ln(CAST(rnk AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9)) AS x,
+         CAST(FLOOR((ln(CAST(cnt AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9)) AS y
   FROM ranked WHERE rnk <= 1000
 ),
 stats AS (
@@ -466,9 +462,9 @@ fit AS (
   FROM stats
 )
 SELECT n_terms,
-       ROUND(cov_n / var_x, 6) AS zipf_slope,
-       ROUND((sy - ((cov_n / var_x) * sx)) / n, 6) AS intercept,
-       ROUND((cov_n * cov_n) / (var_x * var_y), 6) AS r2
+       FLOOR((cov_n / var_x) * 1e6 + 0.5) / 1e6 AS zipf_slope,
+       FLOOR(((sy - ((cov_n / var_x) * sx)) / n) * 1e6 + 0.5) / 1e6 AS intercept,
+       FLOOR(((cov_n * cov_n) / (var_x * var_y)) * 1e6 + 0.5) / 1e6 AS r2
 FROM fit
 """
 
@@ -504,10 +500,10 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rnk"),
     ).where(F.col("rnk") <= 1000)
     pts = ranked.select(
-        F.round(F.log(F.col("rnk").cast("double")), 9)
+        (F.floor((F.log(F.col("rnk").cast("double"))) * 1e9 + 0.5) / 1e9)
         .cast("decimal(18,9)")
         .alias("x"),
-        F.round(F.log(F.col("cnt").cast("double")), 9)
+        (F.floor((F.log(F.col("cnt").cast("double"))) * 1e9 + 0.5) / 1e9)
         .cast("decimal(18,9)")
         .alias("y"),
     )
@@ -526,11 +522,11 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = cov_n / var_x
     return stats.select(
         "n_terms",
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((F.col("sy") - (slope * F.col("sx"))) / F.col("n"), 6).alias(
+        (F.floor((slope) * 1e6 + 0.5) / 1e6).alias("zipf_slope"),
+        (F.floor(((F.col("sy") - (slope * F.col("sx"))) / F.col("n")) * 1e6 + 0.5) / 1e6).alias(
             "intercept"
         ),
-        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+        (F.floor(((cov_n * cov_n) / (var_x * var_y)) * 1e6 + 0.5) / 1e6).alias("r2"),
     )
 
 
@@ -550,12 +546,12 @@ totals AS (
 SELECT c.lang,
        ANY_VALUE(t.total) AS n_tokens,
        ANY_VALUE(t.vocab) AS vocab_size,
-       ROUND(ANY_VALUE(t.vocab) * 1.0 / ANY_VALUE(t.total), 6)
+       FLOOR((ANY_VALUE(t.vocab) * 1.0 / ANY_VALUE(t.total)) * 1e6 + 0.5) / 1e6
          AS type_token_ratio,
-       ROUND(-SUM((c.n * 1.0 / t.total) * LOG2(c.n * 1.0 / t.total)), 6)
+       FLOOR((-SUM((c.n * 1.0 / t.total) * LOG2(c.n * 1.0 / t.total))) * 1e6 + 0.5) / 1e6
          AS unigram_entropy_bits,
-       ROUND(-SUM((c.n * 1.0 / t.total) * LOG2(c.n * 1.0 / t.total))
-             / LOG2(ANY_VALUE(t.vocab)), 6) AS entropy_efficiency
+       FLOOR((-SUM((c.n * 1.0 / t.total) * LOG2(c.n * 1.0 / t.total))
+             / LOG2(ANY_VALUE(t.vocab))) * 1e6 + 0.5) / 1e6 AS entropy_efficiency
 FROM counts c JOIN totals t USING (lang)
 GROUP BY c.lang
 ORDER BY c.lang
@@ -596,13 +592,11 @@ def q_text_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value("total").alias("n_tokens"),
             F.any_value("vocab").alias("vocab_size"),
-            F.round(F.any_value("vocab") / F.any_value("total"), 6).alias(
+            (F.floor((F.any_value("vocab") / F.any_value("total")) * 1e6 + 0.5) / 1e6).alias(
                 "type_token_ratio"
             ),
-            F.round(-F.sum(p * F.log2(p)), 6).alias("unigram_entropy_bits"),
-            F.round(
-                -F.sum(p * F.log2(p)) / F.log2(F.any_value("vocab")), 6
-            ).alias("entropy_efficiency"),
+            (F.floor((-F.sum(p * F.log2(p))) * 1e6 + 0.5) / 1e6).alias("unigram_entropy_bits"),
+            (F.floor((-F.sum(p * F.log2(p)) / F.log2(F.any_value("vocab"))) * 1e6 + 0.5) / 1e6).alias("entropy_efficiency"),
         )
         .orderBy("lang")
     )
@@ -634,8 +628,8 @@ uni AS (
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
 scored AS (
   SELECT p.w1, p.w2, p.c_ab, u1.c AS c_a, u2.c AS c_b,
-         ROUND(LN((CAST(p.c_ab AS DOUBLE) * t.n)
-                  / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+         FLOOR((LN((CAST(p.c_ab AS DOUBLE) * t.n)
+                  / (CAST(u1.c AS DOUBLE) * u2.c))) * 1e6 + 0.5) / 1e6 AS pmi
   FROM pair_counts p
   JOIN uni u1 ON p.w1 = u1.tok
   JOIN uni u2 ON p.w2 = u2.tok
@@ -708,13 +702,10 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_ab",
             "c_a",
             "c_b",
-            F.round(
-                F.log(
+            (F.floor((F.log(
                     (F.col("c_ab").cast("double") * F.col("n"))
                     / (F.col("c_a").cast("double") * F.col("c_b"))
-                ),
-                6,
-            ).alias("pmi"),
+                )) * 1e6 + 0.5) / 1e6).alias("pmi"),
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOP_K)

@@ -9,7 +9,7 @@ Re-uses the engine's exact-replay PageRank discipline
 float math, the DuckDB oracle replays the identical ten iterations as
 unrolled chained CTEs, and accumulated cross-engine divergence
 (summation order, last ulps) sits ~1e-13 relative — eleven orders of
-magnitude inside the ROUND(,4) the gate hashes.
+magnitude inside the FLOOR(() * 1e4 + 0.5) / 1e4 the gate hashes.
 
 Content-word filter: length >= 4 (the cheap deterministic stand-in for
 a POS filter). Adjacency is taken in the FILTERED sequence (positions
@@ -82,8 +82,8 @@ pr{i} AS (
         + "".join(iters)
         + f"""
 SELECT word, score, CAST(rk AS INTEGER) AS rk FROM (
-  SELECT node AS word, ROUND(rank, 4) AS score,
-         row_number() OVER (ORDER BY ROUND(rank, 4) DESC, node) AS rk
+  SELECT node AS word, FLOOR((rank) * 1e4 + 0.5) / 1e4 AS score,
+         row_number() OVER (ORDER BY FLOOR((rank) * 1e4 + 0.5) / 1e4 DESC, node) AS rk
   FROM {prev}
 ) WHERE rk <= {TOP_WORDS}
 """
@@ -157,7 +157,7 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.orderBy(F.desc("score"), F.asc("word"))
     return (
         ranks.select(
-            F.col("node").alias("word"), F.round("rank", 4).alias("score")
+            F.col("node").alias("word"), (F.floor((F.col("rank")) * 1e4 + 0.5) / 1e4).alias("score")
         )
         .withColumn("rk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rk") <= TOP_WORDS)

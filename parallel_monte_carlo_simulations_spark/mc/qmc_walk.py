@@ -82,8 +82,8 @@ per_path AS (
   FROM dd GROUP BY path
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_paths,
-       ROUND(CAST(SUM(max_dd) AS DOUBLE) / COUNT(*), 6) AS mean_drawdown,
-       ROUND(CAST(MAX(max_dd) AS DOUBLE), 6) AS worst_drawdown,
+       FLOOR((CAST(SUM(max_dd) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS mean_drawdown,
+       FLOOR((CAST(MAX(max_dd) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS worst_drawdown,
        CAST(COUNT(*) FILTER (WHERE max_dd > CAST(2.0 AS DECIMAL(29,9)))
             AS BIGINT) AS n_above_2
 FROM per_path

@@ -151,7 +151,7 @@ def q_mc_walk_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dd.groupBy("model_id", "sim_id")
-        .agg(F.round(F.max("drawdown"), 6).alias("max_drawdown"))
+        .agg((F.floor((F.max("drawdown")) * 1e6 + 0.5) / 1e6).alias("max_drawdown"))
         .orderBy("model_id", "sim_id")
     )
 
@@ -336,7 +336,7 @@ def q_mc_gbm_control_variate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mc_mean_se(obs.select(adj.alias("adj")), F.col("adj")).select(
         qround_col(F.col("mean_v") * disc, 4).alias("mc_price"),
         qround_col(F.col("se_v") * disc, 4).alias("std_error"),
-        F.round(F.lit(beta), 4).alias("beta"),
+        (F.floor((F.lit(beta)) * 1e4 + 0.5) / 1e4).alias("beta"),
         F.col("n").cast("bigint").alias("n_paths"),
     )
 

@@ -81,8 +81,8 @@ terms AS (
 ),
 spec AS (
   SELECT t.doc_id, t.m,
-         ROUND((POW(SUM(t.tc), 2) + POW(SUM(t.ts), 2))
-               / ({_WIN} * CAST(e.e AS DOUBLE)), 5) AS share
+         FLOOR(((POW(SUM(t.tc), 2) + POW(SUM(t.ts), 2))
+               / ({_WIN} * CAST(e.e AS DOUBLE))) * 1e5 + 0.5) / 1e5 AS share
   FROM terms t JOIN energy e ON t.doc_id = e.doc_id
   GROUP BY t.doc_id, t.m, e.e
 ),
@@ -143,11 +143,8 @@ def q_multimodal_audio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "m",
-            F.round(
-                (F.pow(F.col("sc"), 2) + F.pow(F.col("ss"), 2))
-                / (F.lit(_WIN) * F.col("e").cast("double")),
-                5,
-            ).alias("share"),
+            (F.floor(((F.pow(F.col("sc"), 2) + F.pow(F.col("ss"), 2))
+                / (F.lit(_WIN) * F.col("e").cast("double"))) * 1e5 + 0.5) / 1e5).alias("share"),
         )
     )
     dom = spec.groupBy("doc_id").agg(

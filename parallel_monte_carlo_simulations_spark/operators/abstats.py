@@ -82,17 +82,17 @@ wilson AS (
 SELECT segment,
        n AS n_customers,
        sx AS n_orders,
-       ROUND(ratio, 4) AS revenue_per_order,
-       ROUND(se, 4) AS ratio_se_delta,
-       ROUND(p, 6) AS hi_rate,
-       ROUND((p + {Z95}e0 * {Z95}e0 / (2e0 * nn)
+       FLOOR((ratio) * 1e4 + 0.5) / 1e4 AS revenue_per_order,
+       FLOOR((se) * 1e4 + 0.5) / 1e4 AS ratio_se_delta,
+       FLOOR((p) * 1e6 + 0.5) / 1e6 AS hi_rate,
+       FLOOR(((p + {Z95}e0 * {Z95}e0 / (2e0 * nn)
               - {Z95}e0 * SQRT((p * (1e0 - p)
                                 + {Z95}e0 * {Z95}e0 / (4e0 * nn)) / nn))
-             / (1e0 + {Z95}e0 * {Z95}e0 / nn), 6) AS wilson_lo,
-       ROUND((p + {Z95}e0 * {Z95}e0 / (2e0 * nn)
+             / (1e0 + {Z95}e0 * {Z95}e0 / nn)) * 1e6 + 0.5) / 1e6 AS wilson_lo,
+       FLOOR(((p + {Z95}e0 * {Z95}e0 / (2e0 * nn)
               + {Z95}e0 * SQRT((p * (1e0 - p)
                                 + {Z95}e0 * {Z95}e0 / (4e0 * nn)) / nn))
-             / (1e0 + {Z95}e0 * {Z95}e0 / nn), 6) AS wilson_hi
+             / (1e0 + {Z95}e0 * {Z95}e0 / nn)) * 1e6 + 0.5) / 1e6 AS wilson_hi
 FROM wilson
 ORDER BY segment
 """
@@ -161,9 +161,9 @@ def q_ab_ratio_delta_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         F.col("n").alias("n_customers"),
         F.col("sx").alias("n_orders"),
-        F.round(ratio, 4).alias("revenue_per_order"),
-        F.round(se, 4).alias("ratio_se_delta"),
-        F.round(p, 6).alias("hi_rate"),
-        F.round((center - margin) / denom, 6).alias("wilson_lo"),
-        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+        (F.floor((ratio) * 1e4 + 0.5) / 1e4).alias("revenue_per_order"),
+        (F.floor((se) * 1e4 + 0.5) / 1e4).alias("ratio_se_delta"),
+        (F.floor((p) * 1e6 + 0.5) / 1e6).alias("hi_rate"),
+        (F.floor(((center - margin) / denom) * 1e6 + 0.5) / 1e6).alias("wilson_lo"),
+        (F.floor(((center + margin) / denom) * 1e6 + 0.5) / 1e6).alias("wilson_hi"),
     ).orderBy("segment")

@@ -46,16 +46,16 @@ paths AS (
 ),
 credits AS (
   SELECT event_type AS channel,
-         CAST(ROUND(cents * (
+         CAST(FLOOR((cents * (
            CASE WHEN n = 1 THEN 1.0
                 WHEN n = 2 THEN 0.5
                 WHEN rk = 1 OR rk = n THEN 0.4
-                ELSE 0.2 / (n - 2) END), 4) AS DECIMAL(24,4)) AS credit
+                ELSE 0.2 / (n - 2) END)) * 1e4 + 0.5) / 1e4 AS DECIMAL(24,4)) AS credit
   FROM paths
 )
 SELECT channel,
        CAST(COUNT(*) AS BIGINT) AS n_credits,
-       ROUND(CAST(SUM(credit) AS DOUBLE) / 100, 4) AS attributed_revenue
+       FLOOR((CAST(SUM(credit) AS DOUBLE) / 100) * 1e4 + 0.5) / 1e4 AS attributed_revenue
 FROM credits GROUP BY channel
 """
 
@@ -114,13 +114,13 @@ def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     credits = ranked.select(
         F.col("event_type").alias("channel"),
-        F.round(F.col("cents") * weight, 4)
+        (F.floor((F.col("cents") * weight) * 1e4 + 0.5) / 1e4)
         .cast("decimal(24,4)")
         .alias("credit"),
     )
     return credits.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_credits"),
-        F.round(F.sum("credit").cast("double") / 100, 4).alias(
+        (F.floor((F.sum("credit").cast("double") / 100) * 1e4 + 0.5) / 1e4).alias(
             "attributed_revenue"
         ),
     )

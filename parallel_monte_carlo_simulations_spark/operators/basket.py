@@ -137,7 +137,7 @@ ranked AS (
               AS INTEGER) AS rk
   FROM scored
 )
-SELECT item, neighbor, co, ROUND(cos_raw, 6) AS cosine, rk
+SELECT item, neighbor, co, FLOOR((cos_raw) * 1e6 + 0.5) / 1e6 AS cosine, rk
 FROM ranked WHERE rk <= {CF_TOP_K}
 ORDER BY item, rk
 """
@@ -213,6 +213,6 @@ def q_itemcf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", rk.cast("int"))
         .where(F.col("rk") <= CF_TOP_K)
-        .select("item", "neighbor", "co", F.round("cos_raw", 6).alias("cosine"), "rk")
+        .select("item", "neighbor", "co", (F.floor((F.col("cos_raw")) * 1e6 + 0.5) / 1e6).alias("cosine"), "rk")
         .orderBy("item", "rk")
     )

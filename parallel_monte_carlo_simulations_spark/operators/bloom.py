@@ -103,8 +103,8 @@ SELECT s.seg,
        p.n_pass,
        tr.n_true,
        p.n_pass - tr.n_true AS n_false_pos,
-       ROUND(100.0e0 * f.n_set / {M_BITS}, 4) AS fill_pct,
-       ROUND(f.f2 * f.f2, 8) AS fpp_est
+       FLOOR((100.0e0 * f.n_set / {M_BITS}) * 1e4 + 0.5) / 1e4 AS fill_pct,
+       FLOOR((f.f2 * f.f2) * 1e8 + 0.5) / 1e8 AS fpp_est
 FROM segs s
 JOIN passes p ON p.seg = s.seg
 JOIN truth tr ON tr.seg = s.seg
@@ -202,8 +202,8 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pass",
             "n_true",
             (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
-            F.round(F.lit(100.0) * F.col("n_set") / M_BITS, 4).alias("fill_pct"),
-            F.round(f2 * f2, 8).alias("fpp_est"),
+            (F.floor((F.lit(100.0) * F.col("n_set") / M_BITS) * 1e4 + 0.5) / 1e4).alias("fill_pct"),
+            (F.floor((f2 * f2) * 1e8 + 0.5) / 1e8).alias("fpp_est"),
         )
         .orderBy("seg")
     )

@@ -94,10 +94,10 @@ def _body() -> str:
     rounds = "".join("," + _stump(r, f"r{r}") for r in (1, 2))
     summaries = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, b.t AS split_t, b.nl AS n_left, "
-        f"ROUND(CAST(b.leaf_l AS DOUBLE) / {YSCALE}e0, 4) AS leaf_left, "
-        f"ROUND(CAST(b.leaf_r AS DOUBLE) / {YSCALE}e0, 4) AS leaf_right, "
-        f"(SELECT ROUND(CAST(SUM(ABS(r{r + 1})) AS DOUBLE) "
-        f"  / (COUNT(*) * {YSCALE}e0), 4) FROM pts{r}) AS mae_after "
+        f"FLOOR((CAST(b.leaf_l AS DOUBLE) / {YSCALE}e0) * 1e4 + 0.5) / 1e4 AS leaf_left, "
+        f"FLOOR((CAST(b.leaf_r AS DOUBLE) / {YSCALE}e0) * 1e4 + 0.5) / 1e4 AS leaf_right, "
+        f"(SELECT FLOOR((CAST(SUM(ABS(r{r + 1})) AS DOUBLE) "
+        f"  / (COUNT(*) * {YSCALE}e0)) * 1e4 + 0.5) / 1e4 FROM pts{r}) AS mae_after "
         f"FROM best{r} b"
         for r in (1, 2)
     )

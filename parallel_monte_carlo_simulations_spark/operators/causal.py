@@ -43,7 +43,7 @@ WITH tagged AS (
 cells AS (
   SELECT treated, post,
          CAST(COUNT(*) AS BIGINT) AS n,
-         ROUND(CAST(SUM(cents) AS DOUBLE) / (100.0e0 * COUNT(*)), 4)
+         FLOOR((CAST(SUM(cents) AS DOUBLE) / (100.0e0 * COUNT(*))) * 1e4 + 0.5) / 1e4
            AS mean_price
   FROM tagged
   GROUP BY treated, post
@@ -58,7 +58,7 @@ wide AS (
   FROM cells
 )
 SELECT t_pre, t_post, c_pre, c_post, n_total,
-       ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate
+       FLOOR(((t_post - t_pre) - (c_post - c_pre)) * 1e4 + 0.5) / 1e4 AS did_estimate
 FROM wide
 """
 
@@ -90,9 +90,7 @@ def q_causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = tagged.groupBy("treated", "post").agg(
         F.count("*").alias("n"),
-        F.round(
-            F.sum("cents").cast("double") / (F.lit(100.0) * F.count("*")), 4
-        ).alias("mean_price"),
+        (F.floor((F.sum("cents").cast("double") / (F.lit(100.0) * F.count("*"))) * 1e4 + 0.5) / 1e4).alias("mean_price"),
     )
     wide = cells.agg(
         F.max(
@@ -115,11 +113,8 @@ def q_causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_pre",
         "c_post",
         "n_total",
-        F.round(
-            (F.col("t_post") - F.col("t_pre"))
-            - (F.col("c_post") - F.col("c_pre")),
-            4,
-        ).alias("did_estimate"),
+        (F.floor(((F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))) * 1e4 + 0.5) / 1e4).alias("did_estimate"),
     )
 
 
@@ -181,18 +176,18 @@ var_cmp AS (
   FROM adj
 )
 SELECT n,
-       ROUND((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+       FLOOR(((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
               - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e2), 2)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e2)) * 1e2 + 0.5) / 1e2
          AS var_raw,
-       ROUND((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+       FLOOR(((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e2), 2)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e2)) * 1e2 + 0.5) / 1e2
          AS var_cuped,
-       ROUND(1e0 - ((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+       FLOOR((1e0 - ((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
                     / (CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
-                       - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))), 6)
+                       - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)))) * 1e6 + 0.5) / 1e6
          AS variance_reduction
 FROM var_cmp
 """
@@ -273,24 +268,15 @@ def q_causal_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return var_cmp.select(
         "n",
-        F.round(
-            (d("n") * d("srr") - d("sr") * d("sr"))
-            / (d("n") * d("n") * F.lit(1e2)),
-            2,
-        ).alias("var_raw"),
-        F.round(
-            (d("n") * d("saa") - d("sa") * d("sa"))
-            / (d("n") * d("n") * F.lit(1e2)),
-            2,
-        ).alias("var_cuped"),
-        F.round(
-            F.lit(1.0)
+        (F.floor(((d("n") * d("srr") - d("sr") * d("sr"))
+            / (d("n") * d("n") * F.lit(1e2))) * 1e2 + 0.5) / 1e2).alias("var_raw"),
+        (F.floor(((d("n") * d("saa") - d("sa") * d("sa"))
+            / (d("n") * d("n") * F.lit(1e2))) * 1e2 + 0.5) / 1e2).alias("var_cuped"),
+        (F.floor((F.lit(1.0)
             - (
                 (d("n") * d("saa") - d("sa") * d("sa"))
                 / (d("n") * d("srr") - d("sr") * d("sr"))
-            ),
-            6,
-        ).alias("variance_reduction"),
+            )) * 1e6 + 0.5) / 1e6).alias("variance_reduction"),
     )
 
 
@@ -319,28 +305,26 @@ used AS (SELECT * FROM cells WHERE nt > 0 AND nc > 0),
 tot AS (SELECT CAST(SUM(nt + nc) AS BIGINT) AS n_used FROM used),
 terms AS (
   SELECT u.nt, u.nc,
-         ROUND(CAST(u.nt AS DOUBLE) / (u.nt + u.nc), 4) AS p_hat,
-         CAST(ROUND(
-           CAST(u.nt + u.nc AS DOUBLE) / t.n_used
-           * (ROUND(CAST(u.st AS DOUBLE) / (100.0e0 * u.nt), 4)
-              - ROUND(CAST(u.sc AS DOUBLE) / (100.0e0 * u.nc), 4)),
-           8) AS DECIMAL(30,8)) AS term
+         FLOOR((CAST(u.nt AS DOUBLE) / (u.nt + u.nc)) * 1e4 + 0.5) / 1e4 AS p_hat,
+         CAST(FLOOR((CAST(u.nt + u.nc AS DOUBLE) / t.n_used
+           * (FLOOR((CAST(u.st AS DOUBLE) / (100.0e0 * u.nt)) * 1e4 + 0.5) / 1e4
+              - FLOOR((CAST(u.sc AS DOUBLE) / (100.0e0 * u.nc)) * 1e4 + 0.5) / 1e4)) * 1e8 + 0.5) / 1e8 AS DECIMAL(30,8)) AS term
   FROM used u CROSS JOIN tot t
 ),
 naive AS (
   SELECT CAST(SUM(nt + nc) AS BIGINT) AS n_total,
          CAST(COUNT(*) AS BIGINT) AS n_strata,
-         ROUND(CAST(SUM(st) AS DOUBLE) / (100.0e0 * SUM(nt))
-               - CAST(SUM(sc) AS DOUBLE) / (100.0e0 * SUM(nc)), 4)
+         FLOOR((CAST(SUM(st) AS DOUBLE) / (100.0e0 * SUM(nt))
+               - CAST(SUM(sc) AS DOUBLE) / (100.0e0 * SUM(nc))) * 1e4 + 0.5) / 1e4
            AS naive_diff
   FROM cells
 )
 SELECT n.n_total, n.n_strata,
        CAST(COUNT(*) AS BIGINT) AS n_strata_used,
-       ROUND(MIN(t.p_hat), 4) AS min_propensity,
-       ROUND(MAX(t.p_hat), 4) AS max_propensity,
+       FLOOR((MIN(t.p_hat)) * 1e4 + 0.5) / 1e4 AS min_propensity,
+       FLOOR((MAX(t.p_hat)) * 1e4 + 0.5) / 1e4 AS max_propensity,
        n.naive_diff,
-       ROUND(CAST(SUM(t.term) AS DOUBLE), 4) AS stratified_ate
+       FLOOR((CAST(SUM(t.term) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS stratified_ate
 FROM terms t CROSS JOIN naive n
 GROUP BY n.n_total, n.n_strata, n.naive_diff
 """
@@ -392,33 +376,27 @@ def q_causal_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = used.agg(F.sum(F.col("nt") + F.col("nc")).cast("long").alias("n_used"))
     d = lambda c_: F.col(c_).cast("double")  # noqa: E731
     terms = used.crossJoin(F.broadcast(tot)).select(
-        F.round(d("nt") / (F.col("nt") + F.col("nc")), 4).alias("p_hat"),
-        F.round(
-            (F.col("nt") + F.col("nc")).cast("double")
+        (F.floor((d("nt") / (F.col("nt") + F.col("nc"))) * 1e4 + 0.5) / 1e4).alias("p_hat"),
+        (F.floor(((F.col("nt") + F.col("nc")).cast("double")
             / F.col("n_used")
             * (
-                F.round(d("st") / (F.lit(100.0) * F.col("nt")), 4)
-                - F.round(d("sc") / (F.lit(100.0) * F.col("nc")), 4)
-            ),
-            8,
-        )
+                (F.floor((d("st") / (F.lit(100.0) * F.col("nt"))) * 1e4 + 0.5) / 1e4)
+                - (F.floor((d("sc") / (F.lit(100.0) * F.col("nc"))) * 1e4 + 0.5) / 1e4)
+            )) * 1e8 + 0.5) / 1e8)
         .cast("decimal(30,8)")
         .alias("term"),
     )
     naive = cells.agg(
         F.sum(F.col("nt") + F.col("nc")).cast("long").alias("n_total"),
         F.count("*").cast("long").alias("n_strata"),
-        F.round(
-            F.sum("st").cast("double") / (F.lit(100.0) * F.sum("nt"))
-            - F.sum("sc").cast("double") / (F.lit(100.0) * F.sum("nc")),
-            4,
-        ).alias("naive_diff"),
+        (F.floor((F.sum("st").cast("double") / (F.lit(100.0) * F.sum("nt"))
+            - F.sum("sc").cast("double") / (F.lit(100.0) * F.sum("nc"))) * 1e4 + 0.5) / 1e4).alias("naive_diff"),
     )
     agg = terms.agg(
         F.count("*").cast("long").alias("n_strata_used"),
-        F.round(F.min("p_hat"), 4).alias("min_propensity"),
-        F.round(F.max("p_hat"), 4).alias("max_propensity"),
-        F.round(F.sum("term").cast("double"), 4).alias("stratified_ate"),
+        (F.floor((F.min("p_hat")) * 1e4 + 0.5) / 1e4).alias("min_propensity"),
+        (F.floor((F.max("p_hat")) * 1e4 + 0.5) / 1e4).alias("max_propensity"),
+        (F.floor((F.sum("term").cast("double")) * 1e4 + 0.5) / 1e4).alias("stratified_ate"),
     )
     return naive.crossJoin(F.broadcast(agg)).select(
         "n_total",

@@ -38,7 +38,7 @@ WITH mixed AS (
 SELECT lower(seg) AS segment_ci,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_variants,
-       ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0e0, 2)
+       FLOOR((SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0e0) * 1e2 + 0.5) / 1e2
          AS total_bal
 FROM mixed
 GROUP BY lower(seg)
@@ -79,11 +79,8 @@ def q_collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.countDistinct("seg").alias("n_case_variants"),
-            F.round(
-                F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
-                / F.lit(100.0),
-                2,
-            ).alias("total_bal"),
+            (F.floor((F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+                / F.lit(100.0)) * 1e2 + 0.5) / 1e2).alias("total_bal"),
         )
         .select(
             # the collated group key keeps an arbitrary representative's

@@ -15,7 +15,7 @@ SELECT
   c_custkey,
   c_name                 AS profile_name,
   c_mktsegment           AS profile_segment,
-  ROUND(c_acctbal, 2)    AS profile_balance
+  FLOOR((c_acctbal) * 1e2 + 0.5) / 1e2    AS profile_balance
 FROM customer
 WHERE c_custkey % 25 = 0
 """
@@ -34,7 +34,7 @@ def q_complex_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.col("c_name").alias("name"),
             F.col("c_mktsegment").alias("segment"),
-            F.round("c_acctbal", 2).alias("balance"),
+            (F.floor((F.col("c_acctbal")) * 1e2 + 0.5) / 1e2).alias("balance"),
         ).alias("profile"),
     )
     return packed.select(
@@ -78,7 +78,7 @@ _QARRSTRUCT_ORACLE = """
 WITH items AS (
   SELECT l_orderkey,
          list_sort(list({'l_linenumber': l_linenumber,
-                         'price': ROUND(l_extendedprice, 2)})) AS lines
+                         'price': FLOOR((l_extendedprice) * 1e2 + 0.5) / 1e2})) AS lines
   FROM lineitem
   WHERE l_orderkey % 200 = 0
   GROUP BY l_orderkey
@@ -86,7 +86,7 @@ WITH items AS (
 SELECT l_orderkey,
        CAST(len(lines) AS INTEGER)        AS n_lines,
        lines[1].l_linenumber              AS first_linenumber,
-       ROUND(lines[1].price, 2)           AS first_price
+       FLOOR((lines[1].price) * 1e2 + 0.5) / 1e2           AS first_price
 FROM items
 """
 
@@ -104,7 +104,7 @@ def q_complex_array_of_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(
                 F.struct(
                     F.col("l_linenumber"),
-                    F.round("l_extendedprice", 2).alias("price"),
+                    (F.floor((F.col("l_extendedprice")) * 1e2 + 0.5) / 1e2).alias("price"),
                 )
             )
         ).alias("lines")
@@ -113,5 +113,5 @@ def q_complex_array_of_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.size("lines").alias("n_lines"),
         F.element_at("lines", 1)["l_linenumber"].alias("first_linenumber"),
-        F.round(F.element_at("lines", 1)["price"], 2).alias("first_price"),
+        (F.floor((F.element_at("lines", 1)["price"]) * 1e2 + 0.5) / 1e2).alias("first_price"),
     )

@@ -49,7 +49,7 @@ fit AS (
 ),
 pred AS (
   SELECT segment, sum_cents, n_train,
-         ROUND(CAST(sum_cents AS DOUBLE) / (100.0e0 * n_train), 4) AS yhat
+         FLOOR((CAST(sum_cents AS DOUBLE) / (100.0e0 * n_train)) * 1e4 + 0.5) / 1e4 AS yhat
   FROM fit
 ),
 resid AS (
@@ -71,9 +71,9 @@ qhat AS (
 SELECT p.segment,
        p.n_train,
        p.yhat,
-       ROUND(p.yhat - q.q, 4) AS lo,
-       ROUND(p.yhat + q.q, 4) AS hi,
-       ROUND(q.q, 4) AS q_hat
+       FLOOR((p.yhat - q.q) * 1e4 + 0.5) / 1e4 AS lo,
+       FLOOR((p.yhat + q.q) * 1e4 + 0.5) / 1e4 AS hi,
+       FLOOR((q.q) * 1e4 + 0.5) / 1e4 AS q_hat
 FROM pred p CROSS JOIN qhat q
 ORDER BY p.segment
 """
@@ -112,11 +112,8 @@ def q_ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = fit.select(
         "segment",
         "n_train",
-        F.round(
-            F.col("sum_cents").cast("double")
-            / (F.lit(100.0) * F.col("n_train")),
-            4,
-        ).alias("yhat"),
+        (F.floor((F.col("sum_cents").cast("double")
+            / (F.lit(100.0) * F.col("n_train"))) * 1e4 + 0.5) / 1e4).alias("yhat"),
     )
     resid = (
         tagged.where(F.col("fold") == 1)
@@ -155,9 +152,9 @@ def q_ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment",
             "n_train",
             "yhat",
-            F.round(F.col("yhat") - F.col("q"), 4).alias("lo"),
-            F.round(F.col("yhat") + F.col("q"), 4).alias("hi"),
-            F.round(F.col("q"), 4).alias("q_hat"),
+            (F.floor((F.col("yhat") - F.col("q")) * 1e4 + 0.5) / 1e4).alias("lo"),
+            (F.floor((F.col("yhat") + F.col("q")) * 1e4 + 0.5) / 1e4).alias("hi"),
+            (F.floor((F.col("q")) * 1e4 + 0.5) / 1e4).alias("q_hat"),
         )
         .orderBy("segment")
     )

@@ -244,9 +244,9 @@ scored AS (
 )
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(CAST(SUM(delta_cents) AS DOUBLE) / 100.0e0, 2)
+       FLOOR((CAST(SUM(delta_cents) AS DOUBLE) / 100.0e0) * 1e2 + 0.5) / 1e2
          AS total_abs_delta,
-       ROUND(CAST(MAX(delta_cents) AS DOUBLE) / 100.0e0, 2) AS max_abs_delta
+       FLOOR((CAST(MAX(delta_cents) AS DOUBLE) / 100.0e0) * 1e2 + 0.5) / 1e2 AS max_abs_delta
 FROM scored
 GROUP BY bucket
 ORDER BY bucket
@@ -304,12 +304,8 @@ def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("bucket")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(
-                F.sum("delta_cents").cast("double") / F.lit(100.0), 2
-            ).alias("total_abs_delta"),
-            F.round(
-                F.max("delta_cents").cast("double") / F.lit(100.0), 2
-            ).alias("max_abs_delta"),
+            (F.floor((F.sum("delta_cents").cast("double") / F.lit(100.0)) * 1e2 + 0.5) / 1e2).alias("total_abs_delta"),
+            (F.floor((F.max("delta_cents").cast("double") / F.lit(100.0)) * 1e2 + 0.5) / 1e2).alias("max_abs_delta"),
         )
         .orderBy("bucket")
     )

@@ -47,7 +47,7 @@ busy AS (
 SELECT f.o_year,
        f.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(CAST(SUM(f.cents) AS DOUBLE) / 100.0e0, 2) AS revenue
+       FLOOR((CAST(SUM(f.cents) AS DOUBLE) / 100.0e0) * 1e2 + 0.5) / 1e2 AS revenue
 FROM fact f JOIN busy b ON b.o_year = f.o_year
 GROUP BY f.o_year, f.o_orderpriority
 ORDER BY f.o_year, f.o_orderpriority
@@ -118,7 +118,7 @@ def q_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_year", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.sum("cents").cast("double") / 100.0, 2).alias(
+            (F.floor((F.sum("cents").cast("double") / 100.0) * 1e2 + 0.5) / 1e2).alias(
                 "revenue"
             ),
         )

@@ -61,10 +61,10 @@ d AS (
   GROUP BY w.et
 )
 SELECT d.et AS event_type, t.nt AS n_events, d.d_num,
-       ROUND(CAST(d.d_num AS DOUBLE)
-             / (CAST(t.nt AS DOUBLE) * CAST(a.n AS DOUBLE)), 6) AS ks_d,
-       ROUND(1.358e0 * sqrt((CAST(t.nt AS DOUBLE) + CAST(a.n AS DOUBLE))
-                            / (CAST(t.nt AS DOUBLE) * CAST(a.n AS DOUBLE))), 6)
+       FLOOR((CAST(d.d_num AS DOUBLE)
+             / (CAST(t.nt AS DOUBLE) * CAST(a.n AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS ks_d,
+       FLOOR((1.358e0 * sqrt((CAST(t.nt AS DOUBLE) + CAST(a.n AS DOUBLE))
+                            / (CAST(t.nt AS DOUBLE) * CAST(a.n AS DOUBLE)))) * 1e6 + 0.5) / 1e6
          AS ks_crit_05,
        (CAST(d.d_num AS DOUBLE)
         / (CAST(t.nt AS DOUBLE) * CAST(a.n AS DOUBLE)))
@@ -130,8 +130,8 @@ def q_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("et").alias("event_type"),
             F.col("nt").alias("n_events"),
             "d_num",
-            F.round(ks, 6).alias("ks_d"),
-            F.round(crit, 6).alias("ks_crit_05"),
+            (F.floor((ks) * 1e6 + 0.5) / 1e6).alias("ks_d"),
+            (F.floor((crit) * 1e6 + 0.5) / 1e6).alias("ks_crit_05"),
             (ks > crit).alias("drift_flag"),
         )
         .orderBy("event_type")
@@ -159,15 +159,14 @@ walk AS (
   FROM pooled
 ),
 terms AS (
-  SELECT CAST(ROUND(
-           CAST(ABS((c1 * t.n2) - (c2 * t.n1)) AS DOUBLE) * (nxt - value), 8)
+  SELECT CAST(FLOOR((CAST(ABS((c1 * t.n2) - (c2 * t.n1)) AS DOUBLE) * (nxt - value)) * 1e8 + 0.5) / 1e8
          AS DECIMAL(28,8)) AS contrib
   FROM walk CROSS JOIN tot t
   WHERE nxt IS NOT NULL
 )
 SELECT t.n1 AS n_view, t.n2 AS n_purchase,
-       ROUND(CAST((SELECT SUM(contrib) FROM terms) AS DOUBLE)
-             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6)
+       FLOOR((CAST((SELECT SUM(contrib) FROM terms) AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))) * 1e6 + 0.5) / 1e6
          AS wasserstein_1
 FROM tot t
 """
@@ -238,12 +237,9 @@ def q_wasserstein_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nxt"),
         )
     )
-    contrib = F.round(
-        F.abs((F.col("c1") * F.col("n2")) - (F.col("c2") * F.col("n1")))
+    contrib = (F.floor((F.abs((F.col("c1") * F.col("n2")) - (F.col("c2") * F.col("n1")))
         .cast("double")
-        * (F.col("nxt") - F.col("value")),
-        8,
-    ).cast("decimal(28,8)")
+        * (F.col("nxt") - F.col("value"))) * 1e8 + 0.5) / 1e8).cast("decimal(28,8)")
     terms = (
         walk.crossJoin(F.broadcast(tot))
         .where(F.col("nxt").isNotNull())
@@ -253,11 +249,8 @@ def q_wasserstein_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.crossJoin(F.broadcast(s)).select(
         F.col("n1").alias("n_view"),
         F.col("n2").alias("n_purchase"),
-        F.round(
-            F.col("s")
-            / (F.col("n1").cast("double") * F.col("n2").cast("double")),
-            6,
-        ).alias("wasserstein_1"),
+        (F.floor((F.col("s")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))) * 1e6 + 0.5) / 1e6).alias("wasserstein_1"),
     )
 
 
@@ -322,16 +315,15 @@ tots AS (
          nb.b FROM nb
 ),
 terms AS (
-  SELECT CAST(ROUND(
-    ((CAST(c.cr + 1 AS DOUBLE) / CAST(t.nr + t.b AS DOUBLE))
+  SELECT CAST(FLOOR((((CAST(c.cr + 1 AS DOUBLE) / CAST(t.nr + t.b AS DOUBLE))
      - (CAST(c.ca + 1 AS DOUBLE) / CAST(t.na + t.b AS DOUBLE)))
     * ln((CAST(c.cr + 1 AS DOUBLE) / CAST(t.nr + t.b AS DOUBLE))
-         / (CAST(c.ca + 1 AS DOUBLE) / CAST(t.na + t.b AS DOUBLE))), 8)
+         / (CAST(c.ca + 1 AS DOUBLE) / CAST(t.na + t.b AS DOUBLE)))) * 1e8 + 0.5) / 1e8
     AS DECIMAL(20,8)) AS term
   FROM counts c CROSS JOIN tots t
 )
 SELECT t.nr AS n_reference, t.na AS n_actual, t.b AS n_bins,
-       ROUND(CAST((SELECT SUM(term) FROM terms) AS DOUBLE), 6) AS psi,
+       FLOOR((CAST((SELECT SUM(term) FROM terms) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS psi,
        CAST((SELECT SUM(term) FROM terms) AS DOUBLE) > 0.2e0 AS shift_alert
 FROM tots t
 """
@@ -422,13 +414,13 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     terms = counts.crossJoin(F.broadcast(tots)).select(
-        F.round((p - q) * F.log(p / q), 8).cast("decimal(20,8)").alias("term")
+        (F.floor(((p - q) * F.log(p / q)) * 1e8 + 0.5) / 1e8).cast("decimal(20,8)").alias("term")
     )
     s = terms.agg(F.sum("term").cast("double").alias("s"))
     return tots.crossJoin(F.broadcast(s)).select(
         F.col("nr").alias("n_reference"),
         F.col("na").alias("n_actual"),
         F.col("b").alias("n_bins"),
-        F.round(F.col("s"), 6).alias("psi"),
+        (F.floor((F.col("s")) * 1e6 + 0.5) / 1e6).alias("psi"),
         (F.col("s") > F.lit(0.2)).alias("shift_alert"),
     )

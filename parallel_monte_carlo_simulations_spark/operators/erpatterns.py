@@ -58,7 +58,7 @@ patterns AS (
 )
 SELECT p.brand_eq, p.type_eq, p.size_eq, p.observed,
        t.n_pairs,
-       ROUND(CAST(t.n_pairs AS DOUBLE)
+       FLOOR((CAST(t.n_pairs AS DOUBLE)
          * (CASE WHEN p.brand_eq = 1
                  THEN CAST(t.n_brand AS DOUBLE) / CAST(t.n_pairs AS DOUBLE)
                  ELSE 1.0 - CAST(t.n_brand AS DOUBLE)
@@ -70,9 +70,9 @@ SELECT p.brand_eq, p.type_eq, p.size_eq, p.observed,
          * (CASE WHEN p.size_eq = 1
                  THEN CAST(t.n_size AS DOUBLE) / CAST(t.n_pairs AS DOUBLE)
                  ELSE 1.0 - CAST(t.n_size AS DOUBLE)
-                            / CAST(t.n_pairs AS DOUBLE) END), 4)
+                            / CAST(t.n_pairs AS DOUBLE) END)) * 1e4 + 0.5) / 1e4
          AS expected_indep,
-       ROUND(CAST(p.observed AS DOUBLE)
+       FLOOR((CAST(p.observed AS DOUBLE)
          / (CAST(t.n_pairs AS DOUBLE)
             * (CASE WHEN p.brand_eq = 1
                     THEN CAST(t.n_brand AS DOUBLE) / CAST(t.n_pairs AS DOUBLE)
@@ -85,7 +85,7 @@ SELECT p.brand_eq, p.type_eq, p.size_eq, p.observed,
             * (CASE WHEN p.size_eq = 1
                     THEN CAST(t.n_size AS DOUBLE) / CAST(t.n_pairs AS DOUBLE)
                     ELSE 1.0 - CAST(t.n_size AS DOUBLE)
-                               / CAST(t.n_pairs AS DOUBLE) END)), 4)
+                               / CAST(t.n_pairs AS DOUBLE) END))) * 1e4 + 0.5) / 1e4
          AS lift
 FROM patterns p CROSS JOIN tot t
 ORDER BY p.brand_eq, p.type_eq, p.size_eq
@@ -166,8 +166,8 @@ def q_er_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size_eq",
             "observed",
             "n_pairs",
-            F.round(expected, 4).alias("expected_indep"),
-            F.round(F.col("observed").cast("double") / expected, 4)
+            (F.floor((expected) * 1e4 + 0.5) / 1e4).alias("expected_indep"),
+            (F.floor((F.col("observed").cast("double") / expected) * 1e4 + 0.5) / 1e4)
             .alias("lift"),
         )
         .orderBy("brand_eq", "type_eq", "size_eq")

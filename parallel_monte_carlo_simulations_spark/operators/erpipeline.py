@@ -83,11 +83,11 @@ tot AS (
 ),
 weights AS (
   SELECT
-    CAST(ROUND(-LN(CAST(nb AS DOUBLE) / CAST(np AS DOUBLE)), 9)
+    CAST(FLOOR((-LN(CAST(nb AS DOUBLE) / CAST(np AS DOUBLE))) * 1e9 + 0.5) / 1e9
          AS DECIMAL(18,9)) AS wb,
-    CAST(ROUND(-LN(CAST(nt AS DOUBLE) / CAST(np AS DOUBLE)), 9)
+    CAST(FLOOR((-LN(CAST(nt AS DOUBLE) / CAST(np AS DOUBLE))) * 1e9 + 0.5) / 1e9
          AS DECIMAL(18,9)) AS wt,
-    CAST(ROUND(-LN(CAST(ns AS DOUBLE) / CAST(np AS DOUBLE)), 9)
+    CAST(FLOOR((-LN(CAST(ns AS DOUBLE) / CAST(np AS DOUBLE))) * 1e9 + 0.5) / 1e9
          AS DECIMAL(18,9)) AS ws
   FROM tot
 ),
@@ -200,10 +200,7 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.persist()
 
     def _w(n_col: str):
-        return F.round(
-            -F.log(F.col(n_col).cast("double") / F.col("np").cast("double")),
-            9,
-        ).cast("decimal(18,9)")
+        return (F.floor((-F.log(F.col(n_col).cast("double") / F.col("np").cast("double"))) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)")
 
     weights = pairs.agg(
         F.count("*").cast("long").alias("np"),

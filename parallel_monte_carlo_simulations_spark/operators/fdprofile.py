@@ -53,8 +53,8 @@ SELECT '{tbl}: {x} -> {y}' AS fd,
        CAST(SUM(cnt) AS BIGINT) AS n_rows,
        CAST(COUNT(*) AS BIGINT) AS n_groups,
        CAST(SUM(cnt) - SUM(keep) AS BIGINT) AS violations,
-       ROUND(CAST(SUM(cnt) - SUM(keep) AS DOUBLE)
-             / CAST(SUM(cnt) AS DOUBLE), 6) AS g3,
+       FLOOR((CAST(SUM(cnt) - SUM(keep) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS g3,
        CAST(SUM(cnt) - SUM(keep) AS BIGINT) = 0 AS holds
 FROM (
   SELECT {x} AS xv,
@@ -93,10 +93,7 @@ def _fd_branch(spark: SparkSession, sf_dir: str, tbl: str, x: str, y: str) -> Da
         "n_rows",
         "n_groups",
         "violations",
-        F.round(
-            F.col("violations").cast("double") / F.col("n_rows").cast("double"),
-            6,
-        ).alias("g3"),
+        (F.floor((F.col("violations").cast("double") / F.col("n_rows").cast("double")) * 1e6 + 0.5) / 1e6).alias("g3"),
         (F.col("violations") == 0).alias("holds"),
     )
 

@@ -64,9 +64,9 @@ seg AS (
 SELECT s.segment,
        s.n AS n_orders,
        s.pos AS n_positive,
-       ROUND((CAST(s.pos AS DOUBLE)
+       FLOOR(((CAST(s.pos AS DOUBLE)
               + {SMOOTH_M}.0e0 * (CAST(p.gpos AS DOUBLE) / CAST(p.gn AS DOUBLE)))
-             / (CAST(s.n AS DOUBLE) + {SMOOTH_M}.0e0), 6) AS encoded
+             / (CAST(s.n AS DOUBLE) + {SMOOTH_M}.0e0)) * 1e6 + 0.5) / 1e6 AS encoded
 FROM seg s CROSS JOIN prior p
 ORDER BY s.segment
 """
@@ -99,14 +99,11 @@ def q_feat_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("target").alias("pos"), F.count("*").alias("n")
     )
     m = float(SMOOTH_M)
-    encoded = F.round(
-        (
+    encoded = (F.floor(((
             F.col("pos").cast("double")
             + F.lit(m) * (F.col("gpos").cast("double") / F.col("gn").cast("double"))
         )
-        / (F.col("n").cast("double") + F.lit(m)),
-        6,
-    )
+        / (F.col("n").cast("double") + F.lit(m))) * 1e6 + 0.5) / 1e6)
     return (
         seg.crossJoin(F.broadcast(prior))
         .select(
@@ -184,10 +181,10 @@ WITH binned AS (
 )
 SELECT bin,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       ROUND(MIN(o_totalprice), 2) AS lo,
-       ROUND(MAX(o_totalprice), 2) AS hi,
-       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
-             / (100.0e0 * COUNT(*)), 4) AS mean_price
+       FLOOR((MIN(o_totalprice)) * 1e2 + 0.5) / 1e2 AS lo,
+       FLOOR((MAX(o_totalprice)) * 1e2 + 0.5) / 1e2 AS hi,
+       FLOOR((CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (100.0e0 * COUNT(*))) * 1e4 + 0.5) / 1e4 AS mean_price
 FROM binned
 GROUP BY bin
 ORDER BY bin
@@ -229,13 +226,10 @@ def q_feat_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned.groupBy("bin")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
-            F.round(
-                F.sum(cents).cast("double")
-                / (F.lit(100.0) * F.count("*")),
-                4,
-            ).alias("mean_price"),
+            (F.floor((F.min("o_totalprice")) * 1e2 + 0.5) / 1e2).alias("lo"),
+            (F.floor((F.max("o_totalprice")) * 1e2 + 0.5) / 1e2).alias("hi"),
+            (F.floor((F.sum(cents).cast("double")
+                / (F.lit(100.0) * F.count("*"))) * 1e4 + 0.5) / 1e4).alias("mean_price"),
         )
         .orderBy("bin")
     )
@@ -325,13 +319,13 @@ scored AS (
 ),
 quant AS (
   SELECT bucket, n_pos, n_neg, woe_raw,
-         CAST(ROUND(iv_raw, 10) AS DECIMAL(24,10)) AS iv_q
+         CAST(FLOOR((iv_raw) * 1e10 + 0.5) / 1e10 AS DECIMAL(24,10)) AS iv_q
   FROM scored
 )
 SELECT bucket, n_pos, n_neg,
-       ROUND(woe_raw, 6) AS woe,
-       ROUND(CAST(iv_q AS DOUBLE), 6) AS iv_term,
-       ROUND(CAST(SUM(iv_q) OVER () AS DOUBLE), 6) AS iv_total
+       FLOOR((woe_raw) * 1e6 + 0.5) / 1e6 AS woe,
+       FLOOR((CAST(iv_q AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS iv_term,
+       FLOOR((CAST(SUM(iv_q) OVER () AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS iv_total
 FROM quant
 ORDER BY bucket
 """
@@ -389,7 +383,7 @@ def q_feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pos",
             "n_neg",
             woe_raw.alias("woe_raw"),
-            F.round(iv_raw, 10).cast("decimal(24,10)").alias("iv_q"),
+            (F.floor((iv_raw) * 1e10 + 0.5) / 1e10).cast("decimal(24,10)").alias("iv_q"),
         )
     )
     return (
@@ -397,14 +391,11 @@ def q_feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n_pos",
             "n_neg",
-            F.round("woe_raw", 6).alias("woe"),
-            F.round(F.col("iv_q").cast("double"), 6).alias("iv_term"),
-            F.round(
-                F.sum("iv_q")
+            (F.floor((F.col("woe_raw")) * 1e6 + 0.5) / 1e6).alias("woe"),
+            (F.floor((F.col("iv_q").cast("double")) * 1e6 + 0.5) / 1e6).alias("iv_term"),
+            (F.floor((F.sum("iv_q")
                 .over(Window.partitionBy())
-                .cast("double"),
-                6,
-            ).alias("iv_total"),
+                .cast("double")) * 1e6 + 0.5) / 1e6).alias("iv_total"),
         )
         .orderBy("bucket")
     )
@@ -447,20 +438,20 @@ SELECT ce.segment,
        CAST(ce.fold AS BIGINT) AS fold,
        CAST(ce.n AS BIGINT) AS n_infold,
        CAST(ca.cn - ce.n AS BIGINT) AS n_outfold,
-       ROUND((CAST(ca.cpos - ce.pos AS DOUBLE)
+       FLOOR(((CAST(ca.cpos - ce.pos AS DOUBLE)
               + {SMOOTH_M}.0e0 * (CAST(p.gpos AS DOUBLE) / CAST(p.gn AS DOUBLE)))
-             / (CAST(ca.cn - ce.n AS DOUBLE) + {SMOOTH_M}.0e0), 6)
+             / (CAST(ca.cn - ce.n AS DOUBLE) + {SMOOTH_M}.0e0)) * 1e6 + 0.5) / 1e6
          AS enc_oof,
-       ROUND((CAST(ca.cpos AS DOUBLE)
+       FLOOR(((CAST(ca.cpos AS DOUBLE)
               + {SMOOTH_M}.0e0 * (CAST(p.gpos AS DOUBLE) / CAST(p.gn AS DOUBLE)))
-             / (CAST(ca.cn AS DOUBLE) + {SMOOTH_M}.0e0), 6)
+             / (CAST(ca.cn AS DOUBLE) + {SMOOTH_M}.0e0)) * 1e6 + 0.5) / 1e6
          AS enc_full,
-       ROUND(ROUND((CAST(ca.cpos AS DOUBLE)
+       FLOOR((FLOOR(((CAST(ca.cpos AS DOUBLE)
               + {SMOOTH_M}.0e0 * (CAST(p.gpos AS DOUBLE) / CAST(p.gn AS DOUBLE)))
-             / (CAST(ca.cn AS DOUBLE) + {SMOOTH_M}.0e0), 6)
-           - ROUND((CAST(ca.cpos - ce.pos AS DOUBLE)
+             / (CAST(ca.cn AS DOUBLE) + {SMOOTH_M}.0e0)) * 1e6 + 0.5) / 1e6
+           - FLOOR(((CAST(ca.cpos - ce.pos AS DOUBLE)
               + {SMOOTH_M}.0e0 * (CAST(p.gpos AS DOUBLE) / CAST(p.gn AS DOUBLE)))
-             / (CAST(ca.cn - ce.n AS DOUBLE) + {SMOOTH_M}.0e0), 6), 6)
+             / (CAST(ca.cn - ce.n AS DOUBLE) + {SMOOTH_M}.0e0)) * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6
          AS leakage_delta
 FROM cells ce
 JOIN cat ca ON ca.segment = ce.segment
@@ -513,16 +504,10 @@ def q_feat_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = float(SMOOTH_M)
     gprior = F.col("gpos").cast("double") / F.col("gn").cast("double")
-    enc_oof = F.round(
-        ((F.col("cpos") - F.col("pos")).cast("double") + F.lit(m) * gprior)
-        / ((F.col("cn") - F.col("n")).cast("double") + F.lit(m)),
-        6,
-    )
-    enc_full = F.round(
-        (F.col("cpos").cast("double") + F.lit(m) * gprior)
-        / (F.col("cn").cast("double") + F.lit(m)),
-        6,
-    )
+    enc_oof = (F.floor((((F.col("cpos") - F.col("pos")).cast("double") + F.lit(m) * gprior)
+        / ((F.col("cn") - F.col("n")).cast("double") + F.lit(m))) * 1e6 + 0.5) / 1e6)
+    enc_full = (F.floor(((F.col("cpos").cast("double") + F.lit(m) * gprior)
+        / (F.col("cn").cast("double") + F.lit(m))) * 1e6 + 0.5) / 1e6)
     return (
         cells.join(F.broadcast(cat), "segment")
         .crossJoin(F.broadcast(prior))
@@ -533,7 +518,7 @@ def q_feat_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cn") - F.col("n")).cast("long").alias("n_outfold"),
             enc_oof.alias("enc_oof"),
             enc_full.alias("enc_full"),
-            F.round(enc_full - enc_oof, 6).alias("leakage_delta"),
+            (F.floor((enc_full - enc_oof) * 1e6 + 0.5) / 1e6).alias("leakage_delta"),
         )
         .orderBy("segment", "fold")
     )

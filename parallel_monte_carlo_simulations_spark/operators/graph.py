@@ -8,7 +8,7 @@ CTEs (recursive CTEs can't aggregate per step; unrolling can). Both
 engines compute sums of the same IEEE doubles — summation order can
 differ in the last ulps, but after 10 iterations the accumulated
 divergence is ~1e-13 relative, eleven orders of magnitude inside the
-ROUND(,4) comparison the gate hashes. The classic unnormalized form is
+FLOOR(() * 1e4 + 0.5) / 1e4 comparison the gate hashes. The classic unnormalized form is
 used: ``rank' = (1-d) + d * sum(rank_in/outdeg_in)``, so ranks sum to
 the node count (property-tested).
 
@@ -82,7 +82,7 @@ pr{i} AS (
         body
         + "".join(iters)
         + f"""
-SELECT node, ROUND(rank, 4) AS rank FROM {prev}
+SELECT node, FLOOR((rank) * 1e4 + 0.5) / 1e4 AS rank FROM {prev}
 """
     )
 
@@ -166,7 +166,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))
             ).alias("rank"),
         )
-    return ranks.select("node", F.round("rank", 4).alias("rank"))
+    return ranks.select("node", (F.floor((F.col("rank")) * 1e4 + 0.5) / 1e4).alias("rank"))
 
 
 _TRI_ORACLE = """

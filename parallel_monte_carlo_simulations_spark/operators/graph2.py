@@ -158,7 +158,7 @@ pr{i} AS (
 )"""
         prev = f"pr{i}"
     return body + f"""
-SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 6) AS rank FROM {prev}
+SELECT CAST(node AS BIGINT) AS node, FLOOR((rank) * 1e6 + 0.5) / 1e6 AS rank FROM {prev}
 """
 
 
@@ -217,5 +217,5 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select(
         F.col("node").cast("long").alias("node"),
-        F.round("rank", 6).alias("rank"),
+        (F.floor((F.col("rank")) * 1e6 + 0.5) / 1e6).alias("rank"),
     )

@@ -206,8 +206,8 @@ co AS (
 )
 SELECT co.s1, co.s2, co.inter,
        (d1.d + d2.d - co.inter) AS uni,
-       ROUND(CAST(co.inter AS DOUBLE)
-             / CAST(d1.d + d2.d - co.inter AS DOUBLE), 6) AS jaccard
+       FLOOR((CAST(co.inter AS DOUBLE)
+             / CAST(d1.d + d2.d - co.inter AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM co
 JOIN deg d1 ON d1.s = co.s1
 JOIN deg d2 ON d2.s = co.s2
@@ -252,13 +252,10 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s2",
             "inter",
             (F.col("deg1") + F.col("deg2") - F.col("inter")).alias("uni"),
-            F.round(
-                F.col("inter").cast("double")
+            (F.floor((F.col("inter").cast("double")
                 / (F.col("deg1") + F.col("deg2") - F.col("inter")).cast(
                     "double"
-                ),
-                6,
-            ).alias("jaccard"),
+                )) * 1e6 + 0.5) / 1e6).alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), "s1", "s2")
         .limit(20)
@@ -281,7 +278,7 @@ w AS (
   -- shared parts always have d >= 2, so ln(d) > 0; the weight is
   -- quantized to DECIMAL before the cross-part sum so addition order
   -- is irrelevant
-  SELECT p, CAST(ROUND(1.0e0 / LN(CAST(d AS DOUBLE)), 12)
+  SELECT p, CAST(FLOOR((1.0e0 / LN(CAST(d AS DOUBLE))) * 1e12 + 0.5) / 1e12
                AS DECIMAL(20,12)) AS aa_w
   FROM pdeg WHERE d >= 2
 ),
@@ -295,9 +292,9 @@ co AS (
   GROUP BY a.s, b.s
 )
 SELECT s1, s2, n_shared,
-       ROUND(CAST(aa_sum AS DOUBLE), 6) AS adamic_adar
+       FLOOR((CAST(aa_sum AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS adamic_adar
 FROM co
-ORDER BY ROUND(CAST(aa_sum AS DOUBLE), 6) DESC, s1, s2
+ORDER BY FLOOR((CAST(aa_sum AS DOUBLE)) * 1e6 + 0.5) / 1e6 DESC, s1, s2
 LIMIT 20
 """
 
@@ -331,7 +328,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") >= 2)
         .select(
             "p",
-            F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 12)
+            (F.floor((F.lit(1.0) / F.log(F.col("d").cast("double"))) * 1e12 + 0.5) / 1e12)
             .cast("decimal(20,12)")
             .alias("aa_w"),
         )
@@ -351,7 +348,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s1",
             "s2",
             "n_shared",
-            F.round(F.col("aa_sum").cast("double"), 6).alias("adamic_adar"),
+            (F.floor((F.col("aa_sum").cast("double")) * 1e6 + 0.5) / 1e6).alias("adamic_adar"),
         )
         .orderBy(F.desc("adamic_adar"), "s1", "s2")
         .limit(20)
@@ -391,12 +388,12 @@ mom AS (
   FROM ends
 )
 SELECT m AS n_directed_edges,
-       ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+       FLOOR(((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              / (SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                 * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e6 + 0.5) / 1e6
          AS assortativity
 FROM mom
 """
@@ -441,14 +438,11 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     return mom.select(
         F.col("m").alias("n_directed_edges"),
-        F.round(
-            (d("m") * d("sxy") - d("sx") * d("sy"))
+        (F.floor(((d("m") * d("sxy") - d("sx") * d("sy"))
             / (
                 F.sqrt(d("m") * d("sxx") - d("sx") * d("sx"))
                 * F.sqrt(d("m") * d("syy") - d("sy") * d("sy"))
-            ),
-            6,
-        ).alias("assortativity"),
+            )) * 1e6 + 0.5) / 1e6).alias("assortativity"),
     )
 
 

@@ -23,7 +23,7 @@ SELECT
   l_returnflag,
   l_linestatus,
   COUNT(*)                     AS n_items,
-  ROUND(SUM(l_quantity), 2)    AS sum_qty
+  FLOOR((SUM(l_quantity)) * 1e2 + 0.5) / 1e2    AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -39,7 +39,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        (F.floor((F.sum("l_quantity")) * 1e2 + 0.5) / 1e2).alias("sum_qty"),
     )
 
 

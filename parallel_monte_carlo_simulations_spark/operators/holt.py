@@ -81,9 +81,9 @@ last AS (
 )
 SELECT l.event_type,
        n.n_days,
-       ROUND(l.l / 10000.0, 4) AS level,
-       ROUND(l.b / 10000.0, 4) AS trend,
-       ROUND((l.l + {HORIZON} * l.b) / 10000.0, 4) AS forecast_{HORIZON}d
+       FLOOR((l.l / 10000.0) * 1e4 + 0.5) / 1e4 AS level,
+       FLOOR((l.b / 10000.0) * 1e4 + 0.5) / 1e4 AS trend,
+       FLOOR(((l.l + {HORIZON} * l.b) / 10000.0) * 1e4 + 0.5) / 1e4 AS forecast_{HORIZON}d
 FROM last l JOIN n ON n.event_type = l.event_type
 ORDER BY l.event_type
 """
@@ -149,11 +149,9 @@ def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         fitted.select(
             "event_type",
             "n_days",
-            F.round(F.col("fit.l") / 10000.0, 4).alias("level"),
-            F.round(F.col("fit.b") / 10000.0, 4).alias("trend"),
-            F.round(
-                (F.col("fit.l") + HORIZON * F.col("fit.b")) / 10000.0, 4
-            ).alias(f"forecast_{HORIZON}d"),
+            (F.floor((F.col("fit.l") / 10000.0) * 1e4 + 0.5) / 1e4).alias("level"),
+            (F.floor((F.col("fit.b") / 10000.0) * 1e4 + 0.5) / 1e4).alias("trend"),
+            (F.floor(((F.col("fit.l") + HORIZON * F.col("fit.b")) / 10000.0) * 1e4 + 0.5) / 1e4).alias(f"forecast_{HORIZON}d"),
         )
         .orderBy("event_type")
     )

@@ -64,8 +64,8 @@ per_block AS (
 ),
 rs AS (
   SELECT w,
-         CAST(ROUND(rprime * SQRT(CAST(w AS DOUBLE))
-                    / SQRT(CAST(sumd2 AS DOUBLE)), 10)
+         CAST(FLOOR((rprime * SQRT(CAST(w AS DOUBLE))
+                    / SQRT(CAST(sumd2 AS DOUBLE))) * 1e10 + 0.5) / 1e10
               AS DECIMAL(24,10)) AS rs_q
   FROM per_block
 ),
@@ -81,16 +81,16 @@ pts AS (
 ),
 fit AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
-         CAST(SUM(CAST(ROUND(lx, 12) AS DECIMAL(24,12))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(ROUND(ly, 12) AS DECIMAL(24,12))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(ROUND(lx * lx, 12) AS DECIMAL(24,12))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(ROUND(lx * ly, 12) AS DECIMAL(24,12))) AS DOUBLE) AS sxy
+         CAST(SUM(CAST(FLOOR((lx) * 1e12 + 0.5) / 1e12 AS DECIMAL(24,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(FLOOR((ly) * 1e12 + 0.5) / 1e12 AS DECIMAL(24,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(FLOOR((lx * lx) * 1e12 + 0.5) / 1e12 AS DECIMAL(24,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(FLOOR((lx * ly) * 1e12 + 0.5) / 1e12 AS DECIMAL(24,12))) AS DOUBLE) AS sxy
   FROM pts
 )
 SELECT p.w, p.n_blocks,
-       ROUND(p.avg_rs, 6) AS avg_rs,
-       ROUND((f.k * f.sxy - f.sx * f.sy)
-             / (f.k * f.sxx - f.sx * f.sx), 6) AS hurst_exponent
+       FLOOR((p.avg_rs) * 1e6 + 0.5) / 1e6 AS avg_rs,
+       FLOOR(((f.k * f.sxy - f.sx * f.sy)
+             / (f.k * f.sxx - f.sx * f.sx)) * 1e6 + 0.5) / 1e6 AS hurst_exponent
 FROM pts p CROSS JOIN fit f
 """
 
@@ -147,12 +147,9 @@ def q_ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rs = per_block.select(
         "w",
-        F.round(
-            F.col("rprime")
+        (F.floor((F.col("rprime")
             * F.sqrt(F.col("w").cast("double"))
-            / F.sqrt(F.col("sumd2").cast("double")),
-            10,
-        )
+            / F.sqrt(F.col("sumd2").cast("double"))) * 1e10 + 0.5) / 1e10)
         .cast("decimal(24,10)")
         .alias("rs_q"),
     )
@@ -167,7 +164,7 @@ def q_ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("w").cast("double")).alias("lx"),
         F.log("avg_rs").alias("ly"),
     )
-    dq = lambda c: F.sum(F.round(c, 12).cast("decimal(24,12)")).cast(  # noqa: E731
+    dq = lambda c: F.sum((F.floor((c) * 1e12 + 0.5) / 1e12).cast("decimal(24,12)")).cast(  # noqa: E731
         "double"
     )
     fit = pts.agg(
@@ -183,6 +180,6 @@ def q_ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.crossJoin(F.broadcast(fit)).select(
         "w",
         "n_blocks",
-        F.round("avg_rs", 6).alias("avg_rs"),
-        F.round(slope, 6).alias("hurst_exponent"),
+        (F.floor((F.col("avg_rs")) * 1e6 + 0.5) / 1e6).alias("avg_rs"),
+        (F.floor((slope) * 1e6 + 0.5) / 1e6).alias("hurst_exponent"),
     )

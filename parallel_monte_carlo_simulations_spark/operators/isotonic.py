@@ -101,7 +101,7 @@ SELECT priority,
        CAST(MIN(i) AS BIGINT) AS seg_start,
        CAST(MAX(i) AS BIGINT) AS seg_end,
        CAST(COUNT(*) AS BIGINT) AS seg_len,
-       ROUND(fitted / 100.0, 4) AS fitted_revenue
+       FLOOR((fitted / 100.0) * 1e4 + 0.5) / 1e4 AS fitted_revenue
 FROM seg
 GROUP BY priority, fitted, grp
 ORDER BY priority, seg_start
@@ -195,7 +195,7 @@ def q_ml_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_len",
             # the /100 unscale and ROUND are Spark-side so the rounding
             # rule (half away from zero) mirrors DuckDB's ROUND
-            F.round(F.col("fitted_cents") / 100.0, 4).alias("fitted_revenue"),
+            (F.floor((F.col("fitted_cents") / 100.0) * 1e4 + 0.5) / 1e4).alias("fitted_revenue"),
         )
         .orderBy("priority", "seg_start")
     )

@@ -138,7 +138,7 @@ cand AS (
 ),
 scored AS (
   SELECT name_a, name_b,
-         ROUND(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+         FLOOR((jaro_winkler_similarity(name_a, name_b)) * 1e6 + 0.5) / 1e6 AS jw
   FROM cand
 )
 SELECT name_a, name_b, jw
@@ -167,7 +167,7 @@ def q_er_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "name_a",
         "name_b",
-        F.round(jw_udf(F.col("name_a"), F.col("name_b")), 6).alias("jw"),
+        (F.floor((jw_udf(F.col("name_a"), F.col("name_b"))) * 1e6 + 0.5) / 1e6).alias("jw"),
     )
     return (
         scored.filter(F.col("jw") >= MIN_JW)

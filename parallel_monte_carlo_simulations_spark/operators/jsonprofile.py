@@ -89,7 +89,7 @@ typed AS (
 )
 SELECT t.key, t.dtype,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_rows AS DOUBLE), 6)
+       FLOOR((CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_rows AS DOUBLE)) * 1e6 + 0.5) / 1e6
          AS presence
 FROM typed t CROSS JOIN tot
 GROUP BY t.key, t.dtype, tot.n_rows
@@ -127,9 +127,7 @@ def q_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key",
             "dtype",
             "n",
-            F.round(
-                F.col("n").cast("double") / F.col("n_rows").cast("double"), 6
-            ).alias("presence"),
+            (F.floor((F.col("n").cast("double") / F.col("n_rows").cast("double")) * 1e6 + 0.5) / 1e6).alias("presence"),
         )
         .orderBy("key", "dtype")
     )

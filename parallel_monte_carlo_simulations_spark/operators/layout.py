@@ -165,7 +165,7 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QREBAL_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT)       AS n_items,
-       ROUND(SUM(l_quantity), 2)      AS sum_qty
+       FLOOR((SUM(l_quantity)) * 1e2 + 0.5) / 1e2      AS sum_qty
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -195,7 +195,7 @@ def q_hint_rebalance(spark, sf_dir: str):
         SELECT /*+ REBALANCE(l_returnflag) */
                l_returnflag,
                CAST(COUNT(*) AS BIGINT)  AS n_items,
-               ROUND(SUM(l_quantity), 2) AS sum_qty
+               FLOOR((SUM(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty
         FROM lineitem
         GROUP BY l_returnflag
         """

@@ -54,16 +54,16 @@ num AS (
 acf AS (
   SELECT n2.k, d.n,
          n2.nk / d.d2 AS r,
-         CAST(ROUND((n2.nk / d.d2) * (n2.nk / d.d2)
-                    / (d.n - n2.k), 12) AS DECIMAL(24,12)) AS term_q
+         CAST(FLOOR(((n2.nk / d.d2) * (n2.nk / d.d2)
+                    / (d.n - n2.k)) * 1e12 + 0.5) / 1e12 AS DECIMAL(24,12)) AS term_q
   FROM num n2 CROSS JOIN den d
 )
 SELECT k,
-       ROUND(r, 6) AS acf,
-       ROUND(CAST(n AS DOUBLE) * (n + 2)
+       FLOOR((r) * 1e6 + 0.5) / 1e6 AS acf,
+       FLOOR((CAST(n AS DOUBLE) * (n + 2)
              * CAST(SUM(term_q) OVER (ORDER BY k
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DOUBLE), 4) AS ljung_box_q
+               AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS ljung_box_q
 FROM acf
 ORDER BY k
 """
@@ -129,7 +129,7 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "n",
         r.alias("r"),
-        F.round(r * r / (F.col("n") - F.col("k")), 12)
+        (F.floor((r * r / (F.col("n") - F.col("k"))) * 1e12 + 0.5) / 1e12)
         .cast("decimal(24,12)")
         .alias("term_q"),
     )
@@ -138,11 +138,8 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return acf.select(
         "k",
-        F.round("r", 6).alias("acf"),
-        F.round(
-            F.col("n").cast("double")
+        (F.floor((F.col("r")) * 1e6 + 0.5) / 1e6).alias("acf"),
+        (F.floor((F.col("n").cast("double")
             * (F.col("n") + 2)
-            * F.sum("term_q").over(wcum).cast("double"),
-            4,
-        ).alias("ljung_box_q"),
+            * F.sum("term_q").over(wcum).cast("double")) * 1e4 + 0.5) / 1e4).alias("ljung_box_q"),
     )

@@ -118,10 +118,10 @@ tot AS (
          CAST(SUM(pos) AS BIGINT) AS n_positive
   FROM x
 )
-SELECT ROUND(beta2.b0, 6) AS b0,
-       ROUND(beta2.b1, 6) AS b1,
-       ROUND(floor((1e0 / (1e0 + exp(-(beta2.b0 + beta2.b1 * 0.5e0)))) * 1e9
-                   + 0.5e0) / 1e9, 6) AS p_at_mid,
+SELECT FLOOR((beta2.b0) * 1e6 + 0.5) / 1e6 AS b0,
+       FLOOR((beta2.b1) * 1e6 + 0.5) / 1e6 AS b1,
+       FLOOR((floor((1e0 / (1e0 + exp(-(beta2.b0 + beta2.b1 * 0.5e0)))) * 1e9
+                   + 0.5e0) / 1e9) * 1e6 + 0.5) / 1e6 AS p_at_mid,
        tot.n_rows, tot.n_buckets, tot.n_positive
 FROM beta2 CROSS JOIN tot
 """

@@ -10,7 +10,7 @@ give the stationary distribution pi = pi P.
 Verification follows the PageRank discipline (``operators/graph.py``):
 a FIXED iteration count is deterministic float math — both engines
 compute sums of the same IEEE doubles over the same tiny state space,
-so cross-engine divergence is last-ulps against the ROUND(,4) gate.
+so cross-engine divergence is last-ulps against the FLOOR(() * 1e4 + 0.5) / 1e4 gate.
 The DuckDB oracle unrolls the ten iterations as chained CTEs.
 
 Scale: the corpus-wide work is ONE window pass per user partition (the
@@ -66,7 +66,7 @@ pi{i} AS (
         + "".join(parts)
         + f"""
 SELECT st.s AS event_type,
-       ROUND(COALESCE(pi.pi, 0), 4) AS stationary,
+       FLOOR((COALESCE(pi.pi, 0)) * 1e4 + 0.5) / 1e4 AS stationary,
        CAST(r.tot AS BIGINT) AS n_transitions
 FROM states st
 LEFT JOIN {prev} pi ON pi.s = st.s
@@ -123,7 +123,7 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rowtot, states.s == rowtot.a)
         .select(
             F.col("s").alias("event_type"),
-            F.round(F.coalesce("pi", F.lit(0.0)), 4).alias("stationary"),
+            (F.floor((F.coalesce("pi", F.lit(0.0))) * 1e4 + 0.5) / 1e4).alias("stationary"),
             F.col("tot").cast("long").alias("n_transitions"),
         )
         .orderBy("event_type")

@@ -17,8 +17,8 @@ _QPR_ORACLE = """
 SELECT
   s_suppkey,
   s_nationkey,
-  ROUND(percent_rank() OVER w, 6) AS pct_rank,
-  ROUND(cume_dist()    OVER w, 6) AS cume,
+  FLOOR((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 AS pct_rank,
+  FLOOR((cume_dist()    OVER w) * 1e6 + 0.5) / 1e6 AS cume,
 FROM supplier
 WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
 """
@@ -49,10 +49,8 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(nt)).select(
         "s_suppkey",
         "s_nationkey",
-        F.round(
-            (F.col("rn") - 1).cast("double") / (F.col("n_all") - 1), 6
-        ).alias("pct_rank"),
-        F.round(F.col("rn").cast("double") / F.col("n_all"), 6).alias("cume"),
+        (F.floor(((F.col("rn") - 1).cast("double") / (F.col("n_all") - 1)) * 1e6 + 0.5) / 1e6).alias("pct_rank"),
+        (F.floor((F.col("rn").cast("double") / F.col("n_all")) * 1e6 + 0.5) / 1e6).alias("cume"),
     )
 
 

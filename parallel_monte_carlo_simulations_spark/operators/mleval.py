@@ -67,8 +67,8 @@ agg AS (
 SELECT segment,
        n1 AS n_pos,
        (n - n1) AS n_neg,
-       ROUND(CAST(d1 - (n1 * (n1 + 1)) AS DOUBLE)
-             / CAST(2 * n1 * (n - n1) AS DOUBLE), 6) AS auc
+       FLOOR((CAST(d1 - (n1 * (n1 + 1)) AS DOUBLE)
+             / CAST(2 * n1 * (n - n1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS auc
 FROM agg
 WHERE n1 > 0 AND n - n1 > 0
 ORDER BY segment
@@ -137,13 +137,10 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment",
             F.col("n1").alias("n_pos"),
             n0.alias("n_neg"),
-            F.round(
-                (F.col("d1") - (F.col("n1") * (F.col("n1") + 1))).cast(
+            (F.floor(((F.col("d1") - (F.col("n1") * (F.col("n1") + 1))).cast(
                     "double"
                 )
-                / (2 * F.col("n1") * n0).cast("double"),
-                6,
-            ).alias("auc"),
+                / (2 * F.col("n1") * n0).cast("double")) * 1e6 + 0.5) / 1e6).alias("auc"),
         )
         .orderBy("segment")
     )
@@ -180,9 +177,9 @@ stats AS (
 )
 SELECT flag,
        n_rows,
-       ROUND(CAST((n * sdxy) - (sdx * sdy) AS DOUBLE)
+       FLOOR((CAST((n * sdxy) - (sdx * sdy) AS DOUBLE)
              / sqrt(CAST((n * sdxx) - (sdx * sdx) AS DOUBLE)
-                    * CAST((n * sdyy) - (sdy * sdy) AS DOUBLE)), 6)
+                    * CAST((n * sdyy) - (sdy * sdy) AS DOUBLE))) * 1e6 + 0.5) / 1e6
          AS spearman_rho
 FROM stats
 ORDER BY flag
@@ -263,7 +260,7 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "flag",
         "n_rows",
-        F.round(num / F.sqrt(vx * vy), 6).alias("spearman_rho"),
+        (F.floor((num / F.sqrt(vx * vy)) * 1e6 + 0.5) / 1e6).alias("spearman_rho"),
     ).orderBy("flag")
 
 
@@ -291,7 +288,7 @@ cum AS (
 ),
 gini AS (
   SELECT size, n_l, pos_l,
-         ROUND((
+         FLOOR(((
            (CAST((n_l * n_l) - (pos_l * pos_l)
                  - ((n_l - pos_l) * (n_l - pos_l)) AS DOUBLE)
             / CAST(n_l AS DOUBLE))
@@ -300,7 +297,7 @@ gini AS (
                    - (((n - n_l) - (pos_t - pos_l))
                       * ((n - n_l) - (pos_t - pos_l))) AS DOUBLE)
               / CAST(n - n_l AS DOUBLE))
-         ) / CAST(n AS DOUBLE), 8) AS gini_weighted
+         ) / CAST(n AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS gini_weighted
   FROM cum
   WHERE n - n_l > 0
 ),
@@ -376,7 +373,7 @@ def q_tree_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size",
         "n_l",
         "pos_l",
-        F.round((term_l + term_r) / F.col("n").cast("double"), 8).alias(
+        (F.floor(((term_l + term_r) / F.col("n").cast("double")) * 1e8 + 0.5) / 1e8).alias(
             "gini_weighted"
         ),
     )
@@ -443,14 +440,14 @@ pts AS (
 ),
 terms AS (
   SELECT segment, n1, n,
-         CAST(ROUND((r - r0) * (p + p0) / 2.0e0, 12) AS DECIMAL(24,12))
+         CAST(FLOOR(((r - r0) * (p + p0) / 2.0e0) * 1e12 + 0.5) / 1e12 AS DECIMAL(24,12))
            AS term
   FROM pts
 )
 SELECT segment,
        CAST(ANY_VALUE(n1) AS BIGINT) AS n_pos,
        CAST(ANY_VALUE(n) - ANY_VALUE(n1) AS BIGINT) AS n_neg,
-       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS pr_auc
+       FLOOR((CAST(SUM(term) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS pr_auc
 FROM terms
 GROUP BY segment
 ORDER BY segment
@@ -524,12 +521,9 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "n1",
         "n",
-        F.round(
-            (F.col("r") - F.col("r0"))
+        (F.floor(((F.col("r") - F.col("r0"))
             * (F.col("p") + F.col("p0"))
-            / F.lit(2.0),
-            12,
-        )
+            / F.lit(2.0)) * 1e12 + 0.5) / 1e12)
         .cast("decimal(24,12)")
         .alias("term"),
     )
@@ -538,7 +532,7 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value("n1").cast("long").alias("n_pos"),
             (F.any_value("n") - F.any_value("n1")).cast("long").alias("n_neg"),
-            F.round(F.sum("term").cast("double"), 6).alias("pr_auc"),
+            (F.floor((F.sum("term").cast("double")) * 1e6 + 0.5) / 1e6).alias("pr_auc"),
         )
         .orderBy("segment")
     )

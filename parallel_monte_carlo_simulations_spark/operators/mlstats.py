@@ -57,11 +57,11 @@ fit AS (
 )
 SELECT l_returnflag,
        n_rows,
-       ROUND((cov_n / var_x) / 100.0e0, 6) AS slope,
-       ROUND(((sy - ((cov_n / var_x) * sx)) / n) / 100.0e0, 6) AS intercept,
-       ROUND((cov_n * cov_n) / (var_x * var_y), 6) AS r2,
-       ROUND((((sy - ((cov_n / var_x) * sx)) / n) / 100.0e0)
-             + (((cov_n / var_x) / 100.0e0) * 25.0e0), 4) AS yhat_at_25
+       FLOOR(((cov_n / var_x) / 100.0e0) * 1e6 + 0.5) / 1e6 AS slope,
+       FLOOR((((sy - ((cov_n / var_x) * sx)) / n) / 100.0e0) * 1e6 + 0.5) / 1e6 AS intercept,
+       FLOOR(((cov_n * cov_n) / (var_x * var_y)) * 1e6 + 0.5) / 1e6 AS r2,
+       FLOOR(((((sy - ((cov_n / var_x) * sx)) / n) / 100.0e0)
+             + (((cov_n / var_x) / 100.0e0) * 25.0e0)) * 1e4 + 0.5) / 1e4 AS yhat_at_25
 FROM fit
 ORDER BY l_returnflag
 """
@@ -114,12 +114,10 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit.select(
         "l_returnflag",
         "n_rows",
-        F.round(slope_c / 100.0, 6).alias("slope"),
-        F.round((intercept_c / 100.0), 6).alias("intercept"),
-        F.round(
-            (F.col("cov_n") * F.col("cov_n")) / (F.col("var_x") * F.col("var_y")), 6
-        ).alias("r2"),
-        F.round((intercept_c / 100.0) + ((slope_c / 100.0) * 25.0), 4).alias(
+        (F.floor((slope_c / 100.0) * 1e6 + 0.5) / 1e6).alias("slope"),
+        (F.floor(((intercept_c / 100.0)) * 1e6 + 0.5) / 1e6).alias("intercept"),
+        (F.floor(((F.col("cov_n") * F.col("cov_n")) / (F.col("var_x") * F.col("var_y"))) * 1e6 + 0.5) / 1e6).alias("r2"),
+        (F.floor(((intercept_c / 100.0) + ((slope_c / 100.0) * 25.0)) * 1e4 + 0.5) / 1e4).alias(
             "yhat_at_25"
         ),
     ).orderBy("l_returnflag")
@@ -147,10 +145,10 @@ agg AS (
   FROM ranked
 )
 SELECT n AS n_customers, tv AS total_cents,
-       ROUND(((2.0e0 * CAST(siv AS DOUBLE))
+       FLOOR((((2.0e0 * CAST(siv AS DOUBLE))
               / (CAST(n AS DOUBLE) * CAST(tv AS DOUBLE)))
-             - ((CAST(n AS DOUBLE) + 1.0e0) / CAST(n AS DOUBLE)), 6) AS gini,
-       ROUND((CAST(top1 AS DOUBLE) / CAST(tv AS DOUBLE)) * 100.0e0, 4)
+             - ((CAST(n AS DOUBLE) + 1.0e0) / CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS gini,
+       FLOOR(((CAST(top1 AS DOUBLE) / CAST(tv AS DOUBLE)) * 100.0e0) * 1e4 + 0.5) / 1e4
          AS top1pct_share_pct
 FROM agg
 """
@@ -212,12 +210,9 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n").alias("n_customers"),
         F.col("tv").alias("total_cents"),
-        F.round(
-            ((F.lit(2.0) * F.col("siv").cast("double")) / (nd * tvd))
-            - ((nd + F.lit(1.0)) / nd),
-            6,
-        ).alias("gini"),
-        F.round((F.col("top1").cast("double") / tvd) * 100.0, 4).alias(
+        (F.floor((((F.lit(2.0) * F.col("siv").cast("double")) / (nd * tvd))
+            - ((nd + F.lit(1.0)) / nd)) * 1e6 + 0.5) / 1e6).alias("gini"),
+        (F.floor(((F.col("top1").cast("double") / tvd) * 100.0) * 1e4 + 0.5) / 1e4).alias(
             "top1pct_share_pct"
         ),
     )

@@ -59,17 +59,17 @@ terms AS (
   SELECT deg.c,
          COALESCE(intra.e_c, 0) AS e_c,
          deg.d_c,
-         CAST(ROUND(CAST(COALESCE(intra.e_c, 0) AS DOUBLE)
+         CAST(FLOOR((CAST(COALESCE(intra.e_c, 0) AS DOUBLE)
                       / CAST(m.m AS DOUBLE)
                     - POW(CAST(deg.d_c AS DOUBLE)
-                          / (2.0e0 * CAST(m.m AS DOUBLE)), 2), 12)
+                          / (2.0e0 * CAST(m.m AS DOUBLE)), 2)) * 1e12 + 0.5) / 1e12
               AS DECIMAL(28,12)) AS term
   FROM deg LEFT JOIN intra ON intra.c = deg.c CROSS JOIN m
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
        CAST(ANY_VALUE(m.m) AS BIGINT) AS n_edges,
        CAST(SUM(e_c) AS BIGINT) AS intra_edges,
-       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS modularity_q
+       FLOOR((CAST(SUM(term) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS modularity_q
 FROM terms CROSS JOIN m
 """
 
@@ -129,16 +129,13 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
             F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
             "d_c",
-            F.round(
-                F.coalesce(F.col("e_c"), F.lit(0)).cast("double")
+            (F.floor((F.coalesce(F.col("e_c"), F.lit(0)).cast("double")
                 / F.col("m").cast("double")
                 - F.pow(
                     F.col("d_c").cast("double")
                     / (F.lit(2.0) * F.col("m").cast("double")),
                     2,
-                ),
-                12,
-            )
+                )) * 1e12 + 0.5) / 1e12)
             .cast("decimal(28,12)")
             .alias("term"),
         )
@@ -147,5 +144,5 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_communities"),
         F.any_value("m").cast("long").alias("n_edges"),
         F.sum("e_c").cast("long").alias("intra_edges"),
-        F.round(F.sum("term").cast("double"), 6).alias("modularity_q"),
+        (F.floor((F.sum("term").cast("double")) * 1e6 + 0.5) / 1e6).alias("modularity_q"),
     )

@@ -122,9 +122,9 @@ tot AS (
          CAST(SUM(ytot) AS BIGINT) AS n_orders
   FROM x
 )
-SELECT ROUND(beta2.b0, 6) AS b0,
-       ROUND(beta2.b1, 6) AS b1,
-       ROUND(floor(exp(beta2.b0 + beta2.b1 * 0.5e0) * 1e9 + 0.5e0) / 1e9, 6)
+SELECT FLOOR((beta2.b0) * 1e6 + 0.5) / 1e6 AS b0,
+       FLOOR((beta2.b1) * 1e6 + 0.5) / 1e6 AS b1,
+       FLOOR((floor(exp(beta2.b0 + beta2.b1 * 0.5e0) * 1e9 + 0.5e0) / 1e9) * 1e6 + 0.5) / 1e6
          AS rate_at_mid,
        tot.n_customers, tot.n_orders
 FROM beta2 CROSS JOIN tot

@@ -141,15 +141,14 @@ noise AS (
 ),
 lap AS (
   SELECT segment, true_count, u,
-         CAST(ROUND(
-           -({EPS_DEN}e0 / {EPS_NUM}e0)
+         CAST(FLOOR((-({EPS_DEN}e0 / {EPS_NUM}e0)
              * (CASE WHEN u >= 0.5e0 THEN 1e0 ELSE -1e0 END)
-             * ln(1e0 - 2e0 * abs(u - 0.5e0)), 6)
+             * ln(1e0 - 2e0 * abs(u - 0.5e0))) * 1e6 + 0.5) / 1e6
            AS DECIMAL(18,6)) AS noise
   FROM noise
 )
 SELECT segment, true_count,
-       ROUND(CAST(true_count AS DOUBLE) + CAST(noise AS DOUBLE), 2)
+       FLOOR((CAST(true_count AS DOUBLE) + CAST(noise AS DOUBLE)) * 1e2 + 0.5) / 1e2
          AS released_count,
        CAST(noise AS DOUBLE) AS noise
 FROM lap
@@ -180,22 +179,16 @@ def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ) / F.lit(float(1 << 60))
     b = float(EPS_DEN) / float(EPS_NUM)
-    noise = F.round(
-        -F.lit(b)
+    noise = (F.floor((-F.lit(b)
         * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
-        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))),
-        6,
-    ).cast("decimal(18,6)")
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))) * 1e6 + 0.5) / 1e6).cast("decimal(18,6)")
     return (
         seg.select("segment", "true_count", noise.alias("noise_d"))
         .select(
             "segment",
             "true_count",
-            F.round(
-                F.col("true_count").cast("double")
-                + F.col("noise_d").cast("double"),
-                2,
-            ).alias("released_count"),
+            (F.floor((F.col("true_count").cast("double")
+                + F.col("noise_d").cast("double")) * 1e2 + 0.5) / 1e2).alias("released_count"),
             F.col("noise_d").cast("double").alias("noise"),
         )
         .orderBy("segment")

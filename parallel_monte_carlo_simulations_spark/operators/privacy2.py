@@ -133,14 +133,14 @@ grid AS (
 ),
 terms AS (
   SELECT c_nationkey, bal_bucket, class_size,
-         CAST(ROUND(0.5 * ABS(CAST(n AS DOUBLE) / class_size
-                              - CAST(g AS DOUBLE) / t), 10)
+         CAST(FLOOR((0.5 * ABS(CAST(n AS DOUBLE) / class_size
+                              - CAST(g AS DOUBLE) / t)) * 1e10 + 0.5) / 1e10
               AS DECIMAL(24,10)) AS tq
   FROM grid
 )
 SELECT c_nationkey, bal_bucket,
        CAST(ANY_VALUE(class_size) AS BIGINT)  AS class_size,
-       ROUND(CAST(SUM(tq) AS DOUBLE), 6)      AS t_closeness,
+       FLOOR((CAST(SUM(tq) AS DOUBLE)) * 1e6 + 0.5) / 1e6      AS t_closeness,
        CAST(SUM(tq) AS DOUBLE) <= {T_REQUIRED} AS releasable
 FROM terms GROUP BY c_nationkey, bal_bucket
 """
@@ -187,20 +187,17 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         )
     )
-    tq = F.round(
-        0.5
+    tq = (F.floor((0.5
         * F.abs(
             F.col("n").cast("double") / F.col("class_size")
             - F.col("g").cast("double") / F.col("t")
-        ),
-        10,
-    ).cast("decimal(24,10)")
+        )) * 1e10 + 0.5) / 1e10).cast("decimal(24,10)")
     return (
         grid.select("c_nationkey", "bal_bucket", "class_size", tq.alias("tq"))
         .groupBy("c_nationkey", "bal_bucket")
         .agg(
             F.any_value("class_size").cast("long").alias("class_size"),
-            F.round(F.sum("tq").cast("double"), 6).alias("t_closeness"),
+            (F.floor((F.sum("tq").cast("double")) * 1e6 + 0.5) / 1e6).alias("t_closeness"),
             (F.sum("tq").cast("double") <= T_REQUIRED).alias("releasable"),
         )
     )

@@ -254,8 +254,8 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QABC_ORACLE = """
 WITH rev AS (
   SELECT l_partkey AS part,
-         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,6))), 2)
+         CAST(FLOOR((SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6)))) * 1e2 + 0.5) / 1e2
               AS DECIMAL(18,2)) AS revenue
   FROM lineitem GROUP BY l_partkey
 ),
@@ -307,14 +307,11 @@ def q_abc_pareto(spark, sf_dir: str):
     # an exact half-cent round the same way in both engines (a raw
     # double sum differs in last ulps and flips the half-cent).
     rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
-        F.round(
-            F.sum(
+        (F.floor((F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                     "decimal(18,6)"
                 )
-            ),
-            2,
-        )
+            )) * 1e2 + 0.5) / 1e2)
         .cast("decimal(18,2)")
         .alias("revenue")
     )

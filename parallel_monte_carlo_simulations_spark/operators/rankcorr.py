@@ -79,12 +79,9 @@ SELECT c.priority,
        n.n AS n_days,
        c.concordant,
        c.discordant,
-       ROUND(
-         CAST(c.concordant - c.discordant AS DOUBLE)
+       FLOOR((CAST(c.concordant - c.discordant AS DOUBLE)
          / sqrt(CAST((n.n * (n.n - 1) / 2 - tx.n1) AS DOUBLE)
-                * CAST((n.n * (n.n - 1) / 2 - ty.n2) AS DOUBLE)),
-         6
-       ) AS tau_b
+                * CAST((n.n * (n.n - 1) / 2 - ty.n2) AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS tau_b
 FROM cd c
 JOIN counts n ON n.priority = c.priority
 JOIN tx ON tx.priority = c.priority
@@ -173,14 +170,11 @@ def q_stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_days"),
             "concordant",
             "discordant",
-            F.round(
-                (F.col("concordant") - F.col("discordant")).cast("double")
+            (F.floor(((F.col("concordant") - F.col("discordant")).cast("double")
                 / F.sqrt(
                     (n0 - F.col("n1")).cast("double")
                     * (n0 - F.col("n2")).cast("double")
-                ),
-                6,
-            ).alias("tau_b"),
+                )) * 1e6 + 0.5) / 1e6).alias("tau_b"),
         )
         .orderBy("priority")
     )

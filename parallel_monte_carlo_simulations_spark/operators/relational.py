@@ -616,8 +616,8 @@ SELECT
   {qround_duck(
       "((nd * sqdd - sqd_ * sdd) / (nd * (nd - 1.0))) / 100.0", 6
   )} AS covar_qty_disc,
-  ROUND(minp, 2) AS min_price,
-  ROUND(maxp, 2) AS max_price
+  FLOOR((minp) * 1e2 + 0.5) / 1e2 AS min_price,
+  FLOOR((maxp) * 1e2 + 0.5) / 1e2 AS max_price
 FROM d
 """
 
@@ -664,6 +664,6 @@ def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         qround_col(var_q, 4).alias("var_qty"),
         qround_col(corr, 4).alias("corr_qty_price"),
         qround_col(covar, 6).alias("covar_qty_disc"),
-        F.round(F.col("minp"), 2).alias("min_price"),
-        F.round(F.col("maxp"), 2).alias("max_price"),
+        (F.floor((F.col("minp")) * 1e2 + 0.5) / 1e2).alias("min_price"),
+        (F.floor((F.col("maxp")) * 1e2 + 0.5) / 1e2).alias("max_price"),
     )

@@ -50,7 +50,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUNPIVOT_ORACLE = """
-SELECT c_custkey, metric, ROUND(val, 2) AS val
+SELECT c_custkey, metric, FLOOR((val) * 1e2 + 0.5) / 1e2 AS val
 FROM (
   SELECT c_custkey,
          unnest(['acctbal', 'nationkey']) AS metric,
@@ -80,4 +80,4 @@ def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
-    return long.select("c_custkey", "metric", F.round("val", 2).alias("val"))
+    return long.select("c_custkey", "metric", (F.floor((F.col("val")) * 1e2 + 0.5) / 1e2).alias("val"))

@@ -80,10 +80,10 @@ w2t AS (
   FROM pts
 ),
 m2 AS ({_mom('', 'w', 'w2t')})
-SELECT ROUND((SELECT {a2.replace('m2.', '')} FROM m2), 4) AS intercept,
-       ROUND((SELECT {b2.replace('m2.', '')} FROM m2), 4) AS slope,
-       ROUND((SELECT {a0.replace('m0.', '')} FROM m0), 4) AS ols_intercept,
-       ROUND((SELECT {b0.replace('m0.', '')} FROM m0), 4) AS ols_slope,
+SELECT FLOOR(((SELECT {a2.replace('m2.', '')} FROM m2)) * 1e4 + 0.5) / 1e4 AS intercept,
+       FLOOR(((SELECT {b2.replace('m2.', '')} FROM m2)) * 1e4 + 0.5) / 1e4 AS slope,
+       FLOOR(((SELECT {a0.replace('m0.', '')} FROM m0)) * 1e4 + 0.5) / 1e4 AS ols_intercept,
+       FLOOR(((SELECT {b0.replace('m0.', '')} FROM m0)) * 1e4 + 0.5) / 1e4 AS ols_slope,
        (SELECT CAST(sw AS BIGINT) FROM m0) AS n_rows
 """
 

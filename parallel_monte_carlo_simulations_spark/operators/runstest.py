@@ -76,11 +76,11 @@ SELECT event_type, n1 AS n_up, n2 AS n_down, n_runs,
        -- n1=n2=1): emit NULL from BOTH engines instead of diverging
        -- NaN-vs-NULL on degenerate series (ADVICE r10).
        CASE WHEN 2 * n1 * n2 > n1 + n2 THEN
-       ROUND((CAST(n_runs AS DOUBLE)
+       FLOOR(((CAST(n_runs AS DOUBLE)
               - (1.0e0 + 2.0e0 * n1 * n2 / (n1 + n2)))
              / SQRT(2.0e0 * n1 * n2 * (2.0e0 * n1 * n2 - (n1 + n2))
                     / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
-                       * (n1 + n2 - 1))), 6) END AS z_score
+                       * (n1 + n2 - 1)))) * 1e6 + 0.5) / 1e6 END AS z_score
 FROM stats
 ORDER BY event_type
 """
@@ -175,7 +175,7 @@ def q_stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_up"),
         F.col("n2").alias("n_down"),
         "n_runs",
-        F.when(nondegenerate, F.round((d("n_runs") - mu) / sigma, 6))
+        F.when(nondegenerate, (F.floor(((d("n_runs") - mu) / sigma) * 1e6 + 0.5) / 1e6))
         .otherwise(F.lit(None).cast("double"))
         .alias("z_score"),
     ).orderBy("event_type")

@@ -58,5 +58,5 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(1000)).alias(
             "approx_p99"
         ),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("exact_p50"),
+        (F.floor((F.percentile("l_extendedprice", F.lit(0.5))) * 1e2 + 0.5) / 1e2).alias("exact_p50"),
     )

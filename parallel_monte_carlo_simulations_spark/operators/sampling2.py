@@ -36,11 +36,11 @@ _QWRS_ORACLE = f"""
 WITH keyed AS (
   SELECT o_orderkey,
          o_totalprice AS weight,
-         ROUND(ln((CAST({sql_hash60("CAST(o_orderkey AS VARCHAR)")} + 1 AS DOUBLE))
-                  / {_TWO60!r}) / o_totalprice, 12) AS kk
+         FLOOR((ln((CAST({sql_hash60("CAST(o_orderkey AS VARCHAR)")} + 1 AS DOUBLE))
+                  / {_TWO60!r}) / o_totalprice) * 1e12 + 0.5) / 1e12 AS kk
   FROM orders
 )
-SELECT o_orderkey, ROUND(weight, 2) AS weight, kk,
+SELECT o_orderkey, FLOOR((weight) * 1e2 + 0.5) / 1e2 AS weight, kk,
        CAST(ROW_NUMBER() OVER (ORDER BY kk DESC, o_orderkey) AS INTEGER) AS rk
 FROM keyed
 ORDER BY kk DESC, o_orderkey
@@ -62,7 +62,7 @@ def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (hash60(F.col("o_orderkey").cast("string")) + 1).cast("double") / F.lit(
         _TWO60
     )
-    kk = F.round(F.log(u) / F.col("o_totalprice"), 12)
+    kk = (F.floor((F.log(u) / F.col("o_totalprice")) * 1e12 + 0.5) / 1e12)
     keyed = o.select(
         "o_orderkey",
         F.col("o_totalprice").alias("weight"),
@@ -79,7 +79,7 @@ def q_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(Window.orderBy(F.col("kk").desc(), "o_orderkey"))
             .cast("int"),
         )
-        .select("o_orderkey", F.round("weight", 2).alias("weight"), "kk", "rk")
+        .select("o_orderkey", (F.floor((F.col("weight")) * 1e2 + 0.5) / 1e2).alias("weight"), "kk", "rk")
     )
 
 

@@ -111,15 +111,15 @@ _QMATH_ORACLE = """
 SELECT
   l_orderkey,
   l_linenumber,
-  ROUND(ln(l_extendedprice), 6)                      AS log_price,
-  ROUND(log10(l_extendedprice), 6)                   AS log10_price,
-  ROUND(sqrt(l_quantity), 6)                         AS sqrt_qty,
-  ROUND(pow(l_discount, 2), 8)                       AS disc_sq,
+  FLOOR((ln(l_extendedprice)) * 1e6 + 0.5) / 1e6                      AS log_price,
+  FLOOR((log10(l_extendedprice)) * 1e6 + 0.5) / 1e6                   AS log10_price,
+  FLOOR((sqrt(l_quantity)) * 1e6 + 0.5) / 1e6                         AS sqrt_qty,
+  FLOOR((pow(l_discount, 2)) * 1e8 + 0.5) / 1e8                       AS disc_sq,
   ABS(l_quantity - 25)                               AS qty_dev,
   CAST(ceil(l_extendedprice / 1000) AS BIGINT)       AS price_kilo_ceil,
   CAST(floor(l_extendedprice / 1000) AS BIGINT)      AS price_kilo_floor,
   CAST(l_orderkey % 7 AS BIGINT)                     AS key_mod7,
-  ROUND(sin(l_discount) + cos(l_tax), 8)             AS trig_mix,
+  FLOOR((sin(l_discount) + cos(l_tax)) * 1e8 + 0.5) / 1e8             AS trig_mix,
   CAST(sign(l_quantity - 25) AS DOUBLE)              AS qty_sign
 FROM lineitem
 WHERE l_orderkey % 20 = 0
@@ -137,17 +137,17 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
-        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
-        F.round(F.pow("l_discount", F.lit(2)), 8).alias("disc_sq"),
+        (F.floor((F.log("l_extendedprice")) * 1e6 + 0.5) / 1e6).alias("log_price"),
+        (F.floor((F.log10("l_extendedprice")) * 1e6 + 0.5) / 1e6).alias("log10_price"),
+        (F.floor((F.sqrt("l_quantity")) * 1e6 + 0.5) / 1e6).alias("sqrt_qty"),
+        (F.floor((F.pow("l_discount", F.lit(2))) * 1e8 + 0.5) / 1e8).alias("disc_sq"),
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
         F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_kilo_ceil"),
         F.floor(F.col("l_extendedprice") / 1000)
         .cast("bigint")
         .alias("price_kilo_floor"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
-        F.round(F.sin("l_discount") + F.cos("l_tax"), 8).alias("trig_mix"),
+        (F.floor((F.sin("l_discount") + F.cos("l_tax")) * 1e8 + 0.5) / 1e8).alias("trig_mix"),
         F.signum(F.col("l_quantity") - 25).cast("double").alias("qty_sign"),
     )
 
@@ -250,8 +250,8 @@ _QCOND_ORACLE = """
 SELECT
   c_custkey,
   COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER')   AS segment_masked,
-  ROUND(GREATEST(c_acctbal, 0.0), 2)                    AS bal_floor0,
-  ROUND(LEAST(c_acctbal, 5000.0), 2)                    AS bal_cap5k,
+  FLOOR((GREATEST(c_acctbal, 0.0)) * 1e2 + 0.5) / 1e2                    AS bal_floor0,
+  FLOOR((LEAST(c_acctbal, 5000.0)) * 1e2 + 0.5) / 1e2                    AS bal_cap5k,
   CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END         AS bal_is_null,
   CAST(IF(c_acctbal < 0, 1, 0) AS INTEGER)              AS in_debt
 FROM customer
@@ -271,8 +271,8 @@ def q_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
         ).alias("segment_masked"),
-        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_floor0"),
-        F.round(F.least(F.col("c_acctbal"), F.lit(5000.0)), 2).alias("bal_cap5k"),
+        (F.floor((F.greatest(F.col("c_acctbal"), F.lit(0.0))) * 1e2 + 0.5) / 1e2).alias("bal_floor0"),
+        (F.floor((F.least(F.col("c_acctbal"), F.lit(5000.0))) * 1e2 + 0.5) / 1e2).alias("bal_cap5k"),
         F.when(F.col("c_acctbal").isNull(), 1).otherwise(0).alias("bal_is_null"),
         F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("in_debt"),
     )

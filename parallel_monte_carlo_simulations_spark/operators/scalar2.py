@@ -179,7 +179,7 @@ WITH dirty AS (
 SELECT
   c_custkey,
   COALESCE(segment, 'UNKNOWN')                       AS segment_filled,
-  ROUND(COALESCE(bal, 0.0), 2)                       AS bal_filled,
+  FLOOR((COALESCE(bal, 0.0)) * 1e2 + 0.5) / 1e2                       AS bal_filled,
   CASE WHEN segment IS NULL OR bal IS NULL THEN 1 ELSE 0 END AS was_dirty
 FROM dirty
 """
@@ -211,7 +211,7 @@ def q_cleaning_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select(
         "c_custkey",
         F.col("segment").alias("segment_filled"),
-        F.round("bal", 2).alias("bal_filled"),
+        (F.floor((F.col("bal")) * 1e2 + 0.5) / 1e2).alias("bal_filled"),
         "was_dirty",
     )
 
@@ -223,9 +223,9 @@ def q_cleaning_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QPCT_ORACLE = """
 SELECT
   l_returnflag,
-  ROUND(quantile_cont(l_quantity, 0.5), 4)  AS p50_qty,
-  ROUND(quantile_cont(l_quantity, 0.9), 4)  AS p90_qty,
-  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+  FLOOR((quantile_cont(l_quantity, 0.5)) * 1e4 + 0.5) / 1e4  AS p50_qty,
+  FLOOR((quantile_cont(l_quantity, 0.9)) * 1e4 + 0.5) / 1e4  AS p90_qty,
+  FLOOR((quantile_cont(l_extendedprice, 0.99)) * 1e4 + 0.5) / 1e4 AS p99_price
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -240,7 +240,7 @@ GROUP BY l_returnflag
 def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
-        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+        (F.floor((F.percentile("l_quantity", F.lit(0.5))) * 1e4 + 0.5) / 1e4).alias("p50_qty"),
+        (F.floor((F.percentile("l_quantity", F.lit(0.9))) * 1e4 + 0.5) / 1e4).alias("p90_qty"),
+        (F.floor((F.percentile("l_extendedprice", F.lit(0.99))) * 1e4 + 0.5) / 1e4).alias("p99_price"),
     )

@@ -312,14 +312,14 @@ wts AS (
   -- df ceiling: terms in more than 10% of docs are stop-terms — they
   -- carry no signal and their posting lists dominate the pair join
   SELECT tf.doc_id, tf.term,
-         CAST(ROUND(tf.tf * ln((s.n_docs + 1.0e0) / (df.df + 1.0e0)), 9)
+         CAST(FLOOR((tf.tf * ln((s.n_docs + 1.0e0) / (df.df + 1.0e0))) * 1e9 + 0.5) / 1e9
               AS DECIMAL(18,9)) AS w
   FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
   WHERE df.df * 10 <= s.n_docs
 ),
 norms AS (
   SELECT doc_id,
-         CAST(SUM(CAST(ROUND(CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 9)
+         CAST(SUM(CAST(FLOOR((CAST(w AS DOUBLE) * CAST(w AS DOUBLE)) * 1e9 + 0.5) / 1e9
                        AS DECIMAL(18,9))) AS DOUBLE) AS n2
   FROM wts GROUP BY doc_id
 ),
@@ -328,14 +328,14 @@ dots AS (
   -- is Theta(sum df^2) ~ 20M rows even under the df ceiling; a bounded
   -- query set is how production similarity joins run (per-batch)
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(SUM(CAST(ROUND(CAST(a.w AS DOUBLE) * CAST(b.w AS DOUBLE), 9)
+         CAST(SUM(CAST(FLOOR((CAST(a.w AS DOUBLE) * CAST(b.w AS DOUBLE)) * 1e9 + 0.5) / 1e9
                        AS DECIMAL(18,9))) AS DOUBLE) AS dot
   FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id <> b.doc_id
   WHERE a.doc_id < 20
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT d.doc_a, d.doc_b,
-       ROUND(d.dot / SQRT(na.n2 * nb.n2), 6) AS cos_sim
+       FLOOR((d.dot / SQRT(na.n2 * nb.n2)) * 1e6 + 0.5) / 1e6 AS cos_sim
 FROM dots d
 JOIN norms na ON na.doc_id = d.doc_a
 JOIN norms nb ON nb.doc_id = d.doc_b
@@ -391,23 +391,18 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            F.round(
-                F.col("tf")
+            (F.floor((F.col("tf")
                 * F.log(
                     (F.col("n_docs").cast("double") + 1.0)
                     / (F.col("df") + F.lit(1.0))
-                ),
-                9,
-            )
+                )) * 1e9 + 0.5) / 1e9)
             .cast("decimal(18,9)")
             .alias("w"),
         )
     )
     norms = wts.groupBy("doc_id").agg(
         F.sum(
-            F.round(
-                F.col("w").cast("double") * F.col("w").cast("double"), 9
-            ).cast("decimal(18,9)")
+            (F.floor((F.col("w").cast("double") * F.col("w").cast("double")) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)")
         )
         .cast("double")
         .alias("n2")
@@ -430,10 +425,7 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(
             F.sum(
-                F.round(
-                    F.col("w").cast("double") * F.col("w_b").cast("double"),
-                    9,
-                ).cast("decimal(18,9)")
+                (F.floor((F.col("w").cast("double") * F.col("w_b").cast("double")) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)")
             )
             .cast("double")
             .alias("dot")
@@ -447,9 +439,7 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")), 6
-            ).alias("cos_sim"),
+            (F.floor((F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2"))) * 1e6 + 0.5) / 1e6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
         .limit(20)

@@ -50,8 +50,8 @@ trended AS (
 ),
 detrended AS (
   SELECT day_no % 7 AS weekday,
-         CAST(ROUND(CAST(cents AS DOUBLE) / 100.0e0
-                    - CAST(win_cents AS DOUBLE) / (100.0e0 * win_n), 4)
+         CAST(FLOOR((CAST(cents AS DOUBLE) / 100.0e0
+                    - CAST(win_cents AS DOUBLE) / (100.0e0 * win_n)) * 1e4 + 0.5) / 1e4
               AS DECIMAL(18,4)) AS dev
   FROM trended
   WHERE win_n = 7
@@ -59,13 +59,13 @@ detrended AS (
 seasonal AS (
   SELECT weekday,
          CAST(COUNT(*) AS BIGINT) AS n_weeks,
-         ROUND(CAST(SUM(dev) AS DOUBLE) / COUNT(*), 4) AS seasonal_dev
+         FLOOR((CAST(SUM(dev) AS DOUBLE) / COUNT(*)) * 1e4 + 0.5) / 1e4 AS seasonal_dev
   FROM detrended
   GROUP BY weekday
 ),
 balance AS (
-  SELECT ROUND(CAST(SUM(CAST(ROUND(seasonal_dev, 4) AS DECIMAL(18,4)))
-                    AS DOUBLE) / 7.0e0, 4) AS mean_seasonal
+  SELECT FLOOR((CAST(SUM(CAST(FLOOR((seasonal_dev) * 1e4 + 0.5) / 1e4 AS DECIMAL(18,4)))
+                    AS DOUBLE) / 7.0e0) * 1e4 + 0.5) / 1e4 AS mean_seasonal
   FROM seasonal
 )
 SELECT s.weekday, s.n_weeks, s.seasonal_dev, b.mean_seasonal
@@ -106,28 +106,22 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     detrended = trended.where(F.col("win_n") == 7).select(
         (F.col("day_no") % 7).alias("weekday"),
-        F.round(
-            F.col("cents").cast("double") / 100.0
+        (F.floor((F.col("cents").cast("double") / 100.0
             - F.col("win_cents").cast("double")
-            / (F.lit(100.0) * F.col("win_n")),
-            4,
-        )
+            / (F.lit(100.0) * F.col("win_n"))) * 1e4 + 0.5) / 1e4)
         .cast("decimal(18,4)")
         .alias("dev"),
     )
     seasonal = detrended.groupBy("weekday").agg(
         F.count("*").alias("n_weeks"),
-        F.round(F.sum("dev").cast("double") / F.count("*"), 4).alias(
+        (F.floor((F.sum("dev").cast("double") / F.count("*")) * 1e4 + 0.5) / 1e4).alias(
             "seasonal_dev"
         ),
     )
     balance = seasonal.agg(
-        F.round(
-            F.sum(F.round(F.col("seasonal_dev"), 4).cast("decimal(18,4)"))
+        (F.floor((F.sum((F.floor((F.col("seasonal_dev")) * 1e4 + 0.5) / 1e4).cast("decimal(18,4)"))
             .cast("double")
-            / F.lit(7.0),
-            4,
-        ).alias("mean_seasonal")
+            / F.lit(7.0)) * 1e4 + 0.5) / 1e4).alias("mean_seasonal")
     )
     return (
         seasonal.crossJoin(F.broadcast(balance))
@@ -163,11 +157,11 @@ scored AS (
   WHERE naive_prev IS NOT NULL AND snaive_prev IS NOT NULL
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-       ROUND(CAST(SUM(e_naive) AS DOUBLE) / (100.0e0 * COUNT(*)), 2)
+       FLOOR((CAST(SUM(e_naive) AS DOUBLE) / (100.0e0 * COUNT(*))) * 1e2 + 0.5) / 1e2
          AS mae_naive,
-       ROUND(CAST(SUM(e_snaive) AS DOUBLE) / (100.0e0 * COUNT(*)), 2)
+       FLOOR((CAST(SUM(e_snaive) AS DOUBLE) / (100.0e0 * COUNT(*))) * 1e2 + 0.5) / 1e2
          AS mae_seasonal_naive,
-       ROUND(CAST(SUM(e_snaive) AS DOUBLE) / CAST(SUM(e_naive) AS DOUBLE), 6)
+       FLOOR((CAST(SUM(e_snaive) AS DOUBLE) / CAST(SUM(e_naive) AS DOUBLE)) * 1e6 + 0.5) / 1e6
          AS mase
 FROM scored
 """
@@ -209,15 +203,7 @@ def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.agg(
         F.count("*").alias("n_days"),
-        F.round(
-            F.sum("e_naive").cast("double") / (F.lit(100.0) * F.count("*")), 2
-        ).alias("mae_naive"),
-        F.round(
-            F.sum("e_snaive").cast("double") / (F.lit(100.0) * F.count("*")),
-            2,
-        ).alias("mae_seasonal_naive"),
-        F.round(
-            F.sum("e_snaive").cast("double") / F.sum("e_naive").cast("double"),
-            6,
-        ).alias("mase"),
+        (F.floor((F.sum("e_naive").cast("double") / (F.lit(100.0) * F.count("*"))) * 1e2 + 0.5) / 1e2).alias("mae_naive"),
+        (F.floor((F.sum("e_snaive").cast("double") / (F.lit(100.0) * F.count("*"))) * 1e2 + 0.5) / 1e2).alias("mae_seasonal_naive"),
+        (F.floor((F.sum("e_snaive").cast("double") / F.sum("e_naive").cast("double")) * 1e6 + 0.5) / 1e6).alias("mase"),
     )

@@ -247,9 +247,9 @@ est AS (
   FROM s1
 )
 SELECT x.n_exact,
-       ROUND(e.e, 4) AS hll_estimate,
-       ROUND(((e.e - CAST(x.n_exact AS DOUBLE)) / CAST(x.n_exact AS DOUBLE))
-             * 100.0e0, 4) AS rel_err_pct,
+       FLOOR((e.e) * 1e4 + 0.5) / 1e4 AS hll_estimate,
+       FLOOR((((e.e - CAST(x.n_exact AS DOUBLE)) / CAST(x.n_exact AS DOUBLE))
+             * 100.0e0) * 1e4 + 0.5) / 1e4 AS rel_err_pct,
        e.v AS n_zero_registers,
        (s2.s = e.s AND s2.v = e.v) AS merge_equal
 FROM est e CROSS JOIN s2 CROSS JOIN exact x
@@ -313,15 +313,12 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(exact))
         .select(
             "n_exact",
-            F.round(e, 4).alias("hll_estimate"),
-            F.round(
-                (
+            (F.floor((e) * 1e4 + 0.5) / 1e4).alias("hll_estimate"),
+            (F.floor(((
                     (e - F.col("n_exact").cast("double"))
                     / F.col("n_exact").cast("double")
                 )
-                * 100.0,
-                4,
-            ).alias("rel_err_pct"),
+                * 100.0) * 1e4 + 0.5) / 1e4).alias("rel_err_pct"),
             F.col("v").alias("n_zero_registers"),
             ((F.col("s2") == F.col("s")) & (F.col("v2") == F.col("v"))).alias(
                 "merge_equal"
@@ -394,15 +391,15 @@ ex AS (
   FROM vcum GROUP BY rf
 )
 SELECT e.rf AS l_returnflag, t.n AS n_rows,
-       ROUND(e.e50 / 100.0e0, 2) AS p50_est, ROUND(x.x50 / 100.0e0, 2) AS p50_exact,
-       ROUND(e.e90 / 100.0e0, 2) AS p90_est, ROUND(x.x90 / 100.0e0, 2) AS p90_exact,
-       ROUND(e.e99 / 100.0e0, 2) AS p99_est, ROUND(x.x99 / 100.0e0, 2) AS p99_exact,
-       ROUND(((CAST(e.e50 AS DOUBLE) - CAST(x.x50 AS DOUBLE))
-              / CAST(x.x50 AS DOUBLE)) * 100.0e0, 4) AS re50_pct,
-       ROUND(((CAST(e.e90 AS DOUBLE) - CAST(x.x90 AS DOUBLE))
-              / CAST(x.x90 AS DOUBLE)) * 100.0e0, 4) AS re90_pct,
-       ROUND(((CAST(e.e99 AS DOUBLE) - CAST(x.x99 AS DOUBLE))
-              / CAST(x.x99 AS DOUBLE)) * 100.0e0, 4) AS re99_pct
+       FLOOR((e.e50 / 100.0e0) * 1e2 + 0.5) / 1e2 AS p50_est, FLOOR((x.x50 / 100.0e0) * 1e2 + 0.5) / 1e2 AS p50_exact,
+       FLOOR((e.e90 / 100.0e0) * 1e2 + 0.5) / 1e2 AS p90_est, FLOOR((x.x90 / 100.0e0) * 1e2 + 0.5) / 1e2 AS p90_exact,
+       FLOOR((e.e99 / 100.0e0) * 1e2 + 0.5) / 1e2 AS p99_est, FLOOR((x.x99 / 100.0e0) * 1e2 + 0.5) / 1e2 AS p99_exact,
+       FLOOR((((CAST(e.e50 AS DOUBLE) - CAST(x.x50 AS DOUBLE))
+              / CAST(x.x50 AS DOUBLE)) * 100.0e0) * 1e4 + 0.5) / 1e4 AS re50_pct,
+       FLOOR((((CAST(e.e90 AS DOUBLE) - CAST(x.x90 AS DOUBLE))
+              / CAST(x.x90 AS DOUBLE)) * 100.0e0) * 1e4 + 0.5) / 1e4 AS re90_pct,
+       FLOOR((((CAST(e.e99 AS DOUBLE) - CAST(x.x99 AS DOUBLE))
+              / CAST(x.x99 AS DOUBLE)) * 100.0e0) * 1e4 + 0.5) / 1e4 AS re99_pct
 FROM est e
 JOIN ex x ON x.rf = e.rf
 JOIN tot t ON t.rf = e.rf
@@ -473,9 +470,7 @@ def q_ddsketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _re(e, x):
-        return F.round(
-            ((e.cast("double") - x.cast("double")) / x.cast("double")) * 100.0, 4
-        )
+        return (F.floor((((e.cast("double") - x.cast("double")) / x.cast("double")) * 100.0) * 1e4 + 0.5) / 1e4)
 
     return (
         est.join(ex, on="rf")
@@ -483,12 +478,12 @@ def q_ddsketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("rf").alias("l_returnflag"),
             F.col("n").alias("n_rows"),
-            F.round(F.col("e50") / 100.0, 2).alias("p50_est"),
-            F.round(F.col("x50") / 100.0, 2).alias("p50_exact"),
-            F.round(F.col("e90") / 100.0, 2).alias("p90_est"),
-            F.round(F.col("x90") / 100.0, 2).alias("p90_exact"),
-            F.round(F.col("e99") / 100.0, 2).alias("p99_est"),
-            F.round(F.col("x99") / 100.0, 2).alias("p99_exact"),
+            (F.floor((F.col("e50") / 100.0) * 1e2 + 0.5) / 1e2).alias("p50_est"),
+            (F.floor((F.col("x50") / 100.0) * 1e2 + 0.5) / 1e2).alias("p50_exact"),
+            (F.floor((F.col("e90") / 100.0) * 1e2 + 0.5) / 1e2).alias("p90_est"),
+            (F.floor((F.col("x90") / 100.0) * 1e2 + 0.5) / 1e2).alias("p90_exact"),
+            (F.floor((F.col("e99") / 100.0) * 1e2 + 0.5) / 1e2).alias("p99_est"),
+            (F.floor((F.col("x99") / 100.0) * 1e2 + 0.5) / 1e2).alias("p99_exact"),
             _re(F.col("e50"), F.col("x50")).alias("re50_pct"),
             _re(F.col("e90"), F.col("x90")).alias("re90_pct"),
             _re(F.col("e99"), F.col("x99")).alias("re99_pct"),
@@ -551,10 +546,10 @@ xint AS (
   )
 )
 SELECT x.xa AS exact_view, x.xb AS exact_purchase, xi.xi AS exact_inter,
-       ROUND({_sql_hll_est("sa.s", "sa.v")}, 4) AS est_view,
-       ROUND({_sql_hll_est("sb.s", "sb.v")}, 4) AS est_purchase,
-       ROUND(({_sql_hll_est("sa.s", "sa.v")} + {_sql_hll_est("sb.s", "sb.v")})
-             - {_sql_hll_est("su.s", "su.v")}, 4) AS est_inter
+       FLOOR(({_sql_hll_est("sa.s", "sa.v")}) * 1e4 + 0.5) / 1e4 AS est_view,
+       FLOOR(({_sql_hll_est("sb.s", "sb.v")}) * 1e4 + 0.5) / 1e4 AS est_purchase,
+       FLOOR((({_sql_hll_est("sa.s", "sa.v")} + {_sql_hll_est("sb.s", "sb.v")})
+             - {_sql_hll_est("su.s", "su.v")}) * 1e4 + 0.5) / 1e4 AS est_inter
 FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN exact x CROSS JOIN xint xi
 """
 
@@ -625,8 +620,8 @@ def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_view",
             "exact_purchase",
             "exact_inter",
-            F.round(ea, 4).alias("est_view"),
-            F.round(eb, 4).alias("est_purchase"),
-            F.round((ea + eb) - eu, 4).alias("est_inter"),
+            (F.floor((ea) * 1e4 + 0.5) / 1e4).alias("est_view"),
+            (F.floor((eb) * 1e4 + 0.5) / 1e4).alias("est_purchase"),
+            (F.floor(((ea + eb) - eu) * 1e4 + 0.5) / 1e4).alias("est_inter"),
         )
     )

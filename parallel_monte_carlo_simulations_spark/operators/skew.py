@@ -33,7 +33,7 @@ SELECT event_type,
        COUNT(*)             AS n_events,
        {rdiv_halfup_duck(f"SUM({units_sql('value', 2)})", "100", 2)}
                             AS total_value,
-       ROUND(MAX(value), 2) AS max_value
+       FLOOR((MAX(value)) * 1e2 + 0.5) / 1e2 AS max_value
 FROM events
 GROUP BY event_type
 """
@@ -52,7 +52,7 @@ def salted_agg(df: DataFrame, key: str, salt_src: str) -> DataFrame:
         .agg(
             F.sum("_n").alias("n_events"),
             F.sum("_sum_u2").alias("_u2"),
-            F.round(F.max("_max"), 2).alias("max_value"),
+            (F.floor((F.max("_max")) * 1e2 + 0.5) / 1e2).alias("max_value"),
         )
         .select(
             key,

@@ -75,8 +75,8 @@ spec AS (
 SELECT k,
        CAST(n AS BIGINT) AS n_hours,
        {rdiv_halfup_duck("n", "k", 2)} AS period_hours,
-       ROUND(POW(sc / CAST(tot AS DOUBLE), 2)
-             + POW(ss / CAST(tot AS DOUBLE), 2), 5) AS power_norm
+       FLOOR((POW(sc / CAST(tot AS DOUBLE), 2)
+             + POW(ss / CAST(tot AS DOUBLE), 2)) * 1e5 + 0.5) / 1e5 AS power_norm
 FROM spec
 ORDER BY k
 """
@@ -137,11 +137,8 @@ def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.col("n").cast("long").alias("n_hours"),
         rdiv_halfup_expr("n", "k", 2).alias("period_hours"),
-        F.round(
-            F.pow(F.col("sc") / F.col("tot").cast("double"), 2)
-            + F.pow(F.col("ss") / F.col("tot").cast("double"), 2),
-            5,
-        ).alias("power_norm"),
+        (F.floor((F.pow(F.col("sc") / F.col("tot").cast("double"), 2)
+            + F.pow(F.col("ss") / F.col("tot").cast("double"), 2)) * 1e5 + 0.5) / 1e5).alias("power_norm"),
     ).orderBy("k")
 
 
@@ -176,25 +173,24 @@ terms AS (
 ),
 spec AS (
   SELECT k,
-         CAST(ROUND(POW(SUM(tc) / CAST(ANY_VALUE(tot) AS DOUBLE), 2)
-                    + POW(SUM(ts) / CAST(ANY_VALUE(tot) AS DOUBLE), 2), 5)
+         CAST(FLOOR((POW(SUM(tc) / CAST(ANY_VALUE(tot) AS DOUBLE), 2)
+                    + POW(SUM(ts) / CAST(ANY_VALUE(tot) AS DOUBLE), 2)) * 1e5 + 0.5) / 1e5
               AS DECIMAL(24,5)) AS pw
   FROM terms GROUP BY k
 ),
 norm AS (SELECT CAST(SUM(pw) AS DOUBLE) AS z FROM spec),
 ent_terms AS (
-  SELECT CAST(ROUND(
-           CASE WHEN CAST(pw AS DOUBLE) > 0
+  SELECT CAST(FLOOR((CASE WHEN CAST(pw AS DOUBLE) > 0
                 THEN (CAST(pw AS DOUBLE) / n.z)
                      * LN(n.z / CAST(pw AS DOUBLE))
-                ELSE 0 END, 10) AS DECIMAL(24,10)) AS tq,
+                ELSE 0 END) * 1e10 + 0.5) / 1e10 AS DECIMAL(24,10)) AS tq,
          CAST(pw AS DOUBLE) / n.z AS p
   FROM spec CROSS JOIN norm n
 )
 SELECT CAST({_K} AS BIGINT)                          AS n_freqs,
-       ROUND(CAST(SUM(tq) AS DOUBLE), 6)             AS spectral_entropy,
-       ROUND(CAST(SUM(tq) AS DOUBLE) / LN({_K}.0), 6) AS entropy_normalized,
-       ROUND(MAX(p), 6)                              AS peak_share
+       FLOOR((CAST(SUM(tq) AS DOUBLE)) * 1e6 + 0.5) / 1e6             AS spectral_entropy,
+       FLOOR((CAST(SUM(tq) AS DOUBLE) / LN({_K}.0)) * 1e6 + 0.5) / 1e6 AS entropy_normalized,
+       FLOOR((MAX(p)) * 1e6 + 0.5) / 1e6                              AS peak_share
 FROM ent_terms
 """
 
@@ -242,24 +238,18 @@ def q_ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     spec = terms.groupBy("k").agg(
-        F.round(
-            F.pow(F.sum("tc") / F.any_value("tot").cast("double"), 2)
-            + F.pow(F.sum("ts") / F.any_value("tot").cast("double"), 2),
-            5,
-        )
+        (F.floor((F.pow(F.sum("tc") / F.any_value("tot").cast("double"), 2)
+            + F.pow(F.sum("ts") / F.any_value("tot").cast("double"), 2)) * 1e5 + 0.5) / 1e5)
         .cast("decimal(24,5)")
         .alias("pw")
     )
     norm = spec.agg(F.sum("pw").cast("double").alias("z"))
     p = F.col("pw").cast("double") / F.col("z")
     ent_terms = spec.crossJoin(F.broadcast(norm)).select(
-        F.round(
-            F.when(
+        (F.floor((F.when(
                 F.col("pw").cast("double") > 0,
                 p * F.log(F.col("z") / F.col("pw").cast("double")),
-            ).otherwise(0.0),
-            10,
-        )
+            ).otherwise(0.0)) * 1e10 + 0.5) / 1e10)
         .cast("decimal(24,10)")
         .alias("tq"),
         p.alias("p"),
@@ -268,9 +258,7 @@ def q_ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ent_terms.agg(
         F.lit(_K).cast("long").alias("n_freqs"),
-        F.round(F.sum("tq").cast("double"), 6).alias("spectral_entropy"),
-        F.round(
-            F.sum("tq").cast("double") / _math.log(_K), 6
-        ).alias("entropy_normalized"),
-        F.round(F.max("p"), 6).alias("peak_share"),
+        (F.floor((F.sum("tq").cast("double")) * 1e6 + 0.5) / 1e6).alias("spectral_entropy"),
+        (F.floor((F.sum("tq").cast("double") / _math.log(_K)) * 1e6 + 0.5) / 1e6).alias("entropy_normalized"),
+        (F.floor((F.max("p")) * 1e6 + 0.5) / 1e6).alias("peak_share"),
     )

@@ -28,8 +28,8 @@ from ..tables import table
 _QSQLUDF_ORACLE = """
 SELECT c.c_custkey,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(ROUND(SUM(CAST(ROUND(o.o_totalprice * (1.0 - 0.05), 4)
-                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS disc_total
+       CAST(FLOOR((SUM(CAST(FLOOR((o.o_totalprice * (1.0 - 0.05)) * 1e4 + 0.5) / 1e4
+                           AS DECIMAL(18,4)))) * 1e2 + 0.5) / 1e2 AS DOUBLE) AS disc_total
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 WHERE c.c_custkey < 50
@@ -53,7 +53,7 @@ def q_sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("_sqludf_customer")
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION _sqludf_net_price("
-        "p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN ROUND(p * (1.0 - d), 4)"
+        "p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN FLOOR((p * (1.0 - d)) * 1e4 + 0.5) / 1e4"
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION _sqludf_cust_orders(ck BIGINT)"
@@ -65,8 +65,8 @@ def q_sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c.c_custkey,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(ROUND(SUM(CAST(_sqludf_net_price(t.o_totalprice, 0.05)
-                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+               CAST(FLOOR((SUM(CAST(_sqludf_net_price(t.o_totalprice, 0.05)
+                                   AS DECIMAL(18,4)))) * 1e2 + 0.5) / 1e2 AS DOUBLE)
                  AS disc_total
         FROM _sqludf_customer c, LATERAL _sqludf_cust_orders(c.c_custkey) t
         WHERE c.c_custkey < 50

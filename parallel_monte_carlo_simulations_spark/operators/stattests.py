@@ -44,17 +44,17 @@ cells AS (
 ),
 terms AS (
   SELECT digit, o, n, e,
-         CAST(ROUND(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e, 8)
+         CAST(FLOOR((((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e) * 1e8 + 0.5) / 1e8
               AS DECIMAL(24,8)) AS t
   FROM cells
 ),
 chi AS (SELECT CAST(SUM(t) AS DOUBLE) AS chi2 FROM terms)
 SELECT t.digit,
        t.o AS observed,
-       ROUND(t.e, 2) AS expected,
-       ROUND((CAST(t.o AS DOUBLE) / CAST(t.n AS DOUBLE)) * 100.0e0, 4)
+       FLOOR((t.e) * 1e2 + 0.5) / 1e2 AS expected,
+       FLOOR(((CAST(t.o AS DOUBLE) / CAST(t.n AS DOUBLE)) * 100.0e0) * 1e4 + 0.5) / 1e4
          AS observed_pct,
-       ROUND(c.chi2, 4) AS chi2_total
+       FLOOR((c.chi2) * 1e4 + 0.5) / 1e4 AS chi2_total
 FROM terms t CROSS JOIN chi c
 ORDER BY t.digit
 """
@@ -94,7 +94,7 @@ def q_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o",
         "n",
         "e",
-        F.round(((od - F.col("e")) * (od - F.col("e"))) / F.col("e"), 8)
+        (F.floor((((od - F.col("e")) * (od - F.col("e"))) / F.col("e")) * 1e8 + 0.5) / 1e8)
         .cast("decimal(24,8)")
         .alias("t"),
     )
@@ -104,13 +104,10 @@ def q_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             F.col("o").alias("observed"),
-            F.round(F.col("e"), 2).alias("expected"),
-            F.round(
-                (F.col("o").cast("double") / F.col("n").cast("double"))
-                * 100.0,
-                4,
-            ).alias("observed_pct"),
-            F.round(F.col("chi2"), 4).alias("chi2_total"),
+            (F.floor((F.col("e")) * 1e2 + 0.5) / 1e2).alias("expected"),
+            (F.floor(((F.col("o").cast("double") / F.col("n").cast("double"))
+                * 100.0) * 1e4 + 0.5) / 1e4).alias("observed_pct"),
+            (F.floor((F.col("chi2")) * 1e4 + 0.5) / 1e4).alias("chi2_total"),
         )
         .orderBy("digit")
     )
@@ -127,13 +124,11 @@ cs AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY dow),
 tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
 terms AS (
   SELECT cells.event_type, cells.dow,
-         CAST(ROUND(
-           ((CAST(cells.o AS DOUBLE) * CAST(t.n AS DOUBLE))
+         CAST(FLOOR((((CAST(cells.o AS DOUBLE) * CAST(t.n AS DOUBLE))
             - (CAST(rs.r AS DOUBLE) * CAST(cs.c AS DOUBLE)))
            * ((CAST(cells.o AS DOUBLE) * CAST(t.n AS DOUBLE))
               - (CAST(rs.r AS DOUBLE) * CAST(cs.c AS DOUBLE)))
-           / (CAST(t.n AS DOUBLE) * (CAST(rs.r AS DOUBLE) * CAST(cs.c AS DOUBLE))),
-           8) AS DECIMAL(24,8)) AS t
+           / (CAST(t.n AS DOUBLE) * (CAST(rs.r AS DOUBLE) * CAST(cs.c AS DOUBLE)))) * 1e8 + 0.5) / 1e8 AS DECIMAL(24,8)) AS t
   FROM cells
   JOIN rs ON rs.event_type = cells.event_type
   JOIN cs ON cs.dow = cells.dow
@@ -147,7 +142,7 @@ dims AS (
 SELECT t2.n AS n_events,
        d.nr AS n_rows_dim, d.nc AS n_cols_dim,
        (d.nr - 1) * (d.nc - 1) AS dof,
-       ROUND(CAST((SELECT SUM(t) FROM terms) AS DOUBLE), 4) AS chi2
+       FLOOR((CAST((SELECT SUM(t) FROM terms) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS chi2
 FROM tot t2 CROSS JOIN dims d
 """
 
@@ -183,7 +178,7 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cs), on="dow")
         .crossJoin(F.broadcast(tot))
         .select(
-            F.round(num * num / (nd * (rd * cd)), 8)
+            (F.floor((num * num / (nd * (rd * cd))) * 1e8 + 0.5) / 1e8)
             .cast("decimal(24,8)")
             .alias("t")
         )
@@ -197,7 +192,7 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nr").alias("n_rows_dim"),
             F.col("nc").alias("n_cols_dim"),
             ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
-            F.round(F.col("chi2"), 4).alias("chi2"),
+            (F.floor((F.col("chi2")) * 1e4 + 0.5) / 1e4).alias("chi2"),
         )
     )
 
@@ -226,10 +221,10 @@ d AS (
 )
 SELECT t.n1 AS n_view, t.n2 AS n_purchase,
        d.d_num,
-       ROUND(CAST(d.d_num AS DOUBLE)
-             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6) AS ks_d,
-       ROUND(1.358e0 * sqrt((CAST(t.n1 AS DOUBLE) + CAST(t.n2 AS DOUBLE))
-                            / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))), 6)
+       FLOOR((CAST(d.d_num AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS ks_d,
+       FLOOR((1.358e0 * sqrt((CAST(t.n1 AS DOUBLE) + CAST(t.n2 AS DOUBLE))
+                            / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)))) * 1e6 + 0.5) / 1e6
          AS ks_crit_05,
        (CAST(d.d_num AS DOUBLE)
         / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)))
@@ -306,8 +301,8 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_view"),
         F.col("n2").alias("n_purchase"),
         "d_num",
-        F.round(ks, 6).alias("ks_d"),
-        F.round(crit, 6).alias("ks_crit_05"),
+        (F.floor((ks) * 1e6 + 0.5) / 1e6).alias("ks_d"),
+        (F.floor((crit) * 1e6 + 0.5) / 1e6).alias("ks_crit_05"),
         (ks > crit).alias("reject_05"),
     )
 
@@ -347,12 +342,12 @@ sums AS (
 ),
 ranked AS (SELECT b, s, ROW_NUMBER() OVER (ORDER BY s, b) AS rk FROM sums)
 SELECT t.n AS n_rows, {BOOT_B} AS n_replicas,
-       ROUND((CAST(t.sv AS DOUBLE) / CAST(t.n AS DOUBLE)) / 100.0e0, 4)
+       FLOOR(((CAST(t.sv AS DOUBLE) / CAST(t.n AS DOUBLE)) / 100.0e0) * 1e4 + 0.5) / 1e4
          AS mean_full,
-       ROUND((CAST((SELECT s FROM ranked WHERE rk = {_RK_LO}) AS DOUBLE)
-              / CAST(t.n AS DOUBLE)) / 100.0e0, 4) AS ci_lo,
-       ROUND((CAST((SELECT s FROM ranked WHERE rk = {_RK_HI}) AS DOUBLE)
-              / CAST(t.n AS DOUBLE)) / 100.0e0, 4) AS ci_hi
+       FLOOR(((CAST((SELECT s FROM ranked WHERE rk = {_RK_LO}) AS DOUBLE)
+              / CAST(t.n AS DOUBLE)) / 100.0e0) * 1e4 + 0.5) / 1e4 AS ci_lo,
+       FLOOR(((CAST((SELECT s FROM ranked WHERE rk = {_RK_HI}) AS DOUBLE)
+              / CAST(t.n AS DOUBLE)) / 100.0e0) * 1e4 + 0.5) / 1e4 AS ci_hi
 FROM tot t
 """
 
@@ -423,13 +418,13 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n").alias("n_rows"),
             F.lit(BOOT_B).cast("int").alias("n_replicas"),
-            F.round((F.col("sv").cast("double") / nd) / 100.0, 4).alias(
+            (F.floor(((F.col("sv").cast("double") / nd) / 100.0) * 1e4 + 0.5) / 1e4).alias(
                 "mean_full"
             ),
-            F.round((F.col("s_lo").cast("double") / nd) / 100.0, 4).alias(
+            (F.floor(((F.col("s_lo").cast("double") / nd) / 100.0) * 1e4 + 0.5) / 1e4).alias(
                 "ci_lo"
             ),
-            F.round((F.col("s_hi").cast("double") / nd) / 100.0, 4).alias(
+            (F.floor(((F.col("s_hi").cast("double") / nd) / 100.0) * 1e4 + 0.5) / 1e4).alias(
                 "ci_hi"
             ),
         )
@@ -474,9 +469,9 @@ agg AS (
   FROM cum
 )
 SELECT t.n1, t.n2,
-       ROUND((CAST(a.sum_rank2_a AS DOUBLE)
-              - CAST(t.n1 * (t.n1 + 1) AS DOUBLE)) / 2.0e0, 1) AS u_stat,
-       ROUND(((CAST(a.sum_rank2_a AS DOUBLE)
+       FLOOR(((CAST(a.sum_rank2_a AS DOUBLE)
+              - CAST(t.n1 * (t.n1 + 1) AS DOUBLE)) / 2.0e0) * 1e1 + 0.5) / 1e1 AS u_stat,
+       FLOOR((((CAST(a.sum_rank2_a AS DOUBLE)
                - CAST(t.n1 * (t.n1 + 1) AS DOUBLE))
               - CAST(t.n1 * t.n2 AS DOUBLE))
              / (2.0e0 * sqrt((CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)
@@ -484,7 +479,7 @@ SELECT t.n1, t.n2,
                              * ((CAST(t.nn + 1 AS DOUBLE))
                                 - (CAST(a.tie_term AS DOUBLE)
                                    / (CAST(t.nn AS DOUBLE)
-                                      * CAST(t.nn - 1 AS DOUBLE)))))), 4)
+                                      * CAST(t.nn - 1 AS DOUBLE))))))) * 1e4 + 0.5) / 1e4
          AS z_score,
        ABS(((CAST(a.sum_rank2_a AS DOUBLE)
              - CAST(t.n1 * (t.n1 + 1) AS DOUBLE))
@@ -568,7 +563,7 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.crossJoin(F.broadcast(agg)).select(
         "n1",
         "n2",
-        F.round(u2 / F.lit(2.0), 1).alias("u_stat"),
-        F.round(z, 4).alias("z_score"),
+        (F.floor((u2 / F.lit(2.0)) * 1e1 + 0.5) / 1e1).alias("u_stat"),
+        (F.floor((z) * 1e4 + 0.5) / 1e4).alias("z_score"),
         (F.abs(z) > F.lit(1.96)).alias("significant_05"),
     )

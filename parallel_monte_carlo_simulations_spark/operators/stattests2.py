@@ -39,8 +39,8 @@ tot AS (
   FROM g
 ),
 terms AS (
-  SELECT CAST(ROUND(g.s * g.s / g.n, 8) AS DECIMAL(28,8))        AS between_q,
-         CAST(ROUND(g.ss - g.s * g.s / g.n, 8) AS DECIMAL(28,8)) AS within_q
+  SELECT CAST(FLOOR((g.s * g.s / g.n) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8))        AS between_q,
+         CAST(FLOOR((g.ss - g.s * g.s / g.n) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8)) AS within_q
   FROM g
 ),
 sums AS (
@@ -49,10 +49,10 @@ sums AS (
   FROM terms
 )
 SELECT t.k, t.n_tot,
-       ROUND(s2.bsum - t.s_tot * t.s_tot / t.n_tot, 4) AS ss_between,
-       ROUND(s2.ssw, 4)                                AS ss_within,
-       ROUND(((s2.bsum - t.s_tot * t.s_tot / t.n_tot) / (t.k - 1))
-             / (s2.ssw / (t.n_tot - t.k)), 6)          AS f_stat
+       FLOOR((s2.bsum - t.s_tot * t.s_tot / t.n_tot) * 1e4 + 0.5) / 1e4 AS ss_between,
+       FLOOR((s2.ssw) * 1e4 + 0.5) / 1e4                                AS ss_within,
+       FLOOR((((s2.bsum - t.s_tot * t.s_tot / t.n_tot) / (t.k - 1))
+             / (s2.ssw / (t.n_tot - t.k))) * 1e6 + 0.5) / 1e6          AS f_stat
 FROM tot t CROSS JOIN sums s2
 """
 
@@ -80,10 +80,10 @@ def q_stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = g.select(
         "n",
         "s",
-        F.round(F.col("s") * F.col("s") / F.col("n"), 8)
+        (F.floor((F.col("s") * F.col("s") / F.col("n")) * 1e8 + 0.5) / 1e8)
         .cast("decimal(28,8)")
         .alias("between_q"),
-        F.round(F.col("ss") - F.col("s") * F.col("s") / F.col("n"), 8)
+        (F.floor((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) * 1e8 + 0.5) / 1e8)
         .cast("decimal(28,8)")
         .alias("within_q"),
     )
@@ -98,13 +98,10 @@ def q_stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "k",
         "n_tot",
-        F.round(ssb, 4).alias("ss_between"),
-        F.round(F.col("ssw"), 4).alias("ss_within"),
-        F.round(
-            (ssb / (F.col("k") - 1))
-            / (F.col("ssw") / (F.col("n_tot") - F.col("k"))),
-            6,
-        ).alias("f_stat"),
+        (F.floor((ssb) * 1e4 + 0.5) / 1e4).alias("ss_between"),
+        (F.floor((F.col("ssw")) * 1e4 + 0.5) / 1e4).alias("ss_within"),
+        (F.floor(((ssb / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_tot") - F.col("k")))) * 1e6 + 0.5) / 1e6).alias("f_stat"),
     )
 
 
@@ -133,13 +130,12 @@ v AS (
   FROM piv
 )
 SELECT n1, n2,
-       ROUND(m1, 6) AS mean_o,
-       ROUND(m2, 6) AS mean_f,
-       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
-       ROUND(
-         (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+       FLOOR((m1) * 1e6 + 0.5) / 1e6 AS mean_o,
+       FLOOR((m2) * 1e6 + 0.5) / 1e6 AS mean_f,
+       FLOOR(((m1 - m2) / SQRT(v1 / n1 + v2 / n2)) * 1e6 + 0.5) / 1e6 AS t_stat,
+       FLOOR(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
          / ((v1 / n1) * (v1 / n1) / (n1 - 1)
-            + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS welch_df
+            + (v2 / n2) * (v2 / n2) / (n2 - 1))) * 1e4 + 0.5) / 1e4 AS welch_df
 FROM v
 """
 
@@ -182,14 +178,11 @@ def q_stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(
         "n1",
         "n2",
-        F.round(m1, 6).alias("mean_o"),
-        F.round(m2, 6).alias("mean_f"),
-        F.round((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
-        F.round(
-            (se1 + se2) * (se1 + se2)
-            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)),
-            4,
-        ).alias("welch_df"),
+        (F.floor((m1) * 1e6 + 0.5) / 1e6).alias("mean_o"),
+        (F.floor((m2) * 1e6 + 0.5) / 1e6).alias("mean_f"),
+        (F.floor(((m1 - m2) / F.sqrt(se1 + se2)) * 1e6 + 0.5) / 1e6).alias("t_stat"),
+        (F.floor(((se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1))) * 1e4 + 0.5) / 1e4).alias("welch_df"),
     )
 
 
@@ -219,8 +212,8 @@ tot AS (
   FROM g
 ),
 terms AS (
-  SELECT CAST(ROUND(g.s * g.s / g.n, 8) AS DECIMAL(28,8))        AS between_q,
-         CAST(ROUND(g.ss - g.s * g.s / g.n, 8) AS DECIMAL(28,8)) AS within_q
+  SELECT CAST(FLOOR((g.s * g.s / g.n) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8))        AS between_q,
+         CAST(FLOOR((g.ss - g.s * g.s / g.n) * 1e8 + 0.5) / 1e8 AS DECIMAL(28,8)) AS within_q
   FROM g
 ),
 sums AS (
@@ -229,8 +222,8 @@ sums AS (
   FROM terms
 )
 SELECT t.k, t.n_tot,
-       ROUND(((s2.bsum - t.s_tot * t.s_tot / t.n_tot) / (t.k - 1))
-             / (s2.ssw / (t.n_tot - t.k)), 6) AS bf_stat
+       FLOOR((((s2.bsum - t.s_tot * t.s_tot / t.n_tot) / (t.k - 1))
+             / (s2.ssw / (t.n_tot - t.k))) * 1e6 + 0.5) / 1e6 AS bf_stat
 FROM tot t CROSS JOIN sums s2
 """
 
@@ -264,10 +257,10 @@ def q_stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = g.select(
         "n",
         "s",
-        F.round(F.col("s") * F.col("s") / F.col("n"), 8)
+        (F.floor((F.col("s") * F.col("s") / F.col("n")) * 1e8 + 0.5) / 1e8)
         .cast("decimal(28,8)")
         .alias("between_q"),
-        F.round(F.col("ss") - F.col("s") * F.col("s") / F.col("n"), 8)
+        (F.floor((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) * 1e8 + 0.5) / 1e8)
         .cast("decimal(28,8)")
         .alias("within_q"),
     )
@@ -282,11 +275,8 @@ def q_stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "k",
         "n_tot",
-        F.round(
-            (ssb / (F.col("k") - 1))
-            / (F.col("ssw") / (F.col("n_tot") - F.col("k"))),
-            6,
-        ).alias("bf_stat"),
+        (F.floor(((ssb / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_tot") - F.col("k")))) * 1e6 + 0.5) / 1e6).alias("bf_stat"),
     )
 
 
@@ -304,11 +294,9 @@ rs AS (SELECT rv, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY rv),
 cs AS (SELECT cv, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY cv),
 tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
 terms AS (
-  SELECT CAST(ROUND(
-           ((CAST(cells.o AS DOUBLE) * t.n) - (CAST(rs.r AS DOUBLE) * cs.c))
+  SELECT CAST(FLOOR((((CAST(cells.o AS DOUBLE) * t.n) - (CAST(rs.r AS DOUBLE) * cs.c))
            * ((CAST(cells.o AS DOUBLE) * t.n) - (CAST(rs.r AS DOUBLE) * cs.c))
-           / (CAST(t.n AS DOUBLE) * CAST(rs.r AS DOUBLE) * cs.c),
-           8) AS DECIMAL(24,8)) AS tq
+           / (CAST(t.n AS DOUBLE) * CAST(rs.r AS DOUBLE) * cs.c)) * 1e8 + 0.5) / 1e8 AS DECIMAL(24,8)) AS tq
   FROM cells
   JOIN rs USING (rv) JOIN cs USING (cv) CROSS JOIN tot t
 ),
@@ -319,9 +307,9 @@ dims AS (
 )
 SELECT t2.n AS n_rows,
        d.nr, d.nc,
-       ROUND(CAST((SELECT SUM(tq) FROM terms) AS DOUBLE), 4) AS chi2,
-       ROUND(SQRT(CAST((SELECT SUM(tq) FROM terms) AS DOUBLE)
-                  / (t2.n * LEAST(d.nr - 1, d.nc - 1))), 6) AS cramers_v
+       FLOOR((CAST((SELECT SUM(tq) FROM terms) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS chi2,
+       FLOOR((SQRT(CAST((SELECT SUM(tq) FROM terms) AS DOUBLE)
+                  / (t2.n * LEAST(d.nr - 1, d.nc - 1)))) * 1e6 + 0.5) / 1e6 AS cramers_v
 FROM tot t2 CROSS JOIN dims d
 """
 
@@ -356,16 +344,13 @@ def q_stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cs), "cv")
         .crossJoin(F.broadcast(tot))
         .select(
-            F.round(
-                diff
+            (F.floor((diff
                 * diff
                 / (
                     F.col("n").cast("double")
                     * F.col("r").cast("double")
                     * F.col("c")
-                ),
-                8,
-            )
+                )) * 1e8 + 0.5) / 1e8)
             .cast("decimal(24,8)")
             .alias("tq")
         )
@@ -378,14 +363,11 @@ def q_stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_rows"),
             "nr",
             "nc",
-            F.round(F.col("chi2"), 4).alias("chi2"),
-            F.round(
-                F.sqrt(
+            (F.floor((F.col("chi2")) * 1e4 + 0.5) / 1e4).alias("chi2"),
+            (F.floor((F.sqrt(
                     F.col("chi2")
                     / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
-                ),
-                6,
-            ).alias("cramers_v"),
+                )) * 1e6 + 0.5) / 1e6).alias("cramers_v"),
         )
     )
 
@@ -408,16 +390,15 @@ margx AS (SELECT bucket, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY buck
 margy AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY y),
 tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells),
 terms AS (
-  SELECT CAST(ROUND(
-           (CAST(c.nxy AS DOUBLE) / t.n)
+  SELECT CAST(FLOOR(((CAST(c.nxy AS DOUBLE) / t.n)
            * LN(CAST(c.nxy AS DOUBLE) * t.n
-                / (CAST(mx.nx AS DOUBLE) * my.ny)), 10) AS DECIMAL(24,10))
+                / (CAST(mx.nx AS DOUBLE) * my.ny))) * 1e10 + 0.5) / 1e10 AS DECIMAL(24,10))
          AS tq
   FROM cells c
   JOIN margx mx USING (bucket) JOIN margy my USING (y) CROSS JOIN tot t
 )
 SELECT t2.n AS n_rows,
-       ROUND(CAST((SELECT SUM(tq) FROM terms) AS DOUBLE), 6) AS mi_nats
+       FLOOR((CAST((SELECT SUM(tq) FROM terms) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mi_nats
 FROM tot t2
 """
 
@@ -454,12 +435,12 @@ def q_feat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(F.broadcast(margx), "bucket")
         .join(F.broadcast(margy), "y")
         .crossJoin(F.broadcast(tot))
-        .select(F.round(term, 10).cast("decimal(24,10)").alias("tq"))
+        .select((F.floor((term) * 1e10 + 0.5) / 1e10).cast("decimal(24,10)").alias("tq"))
     )
     mi = terms.agg(F.sum("tq").cast("double").alias("mi"))
     return tot.crossJoin(F.broadcast(mi)).select(
         F.col("n").alias("n_rows"),
-        F.round(F.col("mi"), 6).alias("mi_nats"),
+        (F.floor((F.col("mi")) * 1e6 + 0.5) / 1e6).alias("mi_nats"),
     )
 
 
@@ -489,11 +470,11 @@ mom AS (
   FROM sums
 )
 SELECT n,
-       ROUND(m, 6)                                   AS mean_q,
-       ROUND(m3 / POW(m2, 1.5), 6)                   AS skewness,
-       ROUND(m4 / (m2 * m2) - 3, 6)                  AS excess_kurtosis,
-       ROUND(n / 6.0 * ((m3 / POW(m2, 1.5)) * (m3 / POW(m2, 1.5))
-             + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0), 4)
+       FLOOR((m) * 1e6 + 0.5) / 1e6                                   AS mean_q,
+       FLOOR((m3 / POW(m2, 1.5)) * 1e6 + 0.5) / 1e6                   AS skewness,
+       FLOOR((m4 / (m2 * m2) - 3) * 1e6 + 0.5) / 1e6                  AS excess_kurtosis,
+       FLOOR((n / 6.0 * ((m3 / POW(m2, 1.5)) * (m3 / POW(m2, 1.5))
+             + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0)) * 1e4 + 0.5) / 1e4
                                                      AS jarque_bera
 FROM mom
 """
@@ -533,10 +514,10 @@ def q_stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     exk = m4 / (m2 * m2) - 3
     return sums.select(
         "n",
-        F.round(m, 6).alias("mean_q"),
-        F.round(skew, 6).alias("skewness"),
-        F.round(exk, 6).alias("excess_kurtosis"),
-        F.round(F.col("n") / 6.0 * (skew * skew + exk * exk / 4.0), 4).alias(
+        (F.floor((m) * 1e6 + 0.5) / 1e6).alias("mean_q"),
+        (F.floor((skew) * 1e6 + 0.5) / 1e6).alias("skewness"),
+        (F.floor((exk) * 1e6 + 0.5) / 1e6).alias("excess_kurtosis"),
+        (F.floor((F.col("n") / 6.0 * (skew * skew + exk * exk / 4.0)) * 1e4 + 0.5) / 1e4).alias(
             "jarque_bera"
         ),
     )
@@ -565,9 +546,9 @@ _PAIRS = [
 
 def _sql_corr(a: str, b: str) -> str:
     return (
-        f"ROUND((n * s_{a}_{b} - s_{a} * s_{b}) / "
+        f"FLOOR(((n * s_{a}_{b} - s_{a} * s_{b}) / "
         f"(SQRT(n * s_{a}_{a} - s_{a} * s_{a}) * "
-        f"SQRT(n * s_{b}_{b} - s_{b} * s_{b})), 6)"
+        f"SQRT(n * s_{b}_{b} - s_{b} * s_{b}))) * 1e6 + 0.5) / 1e6"
     )
 
 
@@ -627,7 +608,7 @@ def q_stat_pearson_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
         da = F.sqrt(n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
         db = F.sqrt(n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
-        return F.round(num / (da * db), 6)
+        return (F.floor((num / (da * db)) * 1e6 + 0.5) / 1e6)
 
     frames = [
         sums.select(
@@ -666,13 +647,13 @@ s AS (
   FROM g
 )
 SELECT k AS n_groups, nn AS n_orders, r AS n_responders,
-       ROUND(CAST(nn * swf - r * swn AS DOUBLE)
-             / CAST(nn AS DOUBLE), 4) AS trend_t,
+       FLOOR((CAST(nn * swf - r * swn AS DOUBLE)
+             / CAST(nn AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS trend_t,
        CASE WHEN r > 0 AND r < nn AND nn * swwn - swn * swn > 0
-            THEN ROUND(CAST(nn * swf - r * swn AS DOUBLE)
+            THEN FLOOR((CAST(nn * swf - r * swn AS DOUBLE)
                        * sqrt(CAST(nn AS DOUBLE))
                        / sqrt(CAST(r AS DOUBLE) * CAST(nn - r AS DOUBLE)
-                              * CAST(nn * swwn - swn * swn AS DOUBLE)), 6)
+                              * CAST(nn * swwn - swn * swn AS DOUBLE))) * 1e6 + 0.5) / 1e6
             END AS z_trend,
        CASE WHEN r > 0 AND r < nn AND nn * swwn - swn * swn > 0
             THEN CAST(ABS(CAST(nn * swf - r * swn AS DOUBLE)
@@ -748,8 +729,8 @@ def q_stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("n_groups"),
         F.col("nn").alias("n_orders"),
         F.col("r").alias("n_responders"),
-        F.round(tn / F.col("nn").cast("double"), 4).alias("trend_t"),
-        F.when(ok, F.round(z, 6)).alias("z_trend"),
+        (F.floor((tn / F.col("nn").cast("double")) * 1e4 + 0.5) / 1e4).alias("trend_t"),
+        F.when(ok, (F.floor((z) * 1e6 + 0.5) / 1e6)).alias("z_trend"),
         # INT (not BOOLEAN): a nullable boolean round-trips as
         # None-vs-NaN across the two engines' pandas bridges; a nullable
         # int lands as NaN in both.
@@ -924,13 +905,13 @@ r AS (
   FROM s
 )
 SELECT n_rows,
-       ROUND(rxy, 6) AS r_xy,
-       ROUND(rxz, 6) AS r_xz,
-       ROUND(ryz, 6) AS r_yz,
+       FLOOR((rxy) * 1e6 + 0.5) / 1e6 AS r_xy,
+       FLOOR((rxz) * 1e6 + 0.5) / 1e6 AS r_xz,
+       FLOOR((ryz) * 1e6 + 0.5) / 1e6 AS r_yz,
        CASE WHEN rxz * rxz < 1.0e0 AND ryz * ryz < 1.0e0
-            THEN ROUND((rxy - rxz * ryz)
+            THEN FLOOR(((rxy - rxz * ryz)
                        / (sqrt(1.0e0 - rxz * rxz)
-                          * sqrt(1.0e0 - ryz * ryz)), 6)
+                          * sqrt(1.0e0 - ryz * ryz))) * 1e6 + 0.5) / 1e6
             END AS r_xy_given_z
 FROM r
 """
@@ -997,8 +978,8 @@ def q_stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         "n_rows",
-        F.round(rxy, 6).alias("r_xy"),
-        F.round(rxz, 6).alias("r_xz"),
-        F.round(ryz, 6).alias("r_yz"),
-        F.round(partial, 6).alias("r_xy_given_z"),
+        (F.floor((rxy) * 1e6 + 0.5) / 1e6).alias("r_xy"),
+        (F.floor((rxz) * 1e6 + 0.5) / 1e6).alias("r_xz"),
+        (F.floor((ryz) * 1e6 + 0.5) / 1e6).alias("r_yz"),
+        (F.floor((partial) * 1e6 + 0.5) / 1e6).alias("r_xy_given_z"),
     )

@@ -31,7 +31,7 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 # --------------------------------------------------------------------------
 
 _QSCALAR_ORACLE = """
-SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+SELECT o_orderkey, o_custkey, FLOOR((o_totalprice) * 1e2 + 0.5) / 1e2 AS totalprice
 FROM orders
 WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
 """
@@ -47,7 +47,7 @@ def q_sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(
         """
-        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+        SELECT o_orderkey, o_custkey, FLOOR((o_totalprice) * 1e2 + 0.5) / 1e2 AS totalprice
         FROM orders
         WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
         """
@@ -128,7 +128,7 @@ WITH mins AS (
   FROM part GROUP BY p_brand, p_type
 )
 SELECT p.p_brand, p.p_type, p.p_partkey,
-       ROUND(p.p_retailprice, 2) AS retailprice
+       FLOOR((p.p_retailprice) * 1e2 + 0.5) / 1e2 AS retailprice
 FROM part p
 JOIN mins m
   ON p.p_brand = m.p_brand AND p.p_type = m.p_type
@@ -163,7 +163,7 @@ def q_sub_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.p_brand").alias("p_brand"),
             F.col("p.p_type").alias("p_type"),
             "p_partkey",
-            F.round("p_retailprice", 2).alias("retailprice"),
+            (F.floor((F.col("p_retailprice")) * 1e2 + 0.5) / 1e2).alias("retailprice"),
         )
     )
 
@@ -173,11 +173,11 @@ def q_sub_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _QBIGORD_ORACLE = """
-SELECT c_name, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, sum_qty
+SELECT c_name, o_orderkey, FLOOR((o_totalprice) * 1e2 + 0.5) / 1e2 AS totalprice, sum_qty
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN (
-  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  SELECT l_orderkey, FLOOR((SUM(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
 ) big ON o_orderkey = big.l_orderkey
 """
@@ -195,7 +195,7 @@ def q_sub_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg((F.floor((F.sum("l_quantity")) * 1e2 + 0.5) / 1e2).alias("sum_qty"))
         .filter(F.col("sum_qty") > 300)
     )
     return (
@@ -204,7 +204,7 @@ def q_sub_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_name",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("totalprice"),
+            (F.floor((F.col("o_totalprice")) * 1e2 + 0.5) / 1e2).alias("totalprice"),
             "sum_qty",
         )
     )

@@ -71,8 +71,8 @@ atrisk AS (
 terms AS (
   SELECT t, d_events, c_censored, CAST(n_at_risk AS BIGINT) AS n_at_risk,
          CASE WHEN d_events > 0 AND n_at_risk > d_events
-              THEN CAST(ROUND(ln(CAST(n_at_risk - d_events AS DOUBLE)
-                                 / CAST(n_at_risk AS DOUBLE)), 9)
+              THEN CAST(FLOOR((ln(CAST(n_at_risk - d_events AS DOUBLE)
+                                 / CAST(n_at_risk AS DOUBLE))) * 1e9 + 0.5) / 1e9
                         AS DECIMAL(18,9))
               ELSE CAST(0 AS DECIMAL(18,9)) END AS lnterm,
          CASE WHEN d_events > 0 AND n_at_risk = d_events THEN 1 ELSE 0 END
@@ -83,9 +83,9 @@ SELECT t, d_events, c_censored, n_at_risk,
        CASE WHEN SUM(hits_zero) OVER (ORDER BY t
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
             THEN 0.0e0
-            ELSE ROUND(exp(CAST(SUM(lnterm) OVER (ORDER BY t
+            ELSE FLOOR((exp(CAST(SUM(lnterm) OVER (ORDER BY t
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DOUBLE)), 6) END AS survival
+                 AS DOUBLE))) * 1e6 + 0.5) / 1e6 END AS survival
 FROM terms
 ORDER BY t
 """
@@ -137,13 +137,10 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lnterm = F.when(
         (F.col("d_events") > 0) & (F.col("n_at_risk") > F.col("d_events")),
-        F.round(
-            F.log(
+        (F.floor((F.log(
                 (F.col("n_at_risk") - F.col("d_events")).cast("double")
                 / F.col("n_at_risk").cast("double")
-            ),
-            9,
-        ).cast("decimal(18,9)"),
+            )) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)"),
     ).otherwise(F.lit(0).cast("decimal(18,9)"))
     hits_zero = F.when(
         (F.col("d_events") > 0) & (F.col("n_at_risk") == F.col("d_events")),
@@ -169,7 +166,7 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lnterm").over(w_asc), 9.0e6, "survival.km_lnsum"
     )
     survival = F.when(F.sum("hits_zero").over(w_asc) > 0, F.lit(0.0)).otherwise(
-        F.round(F.exp(lnsum.cast("double")), 6)
+        (F.floor((F.exp(lnsum.cast("double"))) * 1e6 + 0.5) / 1e6)
     )
     return terms.select(
         "t",
@@ -222,13 +219,13 @@ atrisk AS (
 ),
 terms AS (
   SELECT t, d1, d2, n1, n2, (n1 + n2) AS n, (d1 + d2) AS d,
-         CAST(ROUND(CAST((d1 + d2) * n1 AS DOUBLE)
-                    / CAST(n1 + n2 AS DOUBLE), 9) AS DECIMAL(18,9)) AS e1,
+         CAST(FLOOR((CAST((d1 + d2) * n1 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9)) AS e1,
          CASE WHEN (n1 + n2) > 1 THEN
-           CAST(ROUND(CAST((d1 + d2) * n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           CAST(FLOOR((CAST((d1 + d2) * n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
                       * CAST((n1 + n2) - (d1 + d2) AS DOUBLE)
                       / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
-                         * CAST((n1 + n2) - 1 AS DOUBLE)), 9)
+                         * CAST((n1 + n2) - 1 AS DOUBLE))) * 1e9 + 0.5) / 1e9
                 AS DECIMAL(18,9))
          ELSE CAST(0 AS DECIMAL(18,9)) END AS v1
   FROM atrisk
@@ -241,8 +238,8 @@ agg AS (
   FROM terms
 )
 SELECT o1,
-       ROUND(e1, 4) AS e1,
-       ROUND((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v1, 4)
+       FLOOR((e1) * 1e4 + 0.5) / 1e4 AS e1,
+       FLOOR(((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v1) * 1e4 + 0.5) / 1e4
          AS chi2
 FROM agg
 """
@@ -309,18 +306,13 @@ def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.col("d1") + F.col("d2")
     n = F.col("n1") + F.col("n2")
-    e1 = F.round(
-        (d * F.col("n1")).cast("double") / n.cast("double"), 9
-    ).cast("decimal(18,9)")
+    e1 = (F.floor(((d * F.col("n1")).cast("double") / n.cast("double")) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)")
     v1 = F.when(
         n > 1,
-        F.round(
-            (d * F.col("n1")).cast("double")
+        (F.floor(((d * F.col("n1")).cast("double")
             * F.col("n2").cast("double")
             * (n - d).cast("double")
-            / (n.cast("double") * n.cast("double") * (n - 1).cast("double")),
-            9,
-        ).cast("decimal(18,9)"),
+            / (n.cast("double") * n.cast("double") * (n - 1).cast("double"))) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)"),
     ).otherwise(F.lit(0).cast("decimal(18,9)"))
     terms = atrisk.where(d > 0).select(
         F.col("d1"), e1.alias("e1"), v1.alias("v1")
@@ -332,11 +324,8 @@ def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "o1",
-        F.round("e1", 4).alias("e1"),
-        F.round(
-            (F.col("o1").cast("double") - F.col("e1"))
+        (F.floor((F.col("e1")) * 1e4 + 0.5) / 1e4).alias("e1"),
+        (F.floor(((F.col("o1").cast("double") - F.col("e1"))
             * (F.col("o1").cast("double") - F.col("e1"))
-            / F.col("v1"),
-            4,
-        ).alias("chi2"),
+            / F.col("v1")) * 1e4 + 0.5) / 1e4).alias("chi2"),
     )

@@ -71,8 +71,8 @@ intercepts AS (
 SELECT s.priority,
        i.n_days,
        s.n_pairs,
-       ROUND(s.sen_slope / 100.0, 6) AS slope_per_day,
-       ROUND(i.intercept / 100.0, 4) AS intercept_revenue
+       FLOOR((s.sen_slope / 100.0) * 1e6 + 0.5) / 1e6 AS slope_per_day,
+       FLOOR((i.intercept / 100.0) * 1e4 + 0.5) / 1e4 AS intercept_revenue
 FROM sen s JOIN intercepts i ON i.priority = s.priority
 ORDER BY s.priority
 """
@@ -148,8 +148,8 @@ def q_stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority",
             "n_days",
             "n_pairs",
-            F.round(F.col("sen_slope") / 100.0, 6).alias("slope_per_day"),
-            F.round(F.col("intercept") / 100.0, 4).alias("intercept_revenue"),
+            (F.floor((F.col("sen_slope") / 100.0) * 1e6 + 0.5) / 1e6).alias("slope_per_day"),
+            (F.floor((F.col("intercept") / 100.0) * 1e4 + 0.5) / 1e4).alias("intercept_revenue"),
         )
         .orderBy("priority")
     )

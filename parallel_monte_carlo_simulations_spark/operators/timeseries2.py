@@ -60,7 +60,7 @@ sums AS (
   FROM lagged
 )
 SELECT lag, n_days,
-       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+       FLOOR((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS acf
 FROM (
   SELECT 1 AS lag, n_days, num1 AS num, den FROM sums
   UNION ALL
@@ -138,9 +138,7 @@ def q_stat_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "lag",
         "n_days",
-        F.round(
-            F.col("num").cast("double") / F.col("den").cast("double"), 6
-        ).alias("acf"),
+        (F.floor((F.col("num").cast("double") / F.col("den").cast("double")) * 1e6 + 0.5) / 1e6).alias("acf"),
     ).orderBy("lag")
 
 
@@ -175,7 +173,7 @@ ranked AS (
 SELECT event_type,
        strftime(day, '%Y-%m-%d') AS change_day,
        n AS n_days,
-       ROUND(CAST(abs_s AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0e0), 4)
+       FLOOR((CAST(abs_s AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0e0)) * 1e4 + 0.5) / 1e4
          AS max_dev_value
 FROM ranked WHERE rn = 1
 ORDER BY event_type
@@ -254,11 +252,8 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("change_day"),
             F.col("n").alias("n_days"),
-            F.round(
-                F.col("abs_s").cast("double")
-                / (F.col("n").cast("double") * 10000.0),
-                4,
-            ).alias("max_dev_value"),
+            (F.floor((F.col("abs_s").cast("double")
+                / (F.col("n").cast("double") * 10000.0)) * 1e4 + 0.5) / 1e4).alias("max_dev_value"),
         )
         .orderBy("event_type")
     )

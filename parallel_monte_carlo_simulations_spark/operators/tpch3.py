@@ -83,9 +83,9 @@ _Q09_ORACLE = """
 SELECT
   n_name AS supp_nation,
   CAST(year(o_orderdate) AS INTEGER) AS o_year,
-  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+  CAST(FLOOR((SUM(CAST(l_extendedprice * (1 - l_discount)
                       - 0.6 * p_retailprice * l_quantity
-                      AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+                      AS DECIMAL(18,4)))) * 1e2 + 0.5) / 1e2 AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -127,7 +127,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # required for cross-engine parity and for stable results under
         # AQE re-partitioning at scale.
         .agg(
-            F.round(F.sum(profit.cast("decimal(18,4)")), 2)
+            (F.floor((F.sum(profit.cast("decimal(18,4)"))) * 1e2 + 0.5) / 1e2)
             .cast("double")
             .alias("sum_profit")
         )
@@ -149,7 +149,7 @@ WITH val AS (
   WHERE n_name = 'NATION_1'
   GROUP BY l_partkey
 )
-SELECT l_partkey AS partkey, ROUND(part_value, 2) AS part_value
+SELECT l_partkey AS partkey, FLOOR((part_value) * 1e2 + 0.5) / 1e2 AS part_value
 FROM val
 WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
 """
@@ -181,7 +181,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pv") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round("pv", 2).alias("part_value"),
+            (F.floor((F.col("pv")) * 1e2 + 0.5) / 1e2).alias("part_value"),
         )
     )
 
@@ -414,7 +414,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q20_ORACLE = """
 WITH spq AS (
-  SELECT l_suppkey, l_partkey, ROUND(SUM(l_quantity), 2) AS qty
+  SELECT l_suppkey, l_partkey, FLOOR((SUM(l_quantity)) * 1e2 + 0.5) / 1e2 AS qty
   FROM lineitem GROUP BY l_suppkey, l_partkey
 ),
 pavg AS (
@@ -441,7 +441,7 @@ WHERE s_suppkey IN (
 def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     spq = l.groupBy("l_suppkey", "l_partkey").agg(
-        F.round(F.sum("l_quantity"), 2).alias("qty")
+        (F.floor((F.sum("l_quantity")) * 1e2 + 0.5) / 1e2).alias("qty")
     )
     pavg = spq.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.avg("qty").alias("avg_qty")

@@ -120,7 +120,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _Q17_ORACLE = """
-SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE)
+SELECT CAST(FLOOR((SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0) * 1e2 + 0.5) / 1e2 AS DOUBLE)
        AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
@@ -158,7 +158,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("l_quantity") < F.col("qty_limit"))
     return small.agg(
         (
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2)
+            (F.floor((F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0) * 1e2 + 0.5) / 1e2)
         ).cast("double").alias("avg_yearly")
     )
 
@@ -217,7 +217,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _Q19_ORACLE = """
-SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+SELECT CAST(FLOOR((SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))) * 1e2 + 0.5) / 1e2
        AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
@@ -256,10 +256,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(full)
         .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")),
-                2,
-            )
+            (F.floor((F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))) * 1e2 + 0.5) / 1e2)
             .cast("double")
             .alias("revenue")
         )

@@ -25,7 +25,7 @@ from ..tables import table
 _QMERGE_ORACLE = """
 WITH updates AS (
   SELECT o_orderkey AS k,
-         CAST(ROUND(CAST(o_totalprice * 1.1 AS DECIMAL(18,4)), 2) AS DOUBLE)
+         CAST(FLOOR((CAST(o_totalprice * 1.1 AS DECIMAL(18,4))) * 1e2 + 0.5) / 1e2 AS DOUBLE)
            AS src_price,
          NULL AS src_status
   FROM orders WHERE o_orderkey % 10 = 0
@@ -49,7 +49,7 @@ merged AS (
 )
 SELECT status, disposition,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(ROUND(SUM(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+       CAST(FLOOR((SUM(CAST(price AS DECIMAL(18,4)))) * 1e2 + 0.5) / 1e2 AS DOUBLE)
          AS total_price
 FROM merged
 GROUP BY status, disposition
@@ -68,7 +68,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
         F.col("o_orderkey").alias("k"),
-        F.round((F.col("o_totalprice") * 1.1).cast("decimal(18,4)"), 2)
+        (F.floor(((F.col("o_totalprice") * 1.1).cast("decimal(18,4)")) * 1e2 + 0.5) / 1e2)
         .cast("double")
         .alias("src_price"),
         F.lit(None).cast("string").alias("src_status"),
@@ -89,7 +89,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("status", "disposition").agg(
         F.count("*").cast("bigint").alias("n_rows"),
-        F.round(F.sum(F.col("price").cast("decimal(18,4)")), 2)
+        (F.floor((F.sum(F.col("price").cast("decimal(18,4)"))) * 1e2 + 0.5) / 1e2)
         .cast("double")
         .alias("total_price"),
     )
@@ -110,7 +110,7 @@ WITH log AS (
 )
 SELECT user_id,
        event_type AS last_op,
-       CAST(ROUND(CAST(value AS DECIMAL(18,4)), 4) AS DOUBLE) AS last_value,
+       CAST(FLOOR((CAST(value AS DECIMAL(18,4))) * 1e4 + 0.5) / 1e4 AS DOUBLE) AS last_value,
        CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
 FROM log
 WHERE rk = 1 AND event_type <> 'error'
@@ -142,7 +142,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("event_type").alias("last_op"),
-            F.round(F.col("value").cast("decimal(18,4)"), 4)
+            (F.floor((F.col("value").cast("decimal(18,4)")) * 1e4 + 0.5) / 1e4)
             .cast("double")
             .alias("last_value"),
             F.unix_micros("ts").cast("long").alias("last_ts_us"),

@@ -142,8 +142,8 @@ mad AS (
 )
 SELECT d.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(MIN(d.med), 4) AS median_value,
-       ROUND(MIN(mad.mad), 4) AS mad_value,
+       FLOOR((MIN(d.med)) * 1e4 + 0.5) / 1e4 AS median_value,
+       FLOOR((MIN(mad.mad)) * 1e4 + 0.5) / 1e4 AS mad_value,
        CAST(SUM(CASE WHEN d.adiff > (3.0e0 * 1.4826e0) * mad.mad
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM d JOIN mad ON mad.event_type = d.event_type
@@ -216,8 +216,8 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.min("med"), 4).alias("median_value"),
-            F.round(F.min("mad"), 4).alias("mad_value"),
+            (F.floor((F.min("med")) * 1e4 + 0.5) / 1e4).alias("median_value"),
+            (F.floor((F.min("mad")) * 1e4 + 0.5) / 1e4).alias("mad_value"),
             F.sum(
                 F.when(
                     F.col("adiff") > (F.lit(3.0) * F.lit(1.4826)) * F.col("mad"),
@@ -259,15 +259,15 @@ w AS (
 )
 SELECT rf AS l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       ROUND(MIN(p05) / 100.0e0, 2) AS p05,
-       ROUND(MIN(p95) / 100.0e0, 2) AS p95,
-       ROUND((CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0e0, 4)
+       FLOOR((MIN(p05) / 100.0e0) * 1e2 + 0.5) / 1e2 AS p05,
+       FLOOR((MIN(p95) / 100.0e0) * 1e2 + 0.5) / 1e2 AS p95,
+       FLOOR(((CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0e0) * 1e4 + 0.5) / 1e4
          AS mean_raw,
-       ROUND((CAST(SUM(wv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0e0, 4)
+       FLOOR(((CAST(SUM(wv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0e0) * 1e4 + 0.5) / 1e4
          AS mean_winsorized,
-       ROUND((CAST(SUM(CASE WHEN v >= p05 AND v <= p95 THEN v END) AS DOUBLE)
+       FLOOR(((CAST(SUM(CASE WHEN v >= p05 AND v <= p95 THEN v END) AS DOUBLE)
               / CAST(SUM(CASE WHEN v >= p05 AND v <= p95 THEN 1 END) AS DOUBLE))
-             / 100.0e0, 4) AS mean_trimmed
+             / 100.0e0) * 1e4 + 0.5) / 1e4 AS mean_trimmed
 FROM w
 GROUP BY rf
 ORDER BY rf
@@ -334,26 +334,17 @@ def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.groupBy("rf")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.round(F.min("p05") / 100.0, 2).alias("p05"),
-            F.round(F.min("p95") / 100.0, 2).alias("p95"),
-            F.round(
-                (F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"))
-                / 100.0,
-                4,
-            ).alias("mean_raw"),
-            F.round(
-                (F.sum("wv").cast("double") / F.count(F.lit(1)).cast("double"))
-                / 100.0,
-                4,
-            ).alias("mean_winsorized"),
-            F.round(
-                (
+            (F.floor((F.min("p05") / 100.0) * 1e2 + 0.5) / 1e2).alias("p05"),
+            (F.floor((F.min("p95") / 100.0) * 1e2 + 0.5) / 1e2).alias("p95"),
+            (F.floor(((F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"))
+                / 100.0) * 1e4 + 0.5) / 1e4).alias("mean_raw"),
+            (F.floor(((F.sum("wv").cast("double") / F.count(F.lit(1)).cast("double"))
+                / 100.0) * 1e4 + 0.5) / 1e4).alias("mean_winsorized"),
+            (F.floor(((
                     F.sum(F.when(in_band, F.col("v"))).cast("double")
                     / F.sum(F.when(in_band, 1)).cast("double")
                 )
-                / 100.0,
-                4,
-            ).alias("mean_trimmed"),
+                / 100.0) * 1e4 + 0.5) / 1e4).alias("mean_trimmed"),
         )
         .select(
             F.col("rf").alias("l_returnflag"),

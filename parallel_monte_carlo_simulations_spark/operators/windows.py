@@ -190,8 +190,8 @@ _QNTILE_ORACLE = """
 SELECT
   quartile,
   COUNT(*)                    AS n_customers,
-  ROUND(MIN(c_acctbal), 2)    AS min_bal,
-  ROUND(MAX(c_acctbal), 2)    AS max_bal
+  FLOOR((MIN(c_acctbal)) * 1e2 + 0.5) / 1e2    AS min_bal,
+  FLOOR((MAX(c_acctbal)) * 1e2 + 0.5) / 1e2    AS max_bal
 FROM (
   SELECT
     c_acctbal,
@@ -231,8 +231,8 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            (F.floor((F.min("c_acctbal")) * 1e2 + 0.5) / 1e2).alias("min_bal"),
+            (F.floor((F.max("c_acctbal")) * 1e2 + 0.5) / 1e2).alias("max_bal"),
         )
     )
 

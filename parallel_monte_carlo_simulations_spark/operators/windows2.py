@@ -23,7 +23,7 @@ _QRANGEF_ORACLE = f"""
 WITH r AS (
   SELECT
     s_suppkey,
-    ROUND(s_acctbal, 2) AS acctbal,
+    FLOOR((s_acctbal) * 1e2 + 0.5) / 1e2 AS acctbal,
     CAST(COUNT(*) OVER (
       ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING
     ) AS BIGINT)        AS n_peers_within_500,
@@ -78,7 +78,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "home",
             "cell",
-            F.round("s_acctbal", 2).alias("acctbal"),
+            (F.floor((F.col("s_acctbal")) * 1e2 + 0.5) / 1e2).alias("acctbal"),
             F.count(F.lit(1)).over(w).alias("n_peers_within_500"),
             F.sum(units_col(F.col("s_acctbal"), 2)).over(w).alias("band_u2"),
         )
@@ -108,8 +108,8 @@ SELECT
                       * 10000000000 + o_orderkey) AS priciest_order,
   arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
                       * 10000000000 + o_orderkey) AS cheapest_order,
-  ROUND(MAX(o_totalprice), 2)       AS max_price,
-  ROUND(MIN(o_totalprice), 2)       AS min_price
+  FLOOR((MAX(o_totalprice)) * 1e2 + 0.5) / 1e2       AS max_price,
+  FLOOR((MIN(o_totalprice)) * 1e2 + 0.5) / 1e2       AS min_price
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -143,8 +143,8 @@ def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", tie).alias("priciest_order"),
         F.min_by("o_orderkey", tie).alias("cheapest_order"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        (F.floor((F.max("o_totalprice")) * 1e2 + 0.5) / 1e2).alias("max_price"),
+        (F.floor((F.min("o_totalprice")) * 1e2 + 0.5) / 1e2).alias("min_price"),
     )
 
 
@@ -263,8 +263,8 @@ SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
        CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_large,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                  FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE) AS open_value
+       CAST(FLOOR((SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_orderstatus = 'O')) * 1e2 + 0.5) / 1e2 AS DOUBLE) AS open_value
 FROM orders
 GROUP BY o_orderpriority
 """

@@ -76,7 +76,7 @@ num AS (
 )
 SELECT CAST(num.k AS BIGINT) AS lag_days,
        CAST(den.n - ABS(num.k) AS BIGINT) AS n_overlap,
-       ROUND(CAST(nk AS DOUBLE) / SQRT(den.dxx * den.dyy), 6) AS xcorr
+       FLOOR((CAST(nk AS DOUBLE) / SQRT(den.dxx * den.dyy)) * 1e6 + 0.5) / 1e6 AS xcorr
 FROM num CROSS JOIN den
 ORDER BY lag_days
 """
@@ -153,11 +153,8 @@ def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("k").cast("long").alias("lag_days"),
             (F.col("n") - F.abs(F.col("k"))).cast("long").alias("n_overlap"),
-            F.round(
-                F.col("nk").cast("double")
-                / F.sqrt(F.col("dxx") * F.col("dyy")),
-                6,
-            ).alias("xcorr"),
+            (F.floor((F.col("nk").cast("double")
+                / F.sqrt(F.col("dxx") * F.col("dyy"))) * 1e6 + 0.5) / 1e6).alias("xcorr"),
         )
         .orderBy("lag_days")
     )

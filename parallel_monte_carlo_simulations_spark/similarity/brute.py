@@ -35,7 +35,7 @@ scored AS (
   FROM q JOIN c ON q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, neighbor_label,
-       ROUND(cos_raw, 6) AS cos_sim,
+       FLOOR((cos_raw) * 1e6 + 0.5) / 1e6 AS cos_sim,
        rk
 FROM (
   SELECT *, CAST(row_number() OVER (
@@ -84,7 +84,7 @@ def topk_cosine(
             query_id,
             "neighbor_id",
             "neighbor_label",
-            F.round("cos_raw", 6).alias("cos_sim"),
+            (F.floor((F.col("cos_raw")) * 1e6 + 0.5) / 1e6).alias("cos_sim"),
             "rk",
         )
     )

@@ -18,7 +18,7 @@ from ..functions.vectors import sql_cosine, sql_dot
 from ..registry import register
 from ..tables import table
 
-_OUTLIER_COS = 0.2  # ROUND(cos,6) strictly below this => outlier
+_OUTLIER_COS = 0.2  # FLOOR((cos) * 1e6 + 0.5) / 1e6 strictly below this => outlier
 
 
 def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,7 +48,7 @@ _SQL_CENTROIDS = """
 
 _QCENTROID_ORACLE = f"""
 WITH cent AS ({_SQL_CENTROIDS})
-SELECT label, CAST(pos AS INTEGER) AS pos, ROUND(cval, 6) AS cval
+SELECT label, CAST(pos AS INTEGER) AS pos, FLOOR((cval) * 1e6 + 0.5) / 1e6 AS cval
 FROM cent
 """
 
@@ -71,7 +71,7 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _centroids(spark, sf_dir).select(
         "label",
         F.col("pos").cast("int").alias("pos"),
-        F.round("cval", 6).alias("cval"),
+        (F.floor((F.col("cval")) * 1e6 + 0.5) / 1e6).alias("cval"),
     )
 
 
@@ -82,7 +82,7 @@ cvec AS (
 ),
 scored AS (
   SELECT e.vec_id, e.label,
-         ROUND({sql_cosine("list_transform(e.embedding, x -> CAST(x AS DOUBLE))", "c.cemb")}, 6) AS cos_c
+         FLOOR(({sql_cosine("list_transform(e.embedding, x -> CAST(x AS DOUBLE))", "c.cemb")}) * 1e6 + 0.5) / 1e6 AS cos_c
   FROM embeddings e JOIN cvec c ON e.label = c.label
 )
 SELECT vec_id, label, cos_c
@@ -140,7 +140,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.join(F.broadcast(cvec), "label").select(
         "vec_id",
         "label",
-        F.round(dot_ec / (norm_e * norm_c), 6).alias("cos_c"),
+        (F.floor((dot_ec / (norm_e * norm_c)) * 1e6 + 0.5) / 1e6).alias("cos_c"),
     )
     return scored.filter(F.col("cos_c") < _OUTLIER_COS)
 
@@ -163,10 +163,10 @@ coded AS (
 SELECT vec_id,
        CAST(list_reduce(list_concat([0.0], codes), (a, b) -> a + b) AS BIGINT)
          AS code_sum,
-       ROUND(list_max(list_transform(
+       FLOOR((list_max(list_transform(
          range(1, len(v) + 1),
          i -> abs(v[i] - (mn + codes[i] * scale))
-       )), 6) AS max_abs_err
+       ))) * 1e6 + 0.5) / 1e6 AS max_abs_err
 FROM coded
 """
 
@@ -219,5 +219,5 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.col("codes"), F.lit(0.0), lambda a, b: a + b)
         .cast("long")
         .alias("code_sum"),
-        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        (F.floor((F.array_max(err)) * 1e6 + 0.5) / 1e6).alias("max_abs_err"),
     )

@@ -105,7 +105,7 @@ fused AS (
   FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
 )
 SELECT doc_id, bm25_rank, cos_rank,
-       ROUND(rrf, 6) AS rrf_score,
+       FLOOR((rrf) * 1e6 + 0.5) / 1e6 AS rrf_score,
        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
          AS fused_rank
 FROM fused
@@ -248,7 +248,7 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "bm25_rank",
             "cos_rank",
-            F.round("rrf", 6).alias("rrf_score"),
+            (F.floor((F.col("rrf")) * 1e6 + 0.5) / 1e6).alias("rrf_score"),
             "fused_rank",
         )
         .orderBy("fused_rank")

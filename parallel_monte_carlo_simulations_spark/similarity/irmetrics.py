@@ -100,11 +100,11 @@ per_query AS (
 )
 SELECT q.query_id,
        CAST(COALESCE(p.n_rel, 0) AS BIGINT) AS n_rel,
-       ROUND(CASE WHEN ({_IDCG_CASE}) = 0 THEN 0e0
-             ELSE CAST(COALESCE(p.dcg_w, 0) AS DOUBLE) / ({_IDCG_CASE}) END, 6)
+       FLOOR((CASE WHEN ({_IDCG_CASE}) = 0 THEN 0e0
+             ELSE CAST(COALESCE(p.dcg_w, 0) AS DOUBLE) / ({_IDCG_CASE}) END) * 1e6 + 0.5) / 1e6
          AS ndcg_at_k,
-       ROUND(COALESCE(CAST(1 AS DOUBLE) / p.first_rel_rk, 0e0), 6) AS mrr,
-       ROUND(CAST(COALESCE(p.ap_w, 0) AS DOUBLE) / {TOP_K * 1000000}e0, 6)
+       FLOOR((COALESCE(CAST(1 AS DOUBLE) / p.first_rel_rk, 0e0)) * 1e6 + 0.5) / 1e6 AS mrr,
+       FLOOR((CAST(COALESCE(p.ap_w, 0) AS DOUBLE) / {TOP_K * 1000000}e0) * 1e6 + 0.5) / 1e6
          AS map_at_k
 FROM (SELECT query_id, n_truth FROM truth_n) q
 LEFT JOIN per_query p ON q.query_id = p.query_id
@@ -148,20 +148,12 @@ def _ir_metrics(
         .select(
             "query_id",
             F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
-            F.round(
-                F.when(idcg == 0, F.lit(0.0)).otherwise(
+            (F.floor((F.when(idcg == 0, F.lit(0.0)).otherwise(
                     F.coalesce("dcg_w", F.lit(0)).cast("double") / idcg
-                ),
-                6,
-            ).alias("ndcg_at_k"),
-            F.round(
-                F.coalesce(F.lit(1.0) / F.col("first_rel_rk"), F.lit(0.0)), 6
-            ).alias("mrr"),
-            F.round(
-                F.coalesce("ap_w", F.lit(0))
-                / F.lit(float(TOP_K * 1000000)),
-                6,
-            ).alias("map_at_k"),
+                )) * 1e6 + 0.5) / 1e6).alias("ndcg_at_k"),
+            (F.floor((F.coalesce(F.lit(1.0) / F.col("first_rel_rk"), F.lit(0.0))) * 1e6 + 0.5) / 1e6).alias("mrr"),
+            (F.floor((F.coalesce("ap_w", F.lit(0))
+                / F.lit(float(TOP_K * 1000000))) * 1e6 + 0.5) / 1e6).alias("map_at_k"),
         )
     )
 

@@ -75,8 +75,8 @@ SELECT CAST(true_label AS INTEGER) AS true_label,
        CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(COUNT(*) FILTER (WHERE pred = true_label) AS BIGINT)
          AS n_correct,
-       ROUND(CAST(COUNT(*) FILTER (WHERE pred = true_label) AS DOUBLE)
-             / COUNT(*), 4) AS accuracy
+       FLOOR((CAST(COUNT(*) FILTER (WHERE pred = true_label) AS DOUBLE)
+             / COUNT(*)) * 1e4 + 0.5) / 1e4 AS accuracy
 FROM best
 GROUP BY true_label
 ORDER BY true_label
@@ -126,12 +126,9 @@ def q_ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("pred") == F.col("true_label"), 1))
             .cast("long")
             .alias("n_correct"),
-            F.round(
-                F.count(F.when(F.col("pred") == F.col("true_label"), 1))
+            (F.floor((F.count(F.when(F.col("pred") == F.col("true_label"), 1))
                 .cast("double")
-                / F.count("*"),
-                4,
-            ).alias("accuracy"),
+                / F.count("*")) * 1e4 + 0.5) / 1e4).alias("accuracy"),
         )
         .orderBy("true_label")
     )

@@ -131,7 +131,7 @@ scored AS (
   FROM cand
 )
 SELECT query_id, neighbor_id, neighbor_label,
-       ROUND(cos_raw, 6) AS cos_sim, rk
+       FLOOR((cos_raw) * 1e6 + 0.5) / 1e6 AS cos_sim, rk
 FROM (
   SELECT *, CAST(row_number() OVER (
     PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
@@ -197,7 +197,7 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            F.round("cos_raw", 6).alias("cos_sim"),
+            (F.floor((F.col("cos_raw")) * 1e6 + 0.5) / 1e6).alias("cos_sim"),
             "rk",
         )
     )

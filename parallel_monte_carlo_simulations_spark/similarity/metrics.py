@@ -47,7 +47,7 @@ scored AS (
   FROM q JOIN c ON q.vec_id <> c.vec_id
 )
 SELECT query_id, neighbor_id, neighbor_label,
-       ROUND(raw, 6) AS {score_name}, rk
+       FLOOR((raw) * 1e6 + 0.5) / 1e6 AS {score_name}, rk
 FROM (
   SELECT *, CAST(row_number() OVER (
     PARTITION BY query_id ORDER BY raw {direction}, neighbor_id
@@ -92,7 +92,7 @@ def _topk(
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            F.round("raw", 6).alias(score_name),
+            (F.floor((F.col("raw")) * 1e6 + 0.5) / 1e6).alias(score_name),
             "rk",
         )
     )

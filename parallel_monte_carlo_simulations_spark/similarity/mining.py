@@ -56,7 +56,7 @@ scored AS (
   FROM q JOIN c ON q.vec_id <> c.vec_id AND q.label <> c.label
 )
 SELECT query_id, neighbor_id, neighbor_label,
-       ROUND(cos_raw, 6) AS cos_sim, rk
+       FLOOR((cos_raw) * 1e6 + 0.5) / 1e6 AS cos_sim, rk
 FROM (
   SELECT *, CAST(row_number() OVER (
     PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
@@ -112,7 +112,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            F.round("cos_raw", 6).alias("cos_sim"),
+            (F.floor((F.col("cos_raw")) * 1e6 + 0.5) / 1e6).alias("cos_sim"),
             F.col("rk").cast("int").alias("rk"),
         )
     )
@@ -144,7 +144,7 @@ matches AS (
 )
 SELECT q.query_id,
        CAST(COALESCE(m.n_match, 0) AS BIGINT)       AS n_match,
-       ROUND(COALESCE(m.n_match, 0) / {TOP_K}.0, 4) AS recall_at_k
+       FLOOR((COALESCE(m.n_match, 0) / {TOP_K}.0) * 1e4 + 0.5) / 1e4 AS recall_at_k
 FROM (SELECT DISTINCT query_id FROM truth) q
 LEFT JOIN matches m ON q.query_id = m.query_id
 """
@@ -201,8 +201,6 @@ def q_ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
-            F.round(
-                F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K)), 4
-            ).alias("recall_at_k"),
+            (F.floor((F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K))) * 1e4 + 0.5) / 1e4).alias("recall_at_k"),
         )
     )

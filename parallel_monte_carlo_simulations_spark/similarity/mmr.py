@@ -63,7 +63,7 @@ _LAM = 0.7  #: relevance weight; 1 - _LAM penalizes redundancy
 def _sql_steps() -> str:
     """The greedy unroll: one CTE per selection step, accumulating the
     selected set. Step k ranks remaining candidates on
-    ROUND(lam*rel - (1-lam)*COALESCE(MAX(jac to selected), 0), 6)."""
+    FLOOR((lam*rel - (1-lam)*COALESCE(MAX(jac to selected), 0)) * 1e6 + 0.5) / 1e6."""
     parts = []
     for k in range(1, _SELECT_K + 1):
         prev_sel = "\n      UNION ALL ".join(
@@ -82,8 +82,8 @@ def _sql_steps() -> str:
             f"""sel{k} AS MATERIALIZED (
   SELECT doc_id, rel, mmr, {k} AS step FROM (
     SELECT r.doc_id, r.rel,
-           ROUND({_LAM} * r.rel
-                 - {round(1 - _LAM, 10)} * COALESCE(MAX(s.jac), 0.0e0), 6)
+           FLOOR(({_LAM} * r.rel
+                 - {round(1 - _LAM, 10)} * COALESCE(MAX(s.jac), 0.0e0)) * 1e6 + 0.5) / 1e6
              AS mmr
     FROM cands r
     {sim_join}
@@ -139,7 +139,7 @@ inter AS (
 ),
 pairjac AS (
   SELECT i.da, i.db,
-         ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jac
+         FLOOR((CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)) * 1e6 + 0.5) / 1e6 AS jac
   FROM inter i
   JOIN csz sa ON sa.doc_id = i.da
   JOIN csz sb ON sb.doc_id = i.db
@@ -234,11 +234,8 @@ def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "da",
             "db",
-            F.round(
-                F.col("i").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("i")),
-                6,
-            ).alias("jac"),
+            (F.floor((F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))) * 1e6 + 0.5) / 1e6).alias("jac"),
         )
     )
     sims = pairjac.select(
@@ -265,7 +262,7 @@ def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored = remaining.select(
                 "doc_id",
                 "rel",
-                F.round(lam * F.col("rel") - mu * F.lit(0.0), 6).alias("mmr"),
+                (F.floor((lam * F.col("rel") - mu * F.lit(0.0)) * 1e6 + 0.5) / 1e6).alias("mmr"),
             )
         else:
             sel_ids = selected.select(F.col("doc_id").alias("b"))
@@ -281,11 +278,8 @@ def q_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(
                     "doc_id",
                     "rel",
-                    F.round(
-                        lam * F.col("rel")
-                        - mu * F.coalesce(F.col("ms"), F.lit(0.0)),
-                        6,
-                    ).alias("mmr"),
+                    (F.floor((lam * F.col("rel")
+                        - mu * F.coalesce(F.col("ms"), F.lit(0.0))) * 1e6 + 0.5) / 1e6).alias("mmr"),
                 )
             )
         # Each 1-row pick is eagerly checkpointed: step k's plan embeds

@@ -46,9 +46,9 @@ _IDX = range(D)
 def _sql_block(j: int) -> str:
     a, b = j * BLK + 1, j * BLK + BLK
     return (
-        f"CAST(ROUND(list_reduce(list_concat([0.0], "
+        f"CAST(FLOOR((list_reduce(list_concat([0.0], "
         f"list_transform(embedding[{a}:{b}], x -> CAST(x AS DOUBLE))), "
-        f"(acc, v) -> acc + v), 6) AS DECIMAL(12,6))"
+        f"(acc, v) -> acc + v)) * 1e6 + 0.5) / 1e6 AS DECIMAL(12,6))"
     )
 
 
@@ -115,9 +115,9 @@ bylabel AS (
   FROM proj GROUP BY label
 )
 SELECT b.label, b.n_vecs,
-       ROUND({proj}, 6) AS proj_center,
-       {', '.join(f'ROUND(x{j}, 6) AS ev{j}' for j in _IDX)},
-       ROUND(lam, 6) AS eigenvalue
+       FLOOR(({proj}) * 1e6 + 0.5) / 1e6 AS proj_center,
+       {', '.join(f'FLOOR((x{j}) * 1e6 + 0.5) / 1e6 AS ev{j}' for j in _IDX)},
+       FLOOR((lam) * 1e6 + 0.5) / 1e6 AS eigenvalue
 FROM bylabel b CROSS JOIN {prev}
 ORDER BY b.label
 """
@@ -138,14 +138,11 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_d = F.col("embedding").cast("array<double>")
 
     def block(j: int):
-        return F.round(
-            F.aggregate(
+        return (F.floor((F.aggregate(
                 F.slice(emb_d, j * BLK + 1, BLK),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
-            ),
-            6,
-        ).cast("decimal(12,6)")
+            )) * 1e6 + 0.5) / 1e6).cast("decimal(12,6)")
 
     proj = emb.select(
         "label", *[block(j).alias(f"b{j}") for j in _IDX]
@@ -215,9 +212,9 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "n_vecs",
-            F.round(pc, 6).alias("proj_center"),
-            *[F.round(F.col(f"x{j}"), 6).alias(f"ev{j}") for j in _IDX],
-            F.round(F.col("lam"), 6).alias("eigenvalue"),
+            (F.floor((pc) * 1e6 + 0.5) / 1e6).alias("proj_center"),
+            *[(F.floor((F.col(f"x{j}")) * 1e6 + 0.5) / 1e6).alias(f"ev{j}") for j in _IDX],
+            (F.floor((F.col("lam")) * 1e6 + 0.5) / 1e6).alias("eigenvalue"),
         )
         .orderBy("label")
     )

@@ -257,7 +257,7 @@ cand AS (
   JOIN qs q ON q.query_id = s.query_id
 )
 SELECT query_id, neighbor_id, neighbor_label,
-       ROUND(cos_raw, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
+       FLOOR((cos_raw) * 1e6 + 0.5) / 1e6 AS cos_sim, CAST(rk AS INTEGER) AS rk
 FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
@@ -347,7 +347,7 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            F.round("cos_raw", 6).alias("cos_sim"),
+            (F.floor((F.col("cos_raw")) * 1e6 + 0.5) / 1e6).alias("cos_sim"),
             "rk",
         )
     )

@@ -24,7 +24,7 @@ _QINERTIA_ORACLE = f"""
 WITH {sql_training_ctes()},
 dists AS (
   SELECT a.cluster_id,
-         CAST(ROUND({sql_dist2('a.emb', 'k.centroid')}, 10)
+         CAST(FLOOR(({sql_dist2('a.emb', 'k.centroid')}) * 1e10 + 0.5) / 1e10
               AS DECIMAL(24,10)) AS d2q
   FROM asgf a JOIN cent2 k USING (cluster_id)
 ),
@@ -38,9 +38,9 @@ sep AS (
 )
 SELECT d.cluster_id,
        CAST(COUNT(*) AS BIGINT)                         AS n_vectors,
-       ROUND(CAST(SUM(d.d2q) AS DOUBLE), 6)             AS inertia,
-       ROUND(CAST(SUM(d.d2q) AS DOUBLE) / COUNT(*), 6)  AS mean_d2,
-       ROUND(ANY_VALUE(s.nearest_other_d2), 6)          AS nearest_other_centroid_d2
+       FLOOR((CAST(SUM(d.d2q) AS DOUBLE)) * 1e6 + 0.5) / 1e6             AS inertia,
+       FLOOR((CAST(SUM(d.d2q) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6  AS mean_d2,
+       FLOOR((ANY_VALUE(s.nearest_other_d2)) * 1e6 + 0.5) / 1e6          AS nearest_other_centroid_d2
 FROM dists d JOIN sep s USING (cluster_id)
 GROUP BY d.cluster_id
 """
@@ -64,7 +64,7 @@ def q_cluster_inertia_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = _nearest(corpus, cent)
     dists = asg.join(F.broadcast(cent), "cluster_id").select(
         "cluster_id",
-        F.round(dist2(F.col("emb"), F.col("centroid")), 10)
+        (F.floor((dist2(F.col("emb"), F.col("centroid"))) * 1e10 + 0.5) / 1e10)
         .cast("decimal(24,10)")
         .alias("d2q"),
     )
@@ -87,10 +87,8 @@ def q_cluster_inertia_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         dists.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.round(F.sum("d2q").cast("double"), 6).alias("inertia"),
-            F.round(
-                F.sum("d2q").cast("double") / F.count(F.lit(1)), 6
-            ).alias("mean_d2"),
+            (F.floor((F.sum("d2q").cast("double")) * 1e6 + 0.5) / 1e6).alias("inertia"),
+            (F.floor((F.sum("d2q").cast("double") / F.count(F.lit(1))) * 1e6 + 0.5) / 1e6).alias("mean_d2"),
         )
         .join(F.broadcast(sep), "cluster_id")
         .select(
@@ -98,6 +96,6 @@ def q_cluster_inertia_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors",
             "inertia",
             "mean_d2",
-            F.round("nearest_other_d2", 6).alias("nearest_other_centroid_d2"),
+            (F.floor((F.col("nearest_other_d2")) * 1e6 + 0.5) / 1e6).alias("nearest_other_centroid_d2"),
         )
     )

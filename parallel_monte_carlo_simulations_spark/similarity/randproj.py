@@ -55,7 +55,7 @@ WITH dims AS (
 ),
 proj AS (
   SELECT vec_id, ks.k,
-         CAST(SUM(CAST(ROUND(({_SIGN_SQL}) * v, 9) AS DECIMAL(18,9)))
+         CAST(SUM(CAST(FLOOR((({_SIGN_SQL}) * v) * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9)))
               AS DOUBLE) AS p,
          MAX(d) AS d
   FROM dims CROSS JOIN (SELECT unnest(range(0, {K_DIMS})) AS k) ks
@@ -68,7 +68,7 @@ pairs AS (
 ),
 orig AS (
   SELECT p.va, p.vb,
-         CAST(SUM(CAST(ROUND((da.v - db.v) * (da.v - db.v), 9)
+         CAST(SUM(CAST(FLOOR(((da.v - db.v) * (da.v - db.v)) * 1e9 + 0.5) / 1e9
                        AS DECIMAL(18,9))) AS DOUBLE) AS dist2
   FROM pairs p
   JOIN dims da ON da.vec_id = p.va
@@ -77,7 +77,7 @@ orig AS (
 ),
 projected AS (
   SELECT p.va, p.vb,
-         CAST(SUM(CAST(ROUND((pa.p - pb.p) * (pa.p - pb.p), 9)
+         CAST(SUM(CAST(FLOOR(((pa.p - pb.p) * (pa.p - pb.p)) * 1e9 + 0.5) / 1e9
                        AS DECIMAL(18,9))) AS DOUBLE) AS pdist2
   FROM pairs p
   JOIN proj pa ON pa.vec_id = p.va
@@ -85,9 +85,9 @@ projected AS (
   GROUP BY p.va, p.vb
 )
 SELECT o.va AS vec_a, o.vb AS vec_b,
-       ROUND(o.dist2, 6) AS dist2,
-       ROUND(pr.pdist2 / {K_DIMS}.0e0, 6) AS proj_dist2_scaled,
-       ROUND((pr.pdist2 / {K_DIMS}.0e0) / o.dist2, 4) AS jl_ratio
+       FLOOR((o.dist2) * 1e6 + 0.5) / 1e6 AS dist2,
+       FLOOR((pr.pdist2 / {K_DIMS}.0e0) * 1e6 + 0.5) / 1e6 AS proj_dist2_scaled,
+       FLOOR(((pr.pdist2 / {K_DIMS}.0e0) / o.dist2) * 1e4 + 0.5) / 1e4 AS jl_ratio
 FROM orig o JOIN projected pr ON pr.va = o.va AND pr.vb = o.vb
 WHERE o.dist2 > 0
 ORDER BY vec_a, vec_b
@@ -132,7 +132,7 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "vec_id",
             "k",
-            F.round(sign * F.col("v"), 9).cast("decimal(18,9)").alias("t"),
+            (F.floor((sign * F.col("v")) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)").alias("t"),
         )
         .groupBy("vec_id", "k")
         .agg(F.sum("t").cast("double").alias("p"))
@@ -172,11 +172,8 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("va", "vb")
         .agg(
             F.sum(
-                F.round(
-                    (F.col("v_a") - F.col("v_b"))
-                    * (F.col("v_a") - F.col("v_b")),
-                    9,
-                ).cast("decimal(18,9)")
+                (F.floor(((F.col("v_a") - F.col("v_b"))
+                    * (F.col("v_a") - F.col("v_b"))) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)")
             )
             .cast("double")
             .alias("dist2")
@@ -197,11 +194,8 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("va", "vb")
         .agg(
             F.sum(
-                F.round(
-                    (F.col("p_a") - F.col("p_b"))
-                    * (F.col("p_a") - F.col("p_b")),
-                    9,
-                ).cast("decimal(18,9)")
+                (F.floor(((F.col("p_a") - F.col("p_b"))
+                    * (F.col("p_a") - F.col("p_b"))) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)")
             )
             .cast("double")
             .alias("pdist2")
@@ -213,9 +207,9 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             F.col("va").alias("vec_a"),
             F.col("vb").alias("vec_b"),
-            F.round("dist2", 6).alias("dist2"),
-            F.round(F.col("pdist2") / K_DIMS, 6).alias("proj_dist2_scaled"),
-            F.round((F.col("pdist2") / K_DIMS) / F.col("dist2"), 4).alias(
+            (F.floor((F.col("dist2")) * 1e6 + 0.5) / 1e6).alias("dist2"),
+            (F.floor((F.col("pdist2") / K_DIMS) * 1e6 + 0.5) / 1e6).alias("proj_dist2_scaled"),
+            (F.floor(((F.col("pdist2") / K_DIMS) / F.col("dist2")) * 1e4 + 0.5) / 1e4).alias(
                 "jl_ratio"
             ),
         )
@@ -237,7 +231,7 @@ _JL_TOPK_SQL = f"""
     SELECT qp.vec_id AS query_id, cp.vec_id AS neighbor_id,
            CAST(row_number() OVER (
              PARTITION BY qp.vec_id
-             ORDER BY SUM(CAST(ROUND((qp.p - cp.p) * (qp.p - cp.p), 9)
+             ORDER BY SUM(CAST(FLOOR(((qp.p - cp.p) * (qp.p - cp.p)) * 1e9 + 0.5) / 1e9
                                AS DECIMAL(18,9))), cp.vec_id
            ) AS INTEGER) AS rk
     FROM proj qp JOIN proj cp
@@ -256,7 +250,7 @@ WITH dims AS (
 ),
 proj AS (
   SELECT vec_id, ks.k,
-         CAST(SUM(CAST(ROUND(({_SIGN_SQL}) * v, 9) AS DECIMAL(18,9)))
+         CAST(SUM(CAST(FLOOR((({_SIGN_SQL}) * v) * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9)))
               AS DOUBLE) AS p
   FROM dims CROSS JOIN (SELECT unnest(range(0, {K_DIMS})) AS k) ks
   GROUP BY vec_id, ks.k
@@ -271,7 +265,7 @@ matches AS (
 )
 SELECT q.query_id,
        CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
-       ROUND(COALESCE(m.n_match, 0) / {TOP_K}.0, 4) AS recall_at_k
+       FLOOR((COALESCE(m.n_match, 0) / {TOP_K}.0) * 1e4 + 0.5) / 1e4 AS recall_at_k
 FROM (SELECT DISTINCT query_id FROM truth) q
 LEFT JOIN matches m ON q.query_id = m.query_id
 ORDER BY q.query_id
@@ -319,7 +313,7 @@ def q_ann_recall_eval_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "k",
-            F.round(sign * F.col("v"), 9).cast("decimal(18,9)").alias("t"),
+            (F.floor((sign * F.col("v")) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)").alias("t"),
         )
         .groupBy("vec_id", "k")
         .agg(F.sum("t").cast("double").alias("p"))
@@ -343,10 +337,7 @@ def q_ann_recall_eval_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "neighbor_id")
         .agg(
             F.sum(
-                F.round(
-                    (F.col("pq") - F.col("pc")) * (F.col("pq") - F.col("pc")),
-                    9,
-                ).cast("decimal(18,9)")
+                (F.floor(((F.col("pq") - F.col("pc")) * (F.col("pq") - F.col("pc"))) * 1e9 + 0.5) / 1e9).cast("decimal(18,9)")
             ).alias("d2")
         )
         .withColumn(
@@ -371,9 +362,7 @@ def q_ann_recall_eval_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
-            F.round(
-                F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K)), 4
-            ).alias("recall_at_k"),
+            (F.floor((F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K))) * 1e4 + 0.5) / 1e4).alias("recall_at_k"),
         )
         .orderBy("query_id")
     )

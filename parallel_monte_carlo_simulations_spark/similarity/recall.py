@@ -36,7 +36,7 @@ matches AS (
 )
 SELECT q.query_id,
        CAST(COALESCE(m.n_match, 0) AS BIGINT)          AS n_match,
-       ROUND(COALESCE(m.n_match, 0) / {TOP_K}.0, 4)    AS recall_at_k
+       FLOOR((COALESCE(m.n_match, 0) / {TOP_K}.0) * 1e4 + 0.5) / 1e4    AS recall_at_k
 FROM (SELECT DISTINCT query_id FROM truth) q
 LEFT JOIN matches m ON q.query_id = m.query_id
 """
@@ -66,9 +66,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
-            F.round(
-                F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K)), 4
-            ).alias("recall_at_k"),
+            (F.floor((F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K))) * 1e4 + 0.5) / 1e4).alias("recall_at_k"),
         )
     )
 
@@ -86,7 +84,7 @@ matches AS (
 )
 SELECT q.query_id,
        CAST(COALESCE(m.n_match, 0) AS BIGINT)          AS n_match,
-       ROUND(COALESCE(m.n_match, 0) / {TOP_K}.0, 4)    AS recall_at_k
+       FLOOR((COALESCE(m.n_match, 0) / {TOP_K}.0) * 1e4 + 0.5) / 1e4    AS recall_at_k
 FROM (SELECT DISTINCT query_id FROM truth) q
 LEFT JOIN matches m ON q.query_id = m.query_id
 """
@@ -117,9 +115,7 @@ def q_ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
-            F.round(
-                F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K)), 4
-            ).alias("recall_at_k"),
+            (F.floor((F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K))) * 1e4 + 0.5) / 1e4).alias("recall_at_k"),
         )
     )
 
@@ -137,7 +133,7 @@ matches AS (
 )
 SELECT q.query_id,
        CAST(COALESCE(m.n_match, 0) AS BIGINT)          AS n_match,
-       ROUND(COALESCE(m.n_match, 0) / {TOP_K}.0, 4)    AS recall_at_k
+       FLOOR((COALESCE(m.n_match, 0) / {TOP_K}.0) * 1e4 + 0.5) / 1e4    AS recall_at_k
 FROM (SELECT DISTINCT query_id FROM truth) q
 LEFT JOIN matches m ON q.query_id = m.query_id
 """
@@ -169,8 +165,6 @@ def q_ann_recall_eval_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
-            F.round(
-                F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K)), 4
-            ).alias("recall_at_k"),
+            (F.floor((F.coalesce("n_match", F.lit(0)) / F.lit(float(TOP_K))) * 1e4 + 0.5) / 1e4).alias("recall_at_k"),
         )
     )

@@ -81,7 +81,7 @@ SELECT CAST(station AS INTEGER)        AS station,
        CAST(COUNT(*) AS BIGINT)        AS n_readings,
        {rdiv_halfup_duck(f"SUM({units_sql('reading', 1)})", "10", 2)}
                                        AS total_reading,
-       ROUND(MAX(reading), 2)          AS max_reading
+       FLOOR((MAX(reading)) * 1e2 + 0.5) / 1e2          AS max_reading
 FROM rows
 WHERE reading > 50.0
 GROUP BY station
@@ -117,6 +117,6 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             rdiv_halfup_expr(
                 f"sum({units_sql('reading', 1)})", "10", 2
             ).alias("total_reading"),
-            F.round(F.max("reading"), 2).alias("max_reading"),
+            (F.floor((F.max("reading")) * 1e2 + 0.5) / 1e2).alias("max_reading"),
         )
     )

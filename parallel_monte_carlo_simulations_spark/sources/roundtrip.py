@@ -129,7 +129,7 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QPART_ORACLE = """
 SELECT l_linestatus,
        COUNT(*)                   AS n_items,
-       ROUND(SUM(l_quantity), 2)  AS sum_qty
+       FLOOR((SUM(l_quantity)) * 1e2 + 0.5) / 1e2  AS sum_qty
 FROM lineitem
 WHERE l_returnflag = 'R'
 GROUP BY l_linestatus
@@ -156,7 +156,7 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (F.floor((F.sum("l_quantity")) * 1e2 + 0.5) / 1e2).alias("sum_qty"),
         )
     )
 

@@ -87,7 +87,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QFEB_ORACLE = """
 SELECT event_type,
        COUNT(*)             AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+       FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)) * 1e2 + 0.5) / 1e2
                             AS total_value
 FROM events
 WHERE value > 50
@@ -130,9 +130,7 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-independent (r12 float discipline, see streaming/windows.py)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
-        ).alias("total_value"),
+        (F.floor((F.sum(F.col("value").cast("decimal(18,6)")).cast("double")) * 1e2 + 0.5) / 1e2).alias("total_value"),
     )
 
 

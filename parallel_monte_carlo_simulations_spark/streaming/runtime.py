@@ -82,7 +82,7 @@ def q_stream_true_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUPDATE_ORACLE = """
 SELECT user_id, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+       CAST(FLOOR((SUM(CAST(value AS DECIMAL(18,4)))) * 1e4 + 0.5) / 1e4 AS DOUBLE) AS total_value
 FROM events
 WHERE user_id < 40
 GROUP BY user_id, event_type
@@ -147,7 +147,7 @@ def q_stream_update_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             F.col("n_events").cast("long").alias("n_events"),
-            F.round("raw_total", 4).cast("double").alias("total_value"),
+            (F.floor((F.col("raw_total")) * 1e4 + 0.5) / 1e4).cast("double").alias("total_value"),
         )
     )
     import shutil as _sh
@@ -161,7 +161,7 @@ def q_stream_update_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QRECOVERY_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+       CAST(FLOOR((SUM(CAST(value AS DECIMAL(18,4)))) * 1e4 + 0.5) / 1e4 AS DOUBLE) AS total_value
 FROM events
 GROUP BY event_type
 """
@@ -235,5 +235,5 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
-        F.round("raw_total", 4).cast("double").alias("total_value"),
+        (F.floor((F.col("raw_total")) * 1e4 + 0.5) / 1e4).cast("double").alias("total_value"),
     )

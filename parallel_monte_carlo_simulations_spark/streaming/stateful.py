@@ -68,7 +68,7 @@ def _update_user_state(key, pdfs, state: GroupState):
 _QSTATE_ORACLE = """
 SELECT user_id,
        COUNT(*)             AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+       FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)) * 1e2 + 0.5) / 1e2
                             AS total_value
 FROM events
 GROUP BY user_id
@@ -107,5 +107,5 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(sink)
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
+        (F.floor((F.max_by("total_value", "n_events")) * 1e2 + 0.5) / 1e2).alias("total_value"),
     )

@@ -63,9 +63,23 @@ _ROUND_RE = re.compile(r"(F\.round\(|\bROUND\s*\()")
 
 
 def scan() -> list[dict]:
-    """Every rounding call site in package source, with its stripped
-    line text (the whitelist key — content-addressed so pure line
-    drift never invalidates an entry)."""
+    """Every rounding CALL site in package source, with the stripped
+    first line of the call as the whitelist key (content-addressed so
+    pure line drift never invalidates an entry).
+
+    Call-based (balanced-paren) classification, so multi-line and
+    black-formatted trailing-comma calls classify correctly:
+      safe — single-arg ROUND(x) / F.round(x): integer half-away-
+             from-zero on the identical double, no 10^k scaling step,
+             bit-equal across engines;
+           — literal k == 0 (the blessed integer unit quantization);
+           — line-level decimal-sum forms in _SAFE_PATTERNS (ROUND on
+             an EXACT decimal is exact half-up in both engines).
+      flagged — everything else (raw double ROUND with k >= 1 or a
+             non-literal k)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from convert_round import _find_matching, _split_last_arg
+
     sites = []
     for dirpath, _dirs, files in os.walk(PKG):
         for fn in sorted(files):
@@ -75,18 +89,34 @@ def scan() -> list[dict]:
             rel = os.path.relpath(path, ROOT)
             if rel.endswith("functions/microunit.py"):
                 continue  # the implementation of the blessed forms
-            with open(path) as f:
-                for lineno, line in enumerate(f, 1):
-                    if not _ROUND_RE.search(line):
-                        continue
-                    stripped = line.strip()
-                    if stripped.startswith("#") or stripped.startswith("-- "):
-                        continue
-                    if any(p.search(stripped) for p in _SAFE_PATTERNS):
-                        continue
-                    sites.append(
-                        {"file": rel, "line": lineno, "text": stripped}
-                    )
+            src = open(path).read()
+            line_starts = [0]
+            for i, c in enumerate(src):
+                if c == "\n":
+                    line_starts.append(i + 1)
+            for m in _ROUND_RE.finditer(src):
+                lineno = (
+                    sum(1 for s in line_starts if s <= m.start())
+                )
+                ls = line_starts[lineno - 1]
+                le = src.find("\n", ls)
+                line = src[ls : le if le >= 0 else len(src)]
+                stripped = line.strip()
+                if stripped.startswith("#") or stripped.startswith("-- "):
+                    continue
+                if any(p.search(stripped) for p in _SAFE_PATTERNS):
+                    continue
+                open_idx = m.end() - 1
+                close_idx = _find_matching(src, open_idx)
+                if close_idx >= 0:
+                    body = src[open_idx + 1 : close_idx]
+                    split = _split_last_arg(body)
+                    if split is None:
+                        continue  # single-arg: integer rounding, safe
+                    karg = split[1].strip()
+                    if karg == "0":
+                        continue  # blessed integer quantization
+                sites.append({"file": rel, "line": lineno, "text": stripped})
     return sites
 
 

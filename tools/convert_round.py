@@ -50,7 +50,11 @@ def _find_matching(s: str, start: int) -> int:
 
 
 def _split_last_arg(body: str) -> tuple[str, str] | None:
-    """Split 'expr, k' at the TOP-LEVEL last comma -> (expr, k)."""
+    """Split 'expr, k' at the TOP-LEVEL last comma -> (expr, k).
+    Tolerates a black-style trailing comma after k."""
+    stripped = body.rstrip()
+    if stripped.endswith(","):
+        body = stripped[:-1]
     depth = 0
     quote = None
     last = -1
