@@ -31,7 +31,16 @@ SF_DIR = "/root/repo/.scale/sf1.0"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sweep_sf1.jsonl"
 TIMEOUT_S = int(sys.argv[2]) if len(sys.argv) > 2 else 600
 ONLY = set(sys.argv[3:])
-DUCK_MEM = "24GB"
+DUCK_MEM = os.environ.get("SWEEP_DUCK_MEM", "24GB")
+
+#: Optional horizontal split for wall-clock: SWEEP_SHARD="0/2" runs the
+#: even-indexed names, "1/2" the odd ones, each process with its own
+#: Spark session (SWEEP_CPUS cores) and DuckDB thread budget, writing
+#: its own OUT file (concatenate afterwards — the JSONL rows are
+#: self-describing).
+SHARD = os.environ.get("SWEEP_SHARD")
+CPUS = os.environ.get("SWEEP_CPUS")
+DUCK_THREADS = os.environ.get("SWEEP_DUCK_THREADS")
 
 
 class _Timeout(Exception):
@@ -57,6 +66,8 @@ def main() -> None:
     def bounded_connect(*a, **kw):
         con = orig_connect(*a, **kw)
         con.execute(f"SET memory_limit='{DUCK_MEM}'")
+        if DUCK_THREADS:
+            con.execute(f"SET threads={int(DUCK_THREADS)}")
         con.execute(f"SET temp_directory='{tmp}'")
         con.execute("SET max_temp_directory_size='60GB'")
         return con
@@ -72,13 +83,24 @@ def main() -> None:
                 except Exception:
                     pass
 
-    spark = get_spark()
+    if CPUS:
+        spark = get_spark(
+            app_name=f"sweep-sf1-shard{SHARD or 0}".replace("/", "-"),
+            master=f"local[{int(CPUS)}]",
+            shuffle_partitions=int(CPUS),
+            extra_conf={"spark.ui.enabled": "false"},
+        )
+    else:
+        spark = get_spark()
     signal.signal(signal.SIGALRM, _alarm)
 
     specs = load_all_queries()
     names = sorted(n for n, s in specs.items() if s.oracle is not None)
     if ONLY:
         names = [n for n in names if n in ONLY]
+    if SHARD:
+        i, n = (int(x) for x in SHARD.split("/"))
+        names = [nm for j, nm in enumerate(names) if j % n == i]
     print(f"sf1.0 sweep: {len(names)} oracled queries, {len(done)} already done")
 
     for i, name in enumerate(names):
