@@ -58,8 +58,14 @@ def main() -> None:
     from parallel_monte_carlo_simulations_spark.registry import load_all_queries
     from parallel_monte_carlo_simulations_spark.session import get_spark
 
-    tmp = "/root/repo/.duck_tmp"
+    # Per-shard temp dir: two shards sharing one dir also share the
+    # spill cap, so one shard's spill starves the other (observed as
+    # spurious "failed to offload (55.8/55.8 GiB)" OOMs). The cap must
+    # also respect the BOX's free disk, not just DuckDB's default.
+    suffix = f"-{SHARD.replace('/', '_')}" if SHARD else ""
+    tmp = f"/root/repo/.duck_tmp{suffix}"
     os.makedirs(tmp, exist_ok=True)
+    spill_cap = os.environ.get("SWEEP_DUCK_SPILL", "60GB")
 
     orig_connect = duckdb.connect
 
@@ -69,7 +75,7 @@ def main() -> None:
         if DUCK_THREADS:
             con.execute(f"SET threads={int(DUCK_THREADS)}")
         con.execute(f"SET temp_directory='{tmp}'")
-        con.execute("SET max_temp_directory_size='60GB'")
+        con.execute(f"SET max_temp_directory_size='{spill_cap}'")
         return con
 
     duckdb.connect = bounded_connect
