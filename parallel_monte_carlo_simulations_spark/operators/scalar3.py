@@ -174,7 +174,13 @@ def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through pandas sort_values, which cannot hash raw array columns
     # (registry.py column discipline — top-level outputs must be atomic).
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    nums = F.regexp_extract_all("text", F.lit("[0-9]+"))
+    # Explicit capture group + idx=1: the 2-arg Spark form defaults to
+    # group index 1, and a groupless pattern only survives until the
+    # first actual match (Spark validates the index lazily per match) —
+    # latent at SFs whose first 100 docs contain no digits, caught by
+    # the sf1.0 sweep the moment one did. Group 1 of ([0-9]+) is the
+    # full numeric run, identical to DuckDB's group-0 extraction.
+    nums = F.regexp_extract_all("text", F.lit("([0-9]+)"), 1)
     return d.select(
         "doc_id",
         F.array_join(nums, ",").alias("nums"),

@@ -62,6 +62,16 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.driver.extraJavaOptions": (
         "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=1000"
     ),
+    # Round-13 finding (sf1.0 sweep): WITH RECURSIVE accumulates its
+    # total emitted rows against spark.sql.cteRecursionRowLimit
+    # (default 1,000,000) — a runaway guard, not a capacity bound. The
+    # set-based per-rank recursion in q_sql_recursive_balance emits one
+    # row per source order, so the DEFAULT guard trips at ~sf0.7 even
+    # though per-level state is tiny. 1e9 keeps the guard (a genuinely
+    # cyclic recursion still terminates) while admitting legitimate
+    # data-proportional recursions; on a real cluster size it to the
+    # expected recursion output.
+    "spark.sql.cteRecursionRowLimit": str(1_000_000_000),
     # Deeply-unrolled iterative plans (BFS/PageRank cached unions) have
     # MULTI-GIGABYTE plan strings; AQE's onUpdatePlan renders the plan
     # to a string on every re-plan for its change log, and an unbounded
