@@ -168,25 +168,31 @@ def _merge_rounds(
             & (F.col("tok") == F.col("a"))
             & (F.col("nxt") == F.col("b"))
         )
+        # r13 (guide §2.4): island membership WITHOUT leaving the
+        # (doc_id, pos) sort order. The previous form computed the
+        # island key grp = pos - running_match_count and took
+        # MIN(pos) OVER (doc_id, grp) — a window whose (doc_id, grp)
+        # ordering forced a second corpus Sort per round, plus a third
+        # to return to (doc_id, pos) for the lag/row_number passes.
+        # Because pos is consecutive within a doc (posexplode /
+        # renumbered each round), an island is exactly a maximal run of
+        # consecutive mtch rows, so its start position is the latest
+        # pos at which mtch turned on — a running MAX in the SAME
+        # (doc_id, pos) order every other window in the round uses.
+        # Pure integer/boolean math: the kept set is provably
+        # identical, so the merge output is bit-identical (oracle
+        # unchanged; hash-verified at sf0.001/0.01/0.1).
         mm = m.select(
             "*",
             mtch.alias("mtch"),
-            F.sum(F.when(mtch, 1).otherwise(0)).over(wrows).alias("mseq"),
+            F.coalesce(F.lag(mtch).over(w), F.lit(False)).alias("prev_mtch"),
         )
-        isl = mm.withColumn(
-            "grp", F.when(F.col("mtch"), F.col("pos") - F.col("mseq"))
-        )
-        keep = isl.withColumn(
+        island_start = F.max(
+            F.when(F.col("mtch") & ~F.col("prev_mtch"), F.col("pos"))
+        ).over(wrows)
+        keep = mm.withColumn(
             "kept",
-            F.col("mtch")
-            & (
-                (
-                    F.col("pos")
-                    - F.min("pos").over(Window.partitionBy("doc_id", "grp"))
-                )
-                % 2
-                == 0
-            ),
+            F.col("mtch") & ((F.col("pos") - island_start) % 2 == 0),
         )
         nk = keep.withColumn(
             "dropped", F.coalesce(F.lag("kept").over(w), F.lit(False))

@@ -252,7 +252,21 @@ def _oracle() -> str:
 )
 def q_mc_american_lsmc(spark: SparkSession, sf_dir: str) -> DataFrame:
     body = lsmc_body()
+    # r13 (guide §2.2): size the path-source partitions to the problem,
+    # not the core count. The plan re-derives the 4096-path subtree for
+    # each of the 3 regression aggregates plus the final pricing pass;
+    # a bare range() gives defaultParallelism slices, so every one of
+    # those stages paid 32 near-empty tasks (128 rows each) of almost
+    # pure scheduling overhead. 512+ paths per task keeps the arithmetic
+    # vectorizable and the stage at most defaultParallelism wide —
+    # N_PATHS is an algorithm constant, so this is problem-adaptive at
+    # every deployment size. (The oracle's idx CTE is engine-specific
+    # already; the shared body is untouched. Partition count only
+    # changes double-sum order inside the 1e-6-quantized moments — the
+    # same accepted variation as the driver's local[8] vs the bench's
+    # local[32].)
+    parts = max(1, min(spark.sparkContext.defaultParallelism, N_PATHS // 512))
     return spark.sql(
-        f"WITH idx AS (SELECT id AS i FROM range({N_PATHS}))\n, "
+        f"WITH idx AS (SELECT id AS i FROM range(0, {N_PATHS}, 1, {parts}))\n, "
         + body[len("WITH ") :]
     )

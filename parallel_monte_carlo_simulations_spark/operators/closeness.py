@@ -32,7 +32,7 @@ from ..functions.microunit import (
     rdiv_halfup_expr,
 )
 from ..registry import register
-from ..tables import table
+from ..tables import adaptive_partitions, table
 from .graph import _PART_OFFSET
 
 K_SOURCES = 4  #: supplier node ids 1..K used as BFS sources
@@ -108,8 +108,9 @@ def q_graph_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
         pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
     )
-    p = spark.sparkContext.defaultParallelism
+    p = adaptive_partitions(spark, sf_dir)
     edges = edges.repartition(p, "src").persist()
+    edges.count()  # r13: per-round expand joins see the cached hash(src, p)
 
     # Eager localCheckpoint per round, NOT persist: ``known`` is
     # referenced twice per round (anti-join probe + carry union), so

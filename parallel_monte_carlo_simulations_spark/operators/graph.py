@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import table
+from ..tables import adaptive_partitions, table
 
 DAMPING = 0.85
 N_ITERS = 10
@@ -111,12 +111,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state hash(node, P) share one explicit partitioning, so BOTH joins
     # in every iteration are zero-exchange (bucketed-join shape) and the
     # only shuffle per iteration is the P-task contrib aggregation. P is
-    # pinned to cluster parallelism rather than sql.shuffle.partitions
+    # pinned explicitly rather than left to sql.shuffle.partitions
     # because the driver's collection path (toPandas/df.rdd) executes the
     # non-adaptive plan: without explicit partitioning every iteration
     # re-runs its exchanges at the full static partition count (measured
-    # 56 s vs 3 s at sf0.01/local[8]).
-    p = spark.sparkContext.defaultParallelism
+    # 56 s vs 3 s at sf0.01/local[8]). r13: P is byte-derived
+    # (tables.adaptive_partitions) instead of defaultParallelism — at
+    # test SFs the 10 iterations were paying ~40 stages x 32 near-empty
+    # tasks (measured 25% of wall at sf0.1/local[32]); at 100 TB the
+    # same formula sizes partitions to the guide's 100 MB-1 GB band.
+    p = adaptive_partitions(spark, sf_dir)
     edges_deg = edges.join(outdeg, "src").repartition(p, "src").persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -124,6 +128,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(p, "node")
         .persist()
     )
+    # r13: materialize the iteration-state caches EAGERLY — plans built
+    # against an unmaterialized cache see UnknownPartitioning and
+    # re-exchange both join inputs every round; once materialized the
+    # cached hash layout is visible and the per-round joins go back to
+    # the designed zero-exchange shape (guide §2.4; cached-scan counts
+    # are cheap relative to the removed per-round corpus exchanges).
+    edges_deg.count()
+    nodes.count()
 
     # shuffle_hash hints: the rank/contrib sides look broadcastable at
     # test SFs, but broadcasting an iteration state re-materializes its
@@ -234,7 +246,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (u, v) edge pair, so under the non-adaptive collection path the
     # heavy joins run at cluster parallelism instead of the static
     # shuffle-partition count.
-    p = spark.sparkContext.defaultParallelism
+    p = adaptive_partitions(spark, sf_dir)
     pairs = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     ).distinct()
@@ -246,6 +258,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(p, "u", "v")
         .persist()
     )
+    edges.count()  # r13: expose the cached hash(u, v) layout to consumers
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -264,6 +277,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).repartition(p, "src").persist()
+    oriented.count()  # r13: both wedge self-join sides see hash(src, p)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # b < c by id, and the undirected edge set stores u < v by id, so the
     # closing probe is a plain (b, c) = (u, v) equi-join.
@@ -375,8 +389,9 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
         .unionByName(pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")))
     )
-    p = spark.sparkContext.defaultParallelism
+    p = adaptive_partitions(spark, sf_dir)
     edges = edges.repartition(p, "src").persist()
+    edges.count()  # r13: per-round expand joins see the cached hash(src, p)
 
     known = (
         spark.createDataFrame([(_BFS_SOURCE, 0)], "node long, dist int")

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import table
+from ..tables import adaptive_partitions, table
 from .graph import _PART_OFFSET
 
 _SSSP_SOURCE = 1
@@ -89,8 +89,9 @@ def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("w", F.expr(_W))
     )
-    p = spark.sparkContext.defaultParallelism
+    p = adaptive_partitions(spark, sf_dir)
     edges = edges.repartition(p, "src").persist()
+    edges.count()  # r13: per-round expand joins see the cached hash(src, p)
 
     known = (
         spark.createDataFrame([(_SSSP_SOURCE, 0)], "node long, dist int")
@@ -184,7 +185,7 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    p = spark.sparkContext.defaultParallelism
+    p = adaptive_partitions(spark, sf_dir)
     edges_deg = edges.join(outdeg, "src").repartition(p, "src").persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -192,6 +193,14 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(p, "node")
         .persist()
     )
+    # r13: materialize the iteration-state caches EAGERLY — plans built
+    # against an unmaterialized cache see UnknownPartitioning and
+    # re-exchange both join inputs every round; once materialized the
+    # cached hash layout is visible and the per-round joins go back to
+    # the designed zero-exchange shape (guide §2.4; cached-scan counts
+    # are cheap relative to the removed per-round corpus exchanges).
+    edges_deg.count()
+    nodes.count()
     restart = F.when(
         F.col("node") == _PPR_SOURCE, F.lit(1 - _PPR_DAMPING)
     ).otherwise(F.lit(0.0))

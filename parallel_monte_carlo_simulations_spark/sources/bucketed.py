@@ -78,7 +78,16 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df, name, key in ((l, l_name, "l_orderkey"), (o, o_name, "o_orderkey")):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
-            df.write.format("parquet")
+            # r13 (guide §6): align the write layout with the bucket
+            # function — repartition(N, key) and bucketBy(N, key) share
+            # pmod(murmur3(key), N), so each write task holds exactly
+            # one bucket. Without it every scan task writes a file per
+            # bucket it sees (scan_tasks x N files — the small-files
+            # problem at 100 TB) and a single-task scan serializes the
+            # whole write (measured 3.20 -> 2.46 s at sf0.1/local[32],
+            # identical stored rows and query result).
+            df.repartition(N_BUCKETS, F.col(key))
+            .write.format("parquet")
             .bucketBy(N_BUCKETS, key)
             .sortBy(key)
             .option("path", _tmpdir(name))

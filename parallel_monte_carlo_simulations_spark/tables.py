@@ -70,6 +70,62 @@ def _normalize_ts(df: DataFrame):
     return F.col("ts").cast(T.TimestampType())
 
 
+def input_file_bytes(sf_dir: str, *names: str) -> int:
+    """Total on-disk bytes of the named parquet tables (0 if unknown).
+
+    Driver-side file metadata only — no Spark job. Works for the local
+    single-file and directory layouts the harness uses; a non-local URI
+    (s3://, hdfs://) returns 0 and callers fall back to cluster
+    parallelism (on a real deployment, catalog statistics replace this).
+    """
+    total = 0
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path):
+            total += os.path.getsize(path)
+        elif os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+    return total
+
+
+def adaptive_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = ("lineitem",),
+    small_target: int = 2 << 20,
+    large_target: int = 256 << 20,
+) -> int:
+    """Scale-adaptive partition count for iterative state derived from
+    the named input tables (optimization guide §2.2: partition count
+    should track data volume, not a constant tuned for one box).
+
+    Three regimes, all from one formula
+    ``max(min(defaultParallelism, ceil(B / small_target)), ceil(B / large_target))``:
+
+    - tiny inputs (test SFs): ~ceil(B / 2 MiB) partitions — a 10 MiB
+      input does not need one task per core; per-task scheduling
+      overhead dominates sub-MiB partitions (measured on q_graph_pagerank
+      at sf0.1/local[32]: pinning iteration state to 32 partitions ran
+      ~25% slower than 8);
+    - medium inputs: cluster parallelism — every core busy;
+    - huge inputs (the 100 TB target): ~ceil(B / 256 MiB) — partitions
+      stay in the guide's 100 MB–1 GB band no matter how large the
+      input grows, instead of dividing 100 TB by the executor count.
+
+    The count feeds explicit ``repartition(p, key)`` pins on persisted
+    iteration state, so it must be sane at plan time; AQE still
+    right-sizes the ENSURE_REQUIREMENTS exchanges around it.
+    """
+    b = input_file_bytes(sf_dir, *names)
+    dp = spark.sparkContext.defaultParallelism
+    if b <= 0:
+        return dp
+    return max(min(dp, -(-b // small_target)), -(-b // large_target))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so spark.sql() queries work."""
     for name in TABLE_NAMES:
