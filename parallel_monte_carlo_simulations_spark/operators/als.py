@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import table
+from ..tables import adaptive_partitions, table
 
 #: L2 regularization.
 LAMBDA = 10
@@ -122,8 +122,21 @@ def q_recsys_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
         # queries in one session release them via catalog.clearCache()
         # after materializing (bench.py per-query, tests/conftest.py
         # autouse fixture).
+        #
+        # r13 (guide §2.2/§2.4): cache in hash(item_id, P) layout and
+        # materialize EAGERLY. Three of the four consumers key on
+        # item_id (v1 agg, the u1 ratings-side join, the final scoring
+        # join), and a materialized cache exposes its partitioning to
+        # their plans, so those three corpus exchanges disappear; only
+        # the user_id-keyed half-steps still shuffle. Same-JVM A/B
+        # (tools/exp_als_r13.py, 4 interleaved reps): median 6.89 s ->
+        # 3.45 s, min 5.68 -> 2.97 at sf0.1/local[32], 50-row output
+        # asserted cell-identical. P is byte-derived so the pin stays
+        # in the guide's partition-size band at any deployment scale.
+        .repartition(adaptive_partitions(spark, sf_dir), "item_id")
         .persist()
     )
+    ratings.count()
 
     def _quant(col):
         return F.floor(col * QSCALE + F.lit(0.5)).cast("long")
@@ -151,6 +164,7 @@ def q_recsys_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
         # u1 feeds both v2 and the final join
         .persist()
     )
+    u1.count()  # r13: eager — consumers see the cached layout, not UnknownPartitioning
     v2 = (
         ratings.join(u1, "user_id")
         .groupBy("item_id")

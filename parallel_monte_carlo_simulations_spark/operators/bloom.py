@@ -130,7 +130,12 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders")
         .select(F.col("o_custkey").alias("key"))
         .distinct()
+        # r13 (guide §2.3/§2.4): probe feeds probe_pos, truth AND total —
+        # persist+materialize so the orders scan + distinct runs once and
+        # every consumer sees the cached hash(key) layout.
+        .persist()
     )
+    probe.count()
 
     # Build: DISTINCT (segment, position) — bounded at M rows per segment.
     build_pos = (
@@ -145,14 +150,21 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Probe positions: distinct per key (two hash fns may collide on the
     # same bit for one key; "all bits set" counts DISTINCT bits).
-    probe_pos = (
-        probe.select(
-            "key",
-            F.explode(_positions(F.col("key").cast("string"))).alias("pos"),
-        )
-        .distinct()
+    #
+    # r13 (guide §2.1/§2.3): a key's k positions live in ONE row's array,
+    # so the oracle's global DISTINCT (key, pos) is exactly a per-key
+    # array_distinct — no shuffle at all — and "need" is that array's
+    # size, carried on the exploded rows instead of re-aggregated and
+    # merge-joined back. Removes the corpus-scale (key, pos) DISTINCT
+    # exchange, the need groupBy exchange, AND the matched-need
+    # sort-merge join (plan: 2 fewer Exchanges, 2 fewer Sorts, 1 fewer
+    # SMJ; rows/values identical by construction, oracle unchanged).
+    parr = F.array_distinct(_positions(F.col("key").cast("string")))
+    probe_pos = probe.select(
+        "key",
+        F.size(parr).alias("need"),
+        F.explode(parr).alias("pos"),
     )
-    need = probe_pos.groupBy("key").agg(F.count(F.lit(1)).alias("need"))
 
     segs = cust.select(F.col("c_mktsegment").alias("seg")).distinct()
 
@@ -167,14 +179,12 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             how="left",
         )
         .groupBy("seg", "key")
-        .agg(F.count("hit").alias("got"))
+        # need is constant per key — MAX is that constant; riding the
+        # same aggregate replaces the former per-key need frame.
+        .agg(F.count("hit").alias("got"), F.max("need").alias("need"))
     )
     passes = (
-        # need is per-PROBE-KEY — scales with the probe table, unlike
-        # the (segments x M)-bounded build side; broadcasting it is an
-        # OOM at scale (round-8 registry audit). Keyed sort-merge.
-        matched.join(need.hint("merge"), on="key")
-        .where(F.col("got") == F.col("need"))
+        matched.where(F.col("got") == F.col("need"))
         .groupBy("seg")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pass"))
     )

@@ -121,6 +121,18 @@ def adaptive_partitions(
     """
     b = input_file_bytes(sf_dir, *names)
     dp = spark.sparkContext.defaultParallelism
+    return partitions_for_bytes(b, dp, small_target, large_target)
+
+
+def partitions_for_bytes(
+    b: int,
+    dp: int,
+    small_target: int = 2 << 20,
+    large_target: int = 256 << 20,
+) -> int:
+    """The pure regime formula behind :func:`adaptive_partitions`
+    (split out so the tiny/medium/huge regimes are unit-testable
+    without synthetic files)."""
     if b <= 0:
         return dp
     return max(min(dp, -(-b // small_target)), -(-b // large_target))
