@@ -189,18 +189,27 @@ def units_sql(col_sql: str, decimals: int) -> str:
     quantizes a double expression with at most ``decimals`` true
     decimal places to exact BIGINT units of 10^-decimals — the
     element-wise step of the repo float discipline (quantize BEFORE
-    any cross-row sum so totals are order-independent). The inner
-    multiply + half-up ROUND are the identical IEEE ops in both
-    engines; for a value with <= ``decimals`` places the product is
-    within half an ulp of the integer, so the ROUND recovers it
-    exactly."""
-    s = 10**decimals
-    return f"CAST(ROUND(({col_sql}) * {s}, 0) AS BIGINT)"
+    any cross-row sum so totals are order-independent). The multiply +
+    add + FLOOR are the identical IEEE ops in both engines; for a value
+    with <= ``decimals`` places the product is within half an ulp of
+    the integer n, so ``floor(n±eps + 0.5) == n`` recovers it exactly
+    at any sign (a true .5 tie cannot occur under the contract).
+
+    r13 optimization round: converted from ``ROUND((x) * s, 0)`` to the
+    floor form the ``qunits_*`` twins always used. Spark's ROUND on a
+    double allocates a java.math.BigDecimal PER ROW (measured ~40% of
+    q01's runtime); the floor form is pure double codegen and makes the
+    cross-engine claim stronger — both engines now evaluate the SAME
+    IEEE op sequence instead of two ROUND implementations that agree
+    only under the contract. Contract (unchanged): |x| * 10^decimals
+    must stay below ~2^51 — above it ``+ 0.5`` itself rounds; per-row
+    money/quantity values are orders of magnitude inside that."""
+    return f"CAST(FLOOR(({col_sql}) * 1e{decimals} + 0.5) AS BIGINT)"
 
 
 def units_col(col: Column, decimals: int) -> Column:
     """DataFrame-API twin of :func:`units_sql`."""
-    return F.round(col * (10**decimals), 0).cast("long")
+    return F.floor(col * F.lit(float(10**decimals)) + F.lit(0.5)).cast("long")
 
 
 def guard_abs_lt(col: Column, bound, site: str) -> Column:

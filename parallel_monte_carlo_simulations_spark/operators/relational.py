@@ -239,9 +239,11 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines. The raw-double SUM flipped a cent at sf1.0
     # (3484896566.925 summed in different orders landing on opposite
     # sides of the 2-dec boundary — r12 sf1.0 spot-sweep).
-    ru = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
-        (F.lit(1) - F.col("l_discount")) * 100, 0
-    ).cast("long")
+    # (r13 opt round: units_col floor form — see functions/microunit.py;
+    # same exact BIGINTs, no BigDecimal-per-row Round.)
+    ru = units_col(F.col("l_extendedprice"), 2) * units_col(
+        F.lit(1) - F.col("l_discount"), 2
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)

@@ -22,8 +22,11 @@ property-tested in tests/.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 from ..functions.vectors import as_double, dot, norm
 from ..registry import register
@@ -64,8 +67,12 @@ def _bucket(emb: Column, tbl: int) -> Column:
     return bucket
 
 
-def lsh_buckets(vectors: DataFrame, emb_col: str = "emb") -> DataFrame:
-    """Explode each vector into its (table_id, bucket) memberships."""
+def lsh_buckets_jvm(vectors: DataFrame, emb_col: str = "emb") -> DataFrame:
+    """JVM-expression form of :func:`lsh_buckets` (32 interpreted HOF
+    folds per row). Kept as the reference implementation the parity
+    test (tests/test_lsh_bucket_parity.py) checks the vectorized form
+    against; no registered query uses it since the r13 optimization
+    round."""
     entries = F.array(
         *[
             F.struct(F.lit(t).alias("table_id"), _bucket(F.col(emb_col), t).alias("bucket"))
@@ -75,6 +82,65 @@ def lsh_buckets(vectors: DataFrame, emb_col: str = "emb") -> DataFrame:
     return vectors.select(
         "*", F.explode(entries).alias("tb")
     ).select("*", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")).drop("tb")
+
+
+#: Hyperplane weights as a (N_TABLES, N_PLANES, DIM) float64 matrix —
+#: the same _plane_weight doubles the JVM expressions and the DuckDB
+#: oracle literals use, materialized once at import (2048 md5 calls).
+_PLANE_W = np.array(
+    [
+        [[_plane_weight(t, p, d) for d in range(DIM)] for p in range(N_PLANES)]
+        for t in range(N_TABLES)
+    ]
+)
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def _buckets_np(emb: pd.Series) -> pd.Series:
+    """All 8 table buckets per vector, vectorized in numpy (guide §4.2).
+
+    BIT-PARITY with the JVM fold (and the oracle's list_reduce): per
+    plane the JVM computes ``acc_0 = 0.0; acc_{d+1} = acc_d + x[d]*w[d]``
+    — two rounded IEEE-754 double ops per dim, left to right. The loop
+    below runs ``acc = acc + X[:, d] * w_d`` per dim: the same two ops
+    per element in the same order (separate numpy ufunc calls — no FMA
+    fusion), so every dot, sign bit and bucket is bit-identical.
+    Measured ×2.3 on q_sim_lsh_topk at sf0.1 (tools/exp_lshbucket_r13.py;
+    the einsum/matmul forms are faster still but use pairwise summation
+    — a DIFFERENT add order — and were therefore not considered).
+    NULL embeddings mirror the expression form's semantics: a NULL dot
+    fails the ``>= 0`` test for every plane, so the bucket is 0."""
+    vals = emb.to_numpy()
+    nulls = np.array([v is None for v in vals])
+    out = np.zeros((len(vals), N_TABLES), dtype=np.int32)
+    if len(vals) and not nulls.all():
+        X = np.stack([np.zeros(DIM) if n else v for v, n in zip(vals, nulls)])
+        for t in range(N_TABLES):
+            bucket = np.zeros(X.shape[0], dtype=np.int32)
+            for p in range(N_PLANES):
+                acc = np.zeros(X.shape[0])
+                for d in range(DIM):
+                    acc = acc + X[:, d] * _PLANE_W[t, p, d]
+                bucket += np.where(acc >= 0, 1 << p, 0).astype(np.int32)
+            out[:, t] = bucket
+        out[nulls, :] = 0
+    return pd.Series(list(out))
+
+
+def lsh_buckets(vectors: DataFrame, emb_col: str = "emb") -> DataFrame:
+    """Explode each vector into its (table_id, bucket) memberships.
+
+    r13 optimization round: bucket computation moved from 32 interpreted
+    HOF folds per row (N_TABLES x N_PLANES ``aggregate(zip_with(...))``)
+    to one vectorized Arrow batch pass (:func:`_buckets_np`) — the
+    per-row scalar math was the query's dominant cost and does not
+    vectorize in the JVM expression engine. Output schema, row set and
+    every bucket value are unchanged (bit-parity note on the UDF;
+    regression-tested against :func:`lsh_buckets_jvm`)."""
+    return vectors.select(
+        "*",
+        F.posexplode(_buckets_np(F.col(emb_col))).alias("table_id", "bucket"),
+    )
 
 
 def _sql_plane_dot(e: str, tbl: int, plane: int) -> str:
