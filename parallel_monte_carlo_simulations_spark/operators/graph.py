@@ -106,7 +106,6 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
         .unionByName(pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")))
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # Pregel-style co-partitioning: edge state hash(src, P) and vertex
     # state hash(node, P) share one explicit partitioning, so BOTH joins
     # in every iteration are zero-exchange (bucketed-join shape) and the
@@ -120,22 +119,49 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test SFs the 10 iterations were paying ~40 stages x 32 near-empty
     # tasks (measured 25% of wall at sf0.1/local[32]); at 100 TB the
     # same formula sizes partitions to the guide's 100 MB-1 GB band.
+    #
+    # r13 round 2 (guide §2.4): the edge build drops the raw-edge join
+    # shuffle and the whole nodes-distinct subtree. The previous form
+    # shuffled the raw edges for the outdeg join (static partition
+    # count), re-exchanged the joined frame to P, and ran a separate
+    # distinct over the full edge set for nodes. Now the edges are
+    # exchanged to hash(src, P) once into a staging cache; outdeg is a
+    # zero-exchange aggregate over it, the deg join is zero-exchange
+    # against it, and nodes is outdeg's key column — outdeg IS the
+    # distinct node set (one row per src; both edge directions are
+    # materialized so every node appears as a src). The staging cache
+    # is released once its two consumers are materialized. The final
+    # repartition on each consumer is NOT redundant: an AQE-cached plan
+    # only exposes its output partitioning to consumers when the build
+    # ends in a user repartition — without it both iteration joins
+    # re-exchange their cached inputs every round (edge-scale × 10 at
+    # 100 TB; measured in the intermediate variant's plan). Same-JVM
+    # interleaved A/B (tools/exp_pagerank2_r13.py, 5 reps,
+    # sf0.1/local[32], outputs cell-identical): original 9.15 s median,
+    # this form 7.78 s, the no-repartition form 7.53 s — the ~3% local
+    # gap buys back the zero-exchange per-iteration shape that matters
+    # at scale.
     p = adaptive_partitions(spark, sf_dir)
-    edges_deg = edges.join(outdeg, "src").repartition(p, "src").persist()
+    edges_p = edges.repartition(p, "src").persist()
+    edges_p.count()
+    outdeg = edges_p.groupBy("src").agg(F.count("*").alias("deg"))
+    # Eager materialization (r13): plans built against an unmaterialized
+    # cache see UnknownPartitioning and re-exchange both join inputs
+    # every round; once materialized the cached hash layout is visible
+    # and the per-round joins keep the designed zero-exchange shape.
+    edges_deg = (
+        edges_p.join(outdeg.hint("shuffle_hash"), "src")
+        .repartition(p, "src")
+        .persist()
+    )
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
+        outdeg.select(F.col("src").alias("node"))
         .repartition(p, "node")
         .persist()
     )
-    # r13: materialize the iteration-state caches EAGERLY — plans built
-    # against an unmaterialized cache see UnknownPartitioning and
-    # re-exchange both join inputs every round; once materialized the
-    # cached hash layout is visible and the per-round joins go back to
-    # the designed zero-exchange shape (guide §2.4; cached-scan counts
-    # are cheap relative to the removed per-round corpus exchanges).
     edges_deg.count()
     nodes.count()
+    edges_p.unpersist()
 
     # shuffle_hash hints: the rank/contrib sides look broadcastable at
     # test SFs, but broadcasting an iteration state re-materializes its

@@ -184,23 +184,33 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # r13 round 2: staged edge build — same restructure as
+    # q_graph_pagerank (see operators/graph.py for the full rationale
+    # and the measured A/B): edges exchanged to hash(src, P) once into
+    # a staging cache; outdeg and the deg join are zero-exchange over
+    # it; nodes is outdeg's key column (one row per src == the distinct
+    # node set, both edge directions being materialized). The final
+    # repartition on each consumer cache is what makes the layout
+    # visible to the per-round joins (AQE-cached plans expose output
+    # partitioning only behind a trailing user repartition); eager
+    # materialization keeps them on the zero-exchange shape (§2.4).
     p = adaptive_partitions(spark, sf_dir)
-    edges_deg = edges.join(outdeg, "src").repartition(p, "src").persist()
+    edges_p = edges.repartition(p, "src").persist()
+    edges_p.count()
+    outdeg = edges_p.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = (
+        edges_p.join(outdeg.hint("shuffle_hash"), "src")
+        .repartition(p, "src")
+        .persist()
+    )
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
+        outdeg.select(F.col("src").alias("node"))
         .repartition(p, "node")
         .persist()
     )
-    # r13: materialize the iteration-state caches EAGERLY — plans built
-    # against an unmaterialized cache see UnknownPartitioning and
-    # re-exchange both join inputs every round; once materialized the
-    # cached hash layout is visible and the per-round joins go back to
-    # the designed zero-exchange shape (guide §2.4; cached-scan counts
-    # are cheap relative to the removed per-round corpus exchanges).
     edges_deg.count()
     nodes.count()
+    edges_p.unpersist()
     restart = F.when(
         F.col("node") == _PPR_SOURCE, F.lit(1 - _PPR_DAMPING)
     ).otherwise(F.lit(0.0))
