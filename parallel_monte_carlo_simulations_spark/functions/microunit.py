@@ -57,7 +57,9 @@ from pyspark.sql import functions as F
 EXACT_DOUBLE_MAX = 2**53
 
 
-def rdiv_halfup_expr(num: str, den: str, digits: int = 4) -> Column:
+def rdiv_halfup_expr(
+    num: str, den: str, digits: int = 4, nonneg: bool = False
+) -> Column:
     """Spark Column for string-form half-up division of SQL expressions
     ``num`` / ``den`` (BIGINT-typed, den > 0): exact ``digits``-digit
     half-away-from-zero quantization in BIGINT (fraction in
@@ -69,39 +71,94 @@ def rdiv_halfup_expr(num: str, den: str, digits: int = 4) -> Column:
     (quantize |num|/den, prefix '-' only when the quantized magnitude
     is nonzero so "-0.00" can never be emitted). Half-up on the
     magnitude == ROUND_HALF_UP == both engines' ROUND tie behavior
-    (away from zero)."""
-    return F.expr(rdiv_halfup_spark(num, den, digits))
+    (away from zero).
+
+    ``nonneg=True`` is a CALLER ASSERTION that ``num`` is >= 0 (or
+    NULL) — e.g. a SUM of non-negative micro-units. It emits the same
+    value with ``abs()`` and the sign branch dropped; results on
+    negative numerators are undefined. Only set it where the data
+    contract makes non-negativity provable."""
+    return F.expr(rdiv_halfup_spark(num, den, digits, nonneg))
 
 
-def rdiv_halfup_spark(num: str, den: str, digits: int = 4) -> str:
+def rdiv_halfup_spark(
+    num: str, den: str, digits: int = 4, nonneg: bool = False
+) -> str:
     """Spark-SQL TEXT form of :func:`rdiv_halfup_expr`, for queries that
     run as shared SQL statements (spark.sql) rather than DataFrame
-    expressions."""
+    expressions.
+
+    r14 optimization (guide §1.2 step 2): the emitted expression TREE is
+    kept as small as possible — q01's nine of these were measured at
+    ~2 s of PER-JVM analysis+codegen cost in the r13 driver bench (cold
+    JVM, first query), invisible to warmed probes. Three provably
+    value-identical reductions, all pinned by tests/test_microunit.py
+    against the unreduced mirror:
+
+    - NULL propagation replaces the outer num/den NULL guard: a NULL
+      ``num`` or ``den`` poisons ``frac0``/``whole``/``lpad``, CONCAT of
+      a NULL is NULL, and CAST(NULL AS DOUBLE) is NULL — the exact
+      value the guard returned. Only ``den = 0`` still needs a guard
+      (ANSI ``% 0`` raises), and a positive integer-literal ``den``
+      cannot be 0, so the guard is emitted only for non-literal dens.
+    - compact sign condition: quantized magnitude > 0 iff
+      ``a >= den OR 2*(a % den)*10^digits >= den`` (split the quotient
+      at 1: a/den >= 1, else the fraction alone decides; the product is
+      the same bounded intermediate frac0 already computes), replacing
+      the re-derivation of whole+frac0 inside the sign CASE.
+    - literal-den fast paths: den == 1 is CAST(num AS DOUBLE) (both are
+      correctly-rounded conversions of the same integer — the string
+      render parses to the identical double at any magnitude);
+      den == 10^digits needs no rounding math at all (frac0 == a % s
+      and whole == a div s exactly: with r = a % s, frac0 =
+      (2rs + s) div 2s = r since r < s, and the carry term r div s is
+      0), leaving a pure digit-split render.
+    """
     s = 10**digits
+    d = den.strip()
+    den_lit = int(d) if d.isdigit() else None
+    a = f"({num})" if nonneg else f"abs({num})"
+    if den_lit == 1:
+        # exact integer render: string parse and BIGINT->DOUBLE cast are
+        # both correctly rounded of the same integer at any magnitude.
+        return f"cast(({num}) as double)"
+    if den_lit == s:
+        sign = (
+            ""
+            if nonneg
+            else f"case when ({num}) < 0 then '-' else '' end, "
+        )
+        return (
+            f"cast(concat({sign}cast({a} div {s} as string), '.', "
+            f"lpad(cast({a} % {s} as string), {digits}, '0')) as double)"
+        )
     # frac0 in [0, 10^digits]; the ==10^digits carry folds into the
     # whole part. The whole part is NEVER scaled by 10^digits (that
     # would re-shrink the BIGINT-exact domain); max intermediate is
     # (|num| % den) * 2*10^digits < den * 2e6 for digits <= 6.
-    a = f"abs({num})"
-    frac0 = f"(((({a}) % ({den})) * {2 * s} + ({den})) div (2 * ({den})))"
-    whole = f"(({a}) div ({den}) + {frac0} div {s})"
+    frac0 = f"((({a} % ({den})) * {2 * s} + ({den})) div (2 * ({den})))"
+    whole = f"({a} div ({den}) + {frac0} div {s})"
     sign = (
-        f"case when ({num}) < 0 and ({whole} > 0 or {frac0} % {s} > 0) "
-        f"then '-' else '' end"
+        ""
+        if nonneg
+        else (
+            f"case when ({num}) < 0 and ({a} >= ({den}) or "
+            f"({a} % ({den})) * {2 * s} >= ({den})) "
+            f"then '-' else '' end, "
+        )
     )
     body = (
-        f"cast(concat({sign}, "
+        f"cast(concat({sign}"
         f"cast({whole} as string), '.',"
         f" lpad(cast({frac0} % {s} as string), {digits}, '0')) as double)"
     )
-    # NULL/zero-denominator safety: AVG-style callers divide by a
-    # non-null COUNT that can be 0 (all-NULL group) — return NULL like
-    # AVG would, instead of an ANSI divide-by-zero (Spark) or a
-    # CONCAT-skips-NULLs '.' parse error (DuckDB).
-    return (
-        f"case when ({den}) is null or ({den}) = 0 or ({num}) is null "
-        f"then cast(null as double) else {body} end"
-    )
+    if den_lit is not None and den_lit > 0:
+        return body
+    # zero-denominator safety: AVG-style callers divide by a non-null
+    # COUNT that can be 0 (all-NULL group) — return NULL like AVG
+    # would, instead of an ANSI divide-by-zero. NULL num/den need no
+    # guard: they propagate to a NULL result through the body.
+    return f"case when ({den}) = 0 then cast(null as double) else {body} end"
 
 
 def rdiv_halfup_duck(num: str, den: str, digits: int = 4) -> str:

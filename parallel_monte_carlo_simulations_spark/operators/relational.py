@@ -103,15 +103,30 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "l_linestatus",
-            rdiv_halfup_expr("qty_u0", "1", 2).alias("sum_qty"),
-            rdiv_halfup_expr("price_u2", "100", 2).alias("sum_base_price"),
-            rdiv_halfup_expr("disc_price_u4", "10000", 2).alias(
+            # nonneg=True: every numerator is a SUM of non-negative
+            # units (l_quantity/l_extendedprice/l_discount >= 0 and
+            # 1-l_discount/1+l_tax >= 0 by the TPC-H data contract), so
+            # the abs()/sign machinery is provably dead weight — r14
+            # measured q01's nine full-form trees at ~2 s of per-JVM
+            # analysis+codegen in driver conditions (plans/r14/
+            # q01_cold_ab.json).
+            rdiv_halfup_expr("qty_u0", "1", 2, nonneg=True).alias("sum_qty"),
+            rdiv_halfup_expr("price_u2", "100", 2, nonneg=True).alias(
+                "sum_base_price"
+            ),
+            rdiv_halfup_expr("disc_price_u4", "10000", 2, nonneg=True).alias(
                 "sum_disc_price"
             ),
-            rdiv_halfup_expr("charge_u6", "1000000", 2).alias("sum_charge"),
-            rdiv_halfup_expr("qty_u0", "n", 4).alias("avg_qty"),
-            rdiv_halfup_expr("price_u2", "n * 100", 4).alias("avg_price"),
-            rdiv_halfup_expr("disc_u2", "n * 100", 4).alias("avg_disc"),
+            rdiv_halfup_expr("charge_u6", "1000000", 2, nonneg=True).alias(
+                "sum_charge"
+            ),
+            rdiv_halfup_expr("qty_u0", "n", 4, nonneg=True).alias("avg_qty"),
+            rdiv_halfup_expr("price_u2", "n * 100", 4, nonneg=True).alias(
+                "avg_price"
+            ),
+            rdiv_halfup_expr("disc_u2", "n * 100", 4, nonneg=True).alias(
+                "avg_disc"
+            ),
             F.col("n").alias("count_order"),
         )
     )
@@ -174,7 +189,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_orderkey",
-            rdiv_halfup_expr("revenue_u4", "10000", 2).alias("revenue"),
+            rdiv_halfup_expr("revenue_u4", "10000", 2, nonneg=True).alias("revenue"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
@@ -191,8 +206,8 @@ _Q05_ORACLE = f"""
 WITH g AS (
   SELECT
     n_name,
-    SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-        * CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) AS revenue_u4
+    SUM({units_sql("l_extendedprice", 2)}
+        * {units_sql("1 - l_discount", 2)}) AS revenue_u4
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -251,7 +266,7 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(ru).alias("revenue_u4"))
         .select(
             "n_name",
-            rdiv_halfup_expr("revenue_u4", "10000").alias("revenue"),
+            rdiv_halfup_expr("revenue_u4", "10000", nonneg=True).alias("revenue"),
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -303,7 +318,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
         .select(
-            rdiv_halfup_expr("revenue_u4", "10000", 2).alias("revenue"),
+            rdiv_halfup_expr("revenue_u4", "10000", 2, nonneg=True).alias("revenue"),
             "n_items",
         )
     )
@@ -362,7 +377,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_name",
-            rdiv_halfup_expr("revenue_u4", "10000", 2).alias("revenue"),
+            rdiv_halfup_expr("revenue_u4", "10000", 2, nonneg=True).alias("revenue"),
             "n_name",
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -431,7 +446,7 @@ def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "n_orders",
-            rdiv_halfup_expr("spend_u2", "100", 2).alias("total_spend"),
+            rdiv_halfup_expr("spend_u2", "100", 2, nonneg=True).alias("total_spend"),
         )
     )
 
@@ -487,7 +502,7 @@ def q_case_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_band",
             "n_orders",
             "n_finished",
-            rdiv_halfup_expr("price_u2", "n_orders * 100", 2).alias(
+            rdiv_halfup_expr("price_u2", "n_orders * 100", 2, nonneg=True).alias(
                 "avg_price"
             ),
         )
@@ -527,7 +542,7 @@ def q_orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "order_month",
             "n_orders",
-            rdiv_halfup_expr("price_u2", "100", 2).alias("total_price"),
+            rdiv_halfup_expr("price_u2", "100", 2, nonneg=True).alias("total_price"),
         )
         .orderBy("order_month")
     )

@@ -165,6 +165,88 @@ def test_spark_sql_signed_digits_matches_mirror(spark):
             assert row.v == _decimal_expect(row.num, row.den, digits)
 
 
+def test_spark_literal_den_fast_paths_match_mirror(spark):
+    """r14: literal-den fast paths (den==1 -> CAST, den==10^digits ->
+    pure digit-split render, other literals -> no zero-guard) must be
+    value-identical to the unreduced mirror for SIGNED nums at any
+    magnitude."""
+    nums = [
+        -(10**18),
+        -85_612_902,
+        -10_001,
+        -5,
+        -1,
+        0,
+        1,
+        5,
+        99,
+        100,
+        101,
+        9_999,
+        10_000,
+        2_728_744_875,
+        14_411_518_807_587,
+        10**18,
+    ]
+    df = spark.createDataFrame([(x,) for x in nums], "num long")
+    for digits in (2, 4, 6):
+        for den in (1, 100, 10_000, 1_000_000, 7, 900_000, 3):
+            got = df.select(
+                "num",
+                rdiv_halfup_expr("num", str(den), digits).alias("v"),
+            ).collect()
+            for row in got:
+                assert row.v == _mirror(row.num, den, digits), (
+                    row.num,
+                    den,
+                    digits,
+                )
+
+
+def test_spark_nonneg_matches_mirror(spark):
+    """r14: nonneg=True (caller-asserted num >= 0) drops abs/sign; must
+    stay value-identical to the mirror on its contract domain."""
+    nums = [0, 1, 5, 99, 100, 10_000, 2_728_744_875, 10**18]
+    df = spark.createDataFrame([(x,) for x in nums], "num long")
+    for digits in (2, 4, 6):
+        for den in ("1", "100", "10000", "7", "den_col"):
+            den_sql = "13" if den == "den_col" else den
+            got = df.select(
+                "num",
+                # dynamic (non-literal) den exercises the zero-guard
+                # path; keep (num % den) * 2*10^digits inside BIGINT
+                # (the documented intermediate bound, same as the
+                # unreduced form) by capping the modulus at 10^6.
+                rdiv_halfup_expr(
+                    "num", f"num % 1000000 + {den_sql}", digits, nonneg=True
+                ).alias("vdyn"),
+                rdiv_halfup_expr("num", den_sql, digits, nonneg=True).alias(
+                    "v"
+                ),
+            ).collect()
+            for row in got:
+                assert row.v == _mirror(row.num, int(den_sql), digits)
+                assert row.vdyn == _mirror(
+                    row.num, row.num % 1_000_000 + int(den_sql), digits
+                )
+
+
+def test_spark_null_and_zero_den_propagation(spark):
+    """r14: the outer num/den NULL guard was replaced by NULL
+    propagation through the body; den=0 keeps an explicit guard for
+    non-literal dens. All three degenerate inputs must yield NULL."""
+    df = spark.createDataFrame(
+        [(None, 5), (7, None), (7, 0), (None, None)],
+        "num long, den long",
+    )
+    got = df.select(
+        rdiv_halfup_expr("num", "den", 4).alias("v"),
+        rdiv_halfup_expr("num", "den", 4, nonneg=True).alias("vn"),
+    ).collect()
+    assert [r.v for r in got] == [None] * 4
+    assert [r.vn for r in got] == [None] * 4
+
+
 def test_units_sql_both_engines(spark):
     from parallel_monte_carlo_simulations_spark.functions.microunit import (
         units_col,
